@@ -1,0 +1,25 @@
+"""big_data_fknn_spark — a PySpark-native analytics engine with the
+query/data-processing capabilities of bobrovskyks/Big_Data_FkNN.
+
+The reference (reconstructed in SURVEY.md; /root/reference is empty)
+is a Scala/Spark-RDD implementation of the exact distributed Fuzzy
+k-Nearest-Neighbors classifier (Keller 1985; Maillo et al. kNN-IS,
+KBS 2017; Maillo et al. exact fuzzy kNN, FUZZ-IEEE 2017).  This
+package re-expresses that surface — plus the relational / streaming /
+LLM-data-pipeline operators a complete engine needs — as idiomatic
+PySpark DataFrame plans that Catalyst/AQE can optimize.
+
+Layout
+------
+- ``session``    : SparkSession factory tuned for local[N] testing.
+- ``tables``     : parquet table loaders for the driver's testdata.
+- ``functions``  : column-expression builders (distances, text).
+- ``operators``  : reusable DataFrame→DataFrame operators (knn_join,
+                   fuzzy memberships, dedup, similarity search, ...).
+- ``queries``    : the registry mapping SURVEY.md §2 query keys to
+                   (spark_fn, duckdb_oracle_sql) pairs — the driver
+                   contract surface.
+- ``streaming``  : Structured Streaming demos (rows-only checks).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,232 @@
+"""SURVEY.md §2.J — the reference's own algorithm surface as queries.
+
+j1 crisp kNN, j2/j3 two-stage fuzzy kNN, j4 pluggable distance
+metrics, j5 min-max normalization, j6 seeded split.  Each Spark plan
+is a composition of library operators (operators/knn.py,
+operators/fknn.py); each oracle is the same algorithm spelled in
+DuckDB ANSI SQL over the identical parquet inputs.
+
+K=5 matches the reference papers' smallest evaluated k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_fknn_spark.functions.distance import cosine_sim, euclidean, manhattan
+from big_data_fknn_spark.operators.fknn import fknn_pipeline, keller_memberships
+from big_data_fknn_spark.operators.knn import knn_join
+from big_data_fknn_spark.queries import register
+from big_data_fknn_spark.tables import embeddings_d, train_test_split
+
+K = 5
+
+# Shared oracle CTEs: widen float32 → double (exact), deterministic
+# 80/20 split on vec_id — bit-identical inputs in both engines.
+EMB_CTES = """
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+train AS (SELECT * FROM emb WHERE vec_id % 5 <> 0),
+test AS (SELECT * FROM emb WHERE vec_id % 5 = 0)
+"""
+
+# Stage-1 (class membership degrees) CTE chain, reused by j2 and j3.
+STAGE1_CTES = f"""
+p1 AS (
+  SELECT a.vec_id AS q, a.label AS own, b.vec_id AS n, b.label AS n_label,
+         list_distance(a.emb, b.emb) AS d
+  FROM train a CROSS JOIN train b
+  WHERE a.vec_id <> b.vec_id
+),
+k1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d, n) AS rn FROM p1
+  ) WHERE rn <= {K}
+),
+counts AS (
+  SELECT q AS vec_id, own, n_label AS cls, count(*) AS cnt
+  FROM k1 GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT vec_id, own, cls, cnt FROM counts
+  UNION ALL
+  SELECT vec_id, label, label, 0 FROM train
+),
+agg AS (SELECT vec_id, own, cls, sum(cnt) AS cnt FROM base GROUP BY 1, 2, 3),
+memb AS (
+  SELECT vec_id AS mv, cls,
+         CASE WHEN cls = own THEN 0.51 + 0.49 * cnt / {K}.0
+              ELSE 0.49 * cnt / {K}.0 END AS u
+  FROM agg
+)
+"""
+
+
+@register(
+    "j1_knn_crisp",
+    oracle=f"""
+WITH {EMB_CTES},
+pairs AS (
+  SELECT t.vec_id AS q, t.label AS label, r.vec_id AS n, r.label AS n_label,
+         list_distance(t.emb, r.emb) AS d
+  FROM test t CROSS JOIN train r
+),
+knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d, n) AS rn FROM pairs
+  ) WHERE rn <= {K}
+),
+votes AS (SELECT q, label, n_label AS cls, count(*) AS cnt FROM knn GROUP BY 1, 2, 3),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY cnt DESC, cls) AS r FROM votes
+)
+SELECT q AS vec_id, label, cls AS pred FROM pick WHERE r = 1
+""",
+)
+def j1_knn_crisp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crisp kNN majority vote (reference EP1, [R kNN_IS.scala]).
+
+    Deterministic vote: max count, ties → smallest class id
+    (SURVEY.md §7.3 — never engine mode()).
+    """
+    train, test = train_test_split(spark, sf_dir)
+    knn = knn_join(test, train, k=K, keep_q_cols=("label",), keep_c_cols=("label",))
+    votes = knn.groupBy(
+        F.col("q_id").alias("vec_id"),
+        F.col("q_label").alias("label"),
+        F.col("n_label").alias("cls"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    pick = Window.partitionBy("vec_id").orderBy(F.col("cnt").desc(), F.col("cls").asc())
+    return (
+        votes.withColumn("r", F.row_number().over(pick))
+        .where(F.col("r") == 1)
+        .select("vec_id", "label", F.col("cls").alias("pred"))
+    )
+
+
+@register(
+    "j2_fknn_stage1",
+    oracle=f"""
+WITH {EMB_CTES},
+{STAGE1_CTES}
+SELECT mv AS vec_id, cls, round(u, 6) AS u FROM memb
+""",
+)
+def j2_fknn_stage1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-1 class membership degrees (leave-one-out kNN + Keller init)."""
+    train, _ = train_test_split(spark, sf_dir)
+    memb = keller_memberships(train, k=K)
+    return memb.select("vec_id", "cls", F.round("u", 6).alias("u"))
+
+
+@register(
+    "j3_fknn_stage2",
+    oracle=f"""
+WITH {EMB_CTES},
+{STAGE1_CTES},
+p2 AS (
+  SELECT t.vec_id AS q, t.label AS label, r.vec_id AS n,
+         list_distance(t.emb, r.emb) AS d
+  FROM test t CROSS JOIN train r
+),
+k2 AS (
+  SELECT *, 1.0 / greatest(d * d, 1e-12) AS w FROM (
+    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d, n) AS rn FROM p2
+  ) WHERE rn <= {K}
+),
+totw AS (SELECT q, sum(w) AS tw FROM k2 GROUP BY q),
+scores AS (
+  SELECT k2.q, k2.label, m.cls, sum(k2.w * m.u) AS s
+  FROM k2 JOIN memb m ON m.mv = k2.n GROUP BY 1, 2, 3
+),
+final AS (
+  SELECT s.q, s.label, s.cls, s.s / t.tw AS u_norm,
+         row_number() OVER (PARTITION BY s.q ORDER BY s.s / t.tw DESC, s.cls) AS rnk
+  FROM scores s JOIN totw t ON s.q = t.q
+)
+SELECT q AS vec_id, label, cls AS pred, round(u_norm, 6) AS conf
+FROM final WHERE rnk = 1
+""",
+)
+def j3_fknn_stage2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-stage fuzzy kNN classification — the flagship query."""
+    train, test = train_test_split(spark, sf_dir)
+    return fknn_pipeline(train, test, k=K)
+
+
+@register(
+    "j4_dist_metrics",
+    oracle="""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.emb AS ea, b.emb AS eb
+  FROM emb a CROSS JOIN emb b
+  WHERE a.vec_id % 25 = 0 AND b.vec_id % 25 = 0 AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round(list_distance(ea, eb), 6) AS eucl,
+       round(list_sum(list_transform(list_zip(ea, eb), p -> abs(p[1] - p[2]))), 6) AS manh,
+       round(list_cosine_similarity(ea, eb), 6) AS cos_sim
+FROM pairs
+""",
+)
+def j4_dist_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable metrics (reference [R utils/Distance.scala] + cosine ext)."""
+    emb = embeddings_d(spark, sf_dir).where(F.col("vec_id") % 25 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(euclidean(F.col("ea"), F.col("eb")), 6).alias("eucl"),
+        F.round(manhattan(F.col("ea"), F.col("eb")), 6).alias("manh"),
+        F.round(cosine_sim(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+    )
+
+
+@register(
+    "j5_normalize",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+),
+stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos)
+SELECT ex.vec_id, ex.pos,
+       round((ex.x - s.mn) / (s.mx - s.mn), 6) AS xnorm
+FROM ex JOIN stats s ON ex.pos = s.pos
+WHERE ex.vec_id % 10 = 0
+""",
+)
+def j5_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max normalization from global ranges ([R KeelParser] ranges).
+
+    Long format (vec_id, pos, xnorm); pos is 1-based to match SQL
+    array indexing.  The per-dimension stats table is tiny (64 rows)
+    → broadcast join back onto the exploded fact.
+    """
+    emb = embeddings_d(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", F.posexplode("emb").alias("pos0", "x")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    stats = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return (
+        ex.where(F.col("vec_id") % 10 == 0)
+        .join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.round((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6).alias("xnorm"),
+        )
+    )
+
+
+@register("j6_split", oracle=None)  # engine-specific RNG → rows-only check
+def j6_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded randomSplit (reference uses separate files; we demo the API)."""
+    emb = embeddings_d(spark, sf_dir)
+    tr, te = emb.randomSplit([0.8, 0.2], seed=42)
+    return tr.select(F.lit("train").alias("part"), "vec_id").unionByName(
+        te.select(F.lit("test").alias("part"), "vec_id")
+    )

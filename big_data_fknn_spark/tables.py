@@ -1,0 +1,58 @@
+"""Parquet table loaders for the driver's testdata star schema.
+
+Tables (TESTDATA.md / FIXTURES.md): region nation customer supplier
+part orders lineitem events documents embeddings — one parquet file
+per table under /root/testdata/sf{0.001,0.01,0.1}/.
+
+At 100 TB these would be partitioned/bucketed parquet datasets; the
+loaders stay the same (`spark.read.parquet` on a directory) — scans
+get column pruning + predicate pushdown from Catalyst either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def embeddings_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the float32 vector widened to array<double>.
+
+    float→double widening is exact, so Spark and the DuckDB oracle
+    (``embedding::DOUBLE[]``) see bit-identical values — a
+    precondition for hash-matching distance math (SURVEY.md §7.1).
+    """
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "label",
+    )
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic 80/20 split of embeddings (FIXTURES.md §mapping).
+
+    ``vec_id % 5 != 0`` → train, ``== 0`` → test.  Stands in for the
+    reference's separate KEEL train/test files; reproducible in both
+    engines (unlike randomSplit).
+    """
+    emb = embeddings_d(spark, sf_dir)
+    return emb.where(F.col("vec_id") % 5 != 0), emb.where(F.col("vec_id") % 5 == 0)

@@ -1,0 +1,30 @@
+"""Every registered query vs its DuckDB oracle at sf0.01 — the local
+replica of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from big_data_fknn_spark.queries import load_all
+from tests.oracle import compare, duck_con
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+
+DEFS = load_all()
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duck_con(SF_DIR)
+
+
+@pytest.mark.parametrize("key", sorted(DEFS))
+def test_query(spark, con, key):
+    d = DEFS[key]
+    df = d.fn(spark, SF_DIR)
+    if d.oracle is None:
+        assert df.count() >= 0  # rows-only: runs and has a stable schema
+    else:
+        compare(df, con, d.oracle, key=key)
