@@ -1,0 +1,43 @@
+"""Order-independent numeric aggregates for oracle parity.
+
+Double sums depend on accumulation order (partition order in Spark,
+morsel order in DuckDB), so large-magnitude money sums drift in the
+last ulps and `round(x, 6)` cannot rescue a 1e9-magnitude value —
+six decimals there IS the 16th significant digit (SURVEY.md §7.1,
+observed live on c5_sort_merge).
+
+Fix: accumulate in exact decimal.  Each row's double is cast to
+DECIMAL(38,10) (deterministic, same value in both engines), decimal
+addition is exact and associative → the sum is bit-identical however
+the engine orders or parallelizes it.  Round, then cast back to
+double so both engines report the same scalar type.
+
+At 100 TB this also matters for correctness, not just parity: a
+single-pass double sum over 1e12 rows accumulates real error, while
+decimal partial aggregates stay exact and still combine map-side.
+
+Oracle-side equivalents (keep in sync with any query using these):
+    dsum  → round(sum(CAST(x AS DECIMAL(38,10))), 6)::DOUBLE
+    davg  → round(sum(CAST(x AS DECIMAL(38,10)))::DOUBLE / count(*), 6)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,10)"
+
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Exact decimal sum of a double column, rounded, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)), scale).cast("double")
+
+
+def davg(col: Column | str, scale: int = 6) -> Column:
+    """Exact-sum average: decimal sum → double, / count, rounded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1)), scale
+    )

@@ -1,1 +1,277 @@
-"""Placeholder — filled in as coverage widens."""
+"""SURVEY.md §2.D — aggregation surface.
+
+The reference's reduce-side k-list merge is a combiner (partial
+aggregation, [P kNN-IS §3.3]); Catalyst emits partial+final
+HashAggregate pairs for every groupBy here automatically — the same
+map-side-combine trick, engine-built.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_fknn_spark.functions.numeric import DEC, davg, dsum
+from big_data_fknn_spark.queries import register
+from big_data_fknn_spark.tables import t
+
+
+@register(
+    "d1_hashagg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::DOUBLE AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::DOUBLE AS sum_base_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS sum_disc_price,
+       round(sum(CAST(l_quantity AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS avg_qty,
+       round(sum(CAST(l_discount AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def d1_hashagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate hash agg with partial+final
+    stages (map-side combine happens before the shuffle — check
+    `partial_sum` in .explain).  Money sums accumulate in exact
+    decimal (functions/numeric.py) so the result is independent of
+    partition order — required for oracle parity AND for accuracy
+    over 1e12 rows."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "d2_count_distinct",
+    oracle="""
+SELECT c_mktsegment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(*) AS n_cust
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def d2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count (expands to a two-phase agg under the hood)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+@register("d3_approx_cd", oracle=None)  # HLL++ is engine-specific → rows-only
+def d3_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++).  Sketches differ
+    across engines, so no value oracle — the scale story is the
+    point: fixed-size state per group vs exact distinct's full
+    shuffle."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust")
+    )
+
+
+@register(
+    "d4_rollup_cube",
+    oracle="""
+SELECT r.r_name, n.n_name, count(*) AS n_cust,
+       round(sum(CAST(c.c_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def d4_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (region → nation → grand total)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum("c_acctbal").alias("bal"),
+    )
+
+
+@register(
+    "d5_pivot",
+    oracle="""
+SELECT label,
+       coalesce(sum(CASE WHEN vec_id % 5 = 0 THEN 1 END), 0)::BIGINT AS b0,
+       coalesce(sum(CASE WHEN vec_id % 5 = 1 THEN 1 END), 0)::BIGINT AS b1,
+       coalesce(sum(CASE WHEN vec_id % 5 = 2 THEN 1 END), 0)::BIGINT AS b2,
+       coalesce(sum(CASE WHEN vec_id % 5 = 3 THEN 1 END), 0)::BIGINT AS b3,
+       coalesce(sum(CASE WHEN vec_id % 5 = 4 THEN 1 END), 0)::BIGINT AS b4
+FROM embeddings GROUP BY label
+""",
+)
+def d5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide — the reference's per-class membership-vector
+    shape ([P FkNN-BD stage 1] materializes k×numClasses matrices)."""
+    emb = t(spark, sf_dir, "embeddings")
+    piv = (
+        emb.select("label", (F.col("vec_id") % 5).alias("bucket"))
+        .groupBy("label")
+        .pivot("bucket", [0, 1, 2, 3, 4])
+        .count()
+    )
+    return piv.select(
+        "label",
+        *[F.coalesce(F.col(str(i)), F.lit(0)).alias(f"b{i}") for i in range(5)],
+    )
+
+
+@register(
+    "d6_mode_vote",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+),
+pick AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS top_type, cnt FROM pick WHERE rn = 1
+""",
+)
+def d6_mode_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic majority vote — the reference's crisp-kNN class
+    vote ([R kNN_IS.calculatePredictedRightClasses]).  Explicit
+    (count desc, key asc) tiebreak instead of engine mode()
+    (SURVEY.md §7.3)."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "cnt")
+    )
+
+
+@register(
+    "d7_collect_list",
+    oracle="""
+SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names,
+       count(*) AS n
+FROM supplier GROUP BY s_nationkey
+""",
+)
+def d7_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation — the reference's per-query neighbor arrays
+    ([R kNN_IS]).  Emitted as a sorted joined string so the value is
+    deterministic and scalar for the oracle hash."""
+    s = t(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "d8_weighted_agg",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,10)))::DOUBLE
+             / sum(CAST(l_quantity AS DECIMAL(38,10)))::DOUBLE, 6) AS weighted_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def d8_weighted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted aggregate — the FkNN stage-2 distance-weighted
+    membership sum shape ([P Keller85]; real use in operators/fknn.py).
+    Both sums in exact decimal: at ~1e10 magnitude a double sum's
+    partition-order drift lands inside round(,6)."""
+    li = t(spark, sf_dir, "lineitem")
+    num = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)).cast(
+        "double"
+    )
+    den = F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(num / den, 6).alias("weighted_price")
+    )
+
+
+# d9/d10 reuse the crisp-kNN prediction CTE chain from queries/ml.py.
+_KNN_PRED_CTES = """
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+train AS (SELECT * FROM emb WHERE vec_id % 5 <> 0),
+test AS (SELECT * FROM emb WHERE vec_id % 5 = 0),
+pairs AS (
+  SELECT t.vec_id AS q, t.label AS label, r.vec_id AS n, r.label AS n_label,
+         list_distance(t.emb, r.emb) AS d
+  FROM test t CROSS JOIN train r
+),
+knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d, n) AS rn FROM pairs
+  ) WHERE rn <= 5
+),
+votes AS (SELECT q, label, n_label AS cls, count(*) AS cnt FROM knn GROUP BY 1, 2, 3),
+pred AS (
+  SELECT q AS vec_id, label, cls AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY q ORDER BY cnt DESC, cls) AS r FROM votes
+  ) WHERE r = 1
+)
+"""
+
+
+@register(
+    "d9_confusion",
+    oracle=f"""
+WITH {_KNN_PRED_CTES}
+SELECT label, pred, count(*) AS n FROM pred GROUP BY label, pred
+""",
+)
+def d9_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix over kNN predictions (the reference's driver-
+    side numClass×numClass matrix, [R runFuzzyKNN.scala] — here a
+    distributed groupBy, never collected)."""
+    from big_data_fknn_spark.queries.ml import j1_knn_crisp
+
+    return (
+        j1_knn_crisp(spark, sf_dir)
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "d10_metrics",
+    oracle=f"""
+WITH {_KNN_PRED_CTES}
+SELECT count(*) AS n_test,
+       round(avg(CASE WHEN label = pred THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM pred
+""",
+)
+def d10_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier accuracy (the reference's right/total metric;
+    labels are ~random in this fixture so ≈0.1 — correctness is the
+    oracle match, not the score)."""
+    from big_data_fknn_spark.queries.ml import j1_knn_crisp
+
+    return j1_knn_crisp(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(
+            F.avg(F.when(F.col("label") == F.col("pred"), 1.0).otherwise(0.0)), 6
+        ).alias("accuracy"),
+    )

@@ -1,1 +1,194 @@
-"""Placeholder — filled in as coverage widens."""
+"""SURVEY.md §2.E/F — window functions, sorts, limits, top-k.
+
+e1 is the reference's central primitive: k nearest per query point.
+Spark ≥3.5 plans `row_number ≤ k` as WindowGroupLimit — partial
+top-k below the shuffle, exactly the reference's bounded k-list merge
+([P kNN-IS §3.3]) built into the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_fknn_spark.functions.numeric import DEC
+from big_data_fknn_spark.queries import register
+from big_data_fknn_spark.tables import t
+
+
+@register(
+    "e1_topk_window",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def e1_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the kNN top-k shape on relational
+    data.  Unique (o_totalprice desc, o_orderkey) tiebreak."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "e2_rank",
+    oracle="""
+SELECT s_nationkey, s_suppkey,
+       rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS drnk
+FROM supplier
+""",
+)
+def e2_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank (gap vs no-gap semantics on acctbal ties)."""
+    s = t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "e3_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       lag(event_id) OVER w AS prev_id,
+       epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def e3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event sequences (gap analysis)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "e4_frame_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)::DOUBLE AS running_spend,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+FROM orders
+""",
+)
+def e4_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frame specs: running total + trailing 3-row average.
+    Windowed sums accumulate in exact decimal — engines disagree on
+    evaluation order inside frames (segment trees vs sequential), so
+    double accumulation is not reproducible (functions/numeric.py)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    last3 = w.rowsBetween(-2, 0)
+    dec_price = F.col("o_totalprice").cast(DEC)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec_price).over(run), 6).cast("double").alias("running_spend"),
+        F.round(
+            F.sum(dec_price).over(last3).cast("double")
+            / F.count(F.lit(1)).over(last3),
+            6,
+        ).alias("avg3"),
+    )
+
+
+@register(
+    "e5_pct",
+    oracle="""
+SELECT c_custkey,
+       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct,
+       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+FROM customer
+""",
+)
+def e5_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / ntile over a global total order (unique key
+    appended so both engines tile identically)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "f1_sort",
+    oracle="""
+SELECT row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pos, c_custkey
+FROM customer
+""",
+)
+def f1_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort made hash-observable: emit each row's position in
+    the total order (range-partitioned sort + monotonic numbering)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(F.row_number().over(w).alias("pos"), "c_custkey")
+
+
+@register(
+    "f2_global_topk",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def f2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject (per-partition top-k,
+    merge on driver — no global sort materialized)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "f3_sort_within",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def f3_sort_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions after a hash repartition: partition-local
+    order (the reference's per-partition candidate ordering).  Row
+    *content* is unchanged — which is exactly what the
+    order-insensitive oracle verifies."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.repartition(8, "user_id")
+        .sortWithinPartitions("ts")
+        .select("event_id", "user_id", "event_type")
+    )

@@ -30,7 +30,26 @@ TABLES = (
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame."""
+    if name == "events":
+        return events_t(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with its TIMESTAMP(NANOS) column made readable.
+
+    Spark 4 rejects parquet nano timestamps ([PARQUET_TYPE_ILLEGAL]);
+    the legacy conf reads them as long nanos, which we truncate to
+    microseconds — bit-identical to DuckDB's ns→µs TIMESTAMP read of
+    the same file, so oracles can compare `ts` directly.
+
+    Scale note: the cast hides `ts` from parquet predicate pushdown;
+    at 100 TB the table would be date-partitioned at rest so pruning
+    happens on the partition column instead.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def embeddings_d(spark: SparkSession, sf_dir: str) -> DataFrame:
