@@ -1,1 +1,256 @@
-"""Placeholder — filled in as coverage widens."""
+"""SURVEY.md §2.A6/I — event-time windowing and Structured Streaming.
+
+The reference is pure batch ([R kNN_IS.scala] has no streaming
+surface); this module is the driver-mandated streaming extension.
+i1–i3 run the event-time operators in BATCH mode (Spark's window /
+session_window functions work identically there), which makes them
+DuckDB-oracle-checkable; a6/i4–i6 are true `readStream` pipelines
+replaying events.parquet through a file source into a memory sink
+(engine-specific micro-batch semantics → rows-only checks).
+
+Scale notes: windowed aggregations shuffle on (window, key) — at
+100 TB/day the watermark bounds state size, and session windows use
+Spark's state-store merge rather than a global sort.  The batch
+variants below compile to ordinary hash aggregates after the window
+expression expands, so they inherit partial+final aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from big_data_fknn_spark.functions.numeric import dsum
+from big_data_fknn_spark.queries import register
+from big_data_fknn_spark.tables import t
+
+# Raw parquet schema of events.parquet with ts read as long nanos
+# (Spark 4 rejects TIMESTAMP(NANOS); see tables.events_t).
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream with a proper timestamp.
+
+    Spark's file stream source wants a *directory* to monitor, so the
+    single parquet file is exposed through a throwaway symlink dir —
+    in production this would be the landing directory new files
+    arrive in.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    raw = spark.readStream.schema(_EVENTS_RAW).parquet(src_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink, return the table.
+
+    `availableNow` processes the full replay then stops — the batch
+    bench/correctness harnesses need a terminating query.  Each run
+    gets a unique sink name + throwaway checkpoint.
+    """
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# --------------------------------------------------------------- A6. source
+
+
+@register("a6_stream_source", oracle=None)
+def a6_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source → sink round trip: replay events.parquet
+    through a file source, project/filter in flight, drain to a
+    memory sink.  Rows-only (micro-batch boundaries are engine
+    semantics, but the row SET equals the batch read — asserted in
+    tests/test_streaming.py)."""
+    s = _events_stream(spark, sf_dir).where(F.col("value") > 0).select(
+        "event_id", "user_id", "event_type"
+    )
+    return _run_to_memory(s, "append")
+
+
+# ------------------------------------------------- I. event-time windowing
+
+
+@register(
+    "i1_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def i1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch mode — identical
+    semantics to the streaming plan minus the watermark).  1-hour
+    windows align to epoch hours, so DuckDB's date_trunc is the exact
+    oracle."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "i2_sliding",
+    oracle="""
+WITH base AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b, value
+  FROM events
+), expanded AS (
+  SELECT b - (k.k * INTERVAL 15 MINUTE) AS win_start, value
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT win_start, count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
+FROM expanded GROUP BY win_start
+""",
+)
+def i2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour length, 15-minute slide — every event
+    lands in exactly 4 windows.  The oracle expands the window
+    assignment explicitly (floor to the slide grid, back-shift k
+    slides)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+    )
+
+
+@register(
+    "i3_session",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM numbered GROUP BY user_id, sid
+""",
+)
+def i3_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (30-minute gap) per user, batch mode.  Oracle
+    is the classic gaps-and-islands rewrite.  Spark's session spans
+    [first_ts, last_ts + gap): an event at exactly last_ts + 30min
+    starts a NEW session, hence `>=` in the oracle's gap test.
+    Output is (user, start, count) — session *end* semantics differ
+    across engines, so it is deliberately excluded (SURVEY.md §7.5)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+# -------------------------------------------------- I4-I6. true streaming
+
+
+@register("i4_watermark", oracle=None)
+def i4_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming window aggregation: replay events with a
+    10-minute watermark and 1-hour tumbling count.  Complete output
+    mode so the single availableNow replay emits all windows (append
+    would hold them until a later batch advances the watermark — in
+    production the stream keeps running and windows finalize
+    continuously)."""
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "n")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register("i5_stream_dedup", oracle=None)
+def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup keyed on event_id within the
+    watermark horizon (state is dropped once event-time passes
+    event_ts + delay — bounded memory at 100 TB/day, unlike a global
+    distinct)."""
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = s.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return _run_to_memory(deduped, "append")
+
+
+@register("i6_stateful", oracle=None)
+def i6_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming op (applyInPandasWithState): a
+    per-user running aggregate kept in explicit state — event count,
+    value sum, last event-time — the custom-operator escape hatch
+    when built-in windows can't express the semantics."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, n_events BIGINT, total_value DOUBLE, last_us BIGINT"
+    state_schema = "n BIGINT, total DOUBLE, last_us BIGINT"
+
+    def track(key, pdf_iter, state: GroupState):
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": total, "last_us": last_us}]
+        )
+
+    s = _events_stream(spark, sf_dir)
+    tracked = s.groupBy("user_id").applyInPandasWithState(
+        track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return _run_to_memory(tracked, "update")

@@ -1,0 +1,61 @@
+"""Streaming queries (rows-only in the driver) checked against their
+batch equivalents: an availableNow file-source replay must produce
+exactly the same row SET as the batch read — micro-batching changes
+execution, never results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_fknn_spark.queries import load_all
+from big_data_fknn_spark.tables import t
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DEFS = load_all()
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return t(spark, SF_DIR, "events").cache()
+
+
+def test_a6_stream_equals_batch(spark, events_batch):
+    got = DEFS["a6_stream_source"].fn(spark, SF_DIR)
+    want = events_batch.where(F.col("value") > 0)
+    assert rows(got, "event_id", "user_id", "event_type") == rows(
+        want, "event_id", "user_id", "event_type"
+    )
+
+
+def test_i4_watermark_equals_batch_windows(spark, events_batch):
+    got = DEFS["i4_watermark"].fn(spark, SF_DIR)
+    want = (
+        events_batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "n")
+    )
+    assert rows(got, "bucket", "n") == rows(want, "bucket", "n")
+
+
+def test_i5_dedup_keeps_distinct_ids(spark, events_batch):
+    got = DEFS["i5_stream_dedup"].fn(spark, SF_DIR)
+    n_distinct = events_batch.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_i6_stateful_per_user_totals(spark, events_batch):
+    got = DEFS["i6_stateful"].fn(spark, SF_DIR)
+    want = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    assert rows(got, "user_id", "n_events", "last_us") == rows(
+        want, "user_id", "n_events", "last_us"
+    )
