@@ -1,0 +1,81 @@
+"""Headline benchmark — the driver's per-round BENCH_r{N}.json feed.
+
+Runs representative queries from every operator family at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {<key>: sec, ...}, "sf": <float>}
+
+Timing excludes SparkSession creation (BASELINE.md: JVM startup
+dominates at sf0.1 and says nothing about 100 TB throughput) and
+materializes each query with a noop sink — full execution, no
+driver-side collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from big_data_fknn_spark.queries import load_all  # noqa: E402
+from big_data_fknn_spark.session import get_spark  # noqa: E402
+
+# One heavy representative per family: scan+agg, big join, window
+# top-k, event windowing, the reference's two algorithms, near-dup
+# LSH, similarity search (brute + IVF), tf-idf.
+HEADLINE = (
+    "d1_hashagg",
+    "c5_sort_merge",
+    "e1_topk_window",
+    "i1_tumbling",
+    "j1_knn_crisp",
+    "j3_fknn_stage2",
+    "j8_dedup_near",
+    "j9_sim_search",
+    "j9b_sim_search_ivf",
+    "j10_text_tfidf",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    registry = load_all()
+
+    # Warm the JVM/codegen once with the cheapest query so per-query
+    # numbers measure the plan, not first-run initialization.
+    registry["d1_hashagg"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        df = registry[key].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,767 @@
-"""Placeholder — filled in as coverage widens."""
+"""SURVEY.md §2.J7-J12 + training-data-pipeline extensions.
+
+The driver's north star adds the LLM-data-pipeline operator family
+on top of the reference's classifier core: deduplication (exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
+search (brute-force + IVF scale path), text analysis (lang-ID,
+quality score, token counts, fingerprinting), and multimodal column
+plumbing.
+
+Cross-engine determinism strategy (everything here hash-matches a
+DuckDB oracle):
+
+- All hashing is md5 hex strings — identical built-in in both
+  engines.  MinHash needs only a total order on hash values, so the
+  *lexicographic* min of md5 strings replaces integer minhashing; no
+  64-bit parsing, no engine-specific hash().
+- SimHash bits come from md5 hex digits via pure integer arithmetic
+  (functions/text.py md5_bit).
+- Jaccard/cosine divisions are int/int or identical left-fold
+  doubles → bit-identical, then rounded to 6dp for output.
+
+Scale notes are on each operator; the common theme: candidate
+generation (LSH bands, IVF probes) shuffles on the *bucket key*, so
+work is proportional to bucket collisions, never to |docs|².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_fknn_spark.functions.distance import cosine_sim
+from big_data_fknn_spark.functions.numeric import DEC
+from big_data_fknn_spark.functions.text import md5_bit, shingles, tokens
+from big_data_fknn_spark.operators.knn import knn_join
+from big_data_fknn_spark.queries import register
+from big_data_fknn_spark.tables import embeddings_d, t
+
+# ---------------------------------------------------------------- shared
+
+# DuckDB-side shared CTEs over documents (keep in sync with the
+# Spark-side helpers in functions/text.py).
+_DOC_CTES = """
+docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh3 AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w) - 2)]) AS sh
+  FROM docs)
+"""
+
+
+def _docs_with_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", shingles(tokens("text"), n).alias("sh"))
+
+
+# ------------------------------------------------------------- J7. exact
+
+
+@register(
+    "j7_dedup_exact",
+    oracle="""
+SELECT doc_id, text_hash FROM (
+  SELECT doc_id, md5(text) AS text_hash,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def j7_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash the content, keep the lowest doc_id per
+    hash.  Scale: shuffles on the 16-byte digest (uniform keys — no
+    skew), with WindowGroupLimit keeping one survivor per group below
+    the exchange; never a global distinct over raw text."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        d.select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text_hash")
+    )
+
+
+# ------------------------------------------------- J8. MinHash + LSH
+
+_NH = 24  # minhash functions
+_BAND_R = 2  # rows per band → 12 bands; P(catch | jac=.8) ≈ 1 - 5e-6
+_TAU = 0.5  # exact-verify threshold (corpus gap: planted pairs ≥.8, noise <.2)
+
+
+def _minhash_exprs_spark():
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("s")))).alias(f"h{i}")
+        for i in range(_NH)
+    ]
+
+
+def _minhash_sql_arms():
+    mins = ",\n         ".join(
+        f"min(md5('{i}#' || s)) AS h{i}" for i in range(_NH)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, h{_BAND_R * b} || h{_BAND_R * b + 1} AS key FROM mh"
+        for b in range(_NH // _BAND_R)
+    )
+    return mins, bands
+
+
+_MINS, _BANDS = _minhash_sql_arms()
+
+@register(
+    "j8_dedup_near",
+    oracle=f"""
+WITH {_DOC_CTES},
+tok AS (SELECT doc_id, unnest(sh) AS s FROM sh3),
+mh AS (
+  SELECT doc_id,
+         {_MINS}
+  FROM tok GROUP BY doc_id),
+bands AS (
+{_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id),
+verified AS (
+  SELECT i AS doc_i, j AS doc_j,
+         len(list_intersect(x.sh, y.sh))::DOUBLE
+           / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+  FROM cand JOIN sh3 x ON x.doc_id = i JOIN sh3 y ON y.doc_id = j)
+SELECT doc_i, doc_j, round(jac, 6) AS jaccard
+FROM verified WHERE jac >= {_TAU}
+""",
+)
+def j8_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-word shingles → 24 MinHashes (lexico-min
+    of md5 strings) → 12 LSH bands of 2 → bucket-join candidates →
+    exact Jaccard verify ≥ 0.5.
+
+    Scale: the only join is on (band, key) — docs collide only when
+    a band matches, so cost tracks true duplicate density, not
+    |docs|².  The exact verify touches candidate pairs only.  This
+    finds the corpus's 25 planted near-dup pairs (jac ≥ .8) with
+    P(miss) ≈ 1e-4 and the oracle replicates the identical pipeline,
+    so parity holds regardless."""
+    sh = _docs_with_shingles(spark, sf_dir).cache()
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    mh = tok.groupBy("doc_id").agg(*_minhash_exprs_spark())
+    band_arr = F.array(
+        *[
+            F.concat(F.col(f"h{_BAND_R * b}"), F.col(f"h{_BAND_R * b + 1}"))
+            for b in range(_NH // _BAND_R)
+        ]
+    )
+    bands = mh.select("doc_id", F.posexplode(band_arr).alias("band", "key"))
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i"))
+    y = sh.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j"))
+    jac = F.size(F.array_intersect("sh_i", "sh_j")) / F.size(
+        F.array_union("sh_i", "sh_j")
+    )
+    return (
+        cand.join(x, "doc_i")
+        .join(y, "doc_j")
+        .withColumn("jac", jac)
+        .where(F.col("jac") >= _TAU)
+        .select("doc_i", "doc_j", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------- n-gram Jaccard (exact)
+
+
+@register(
+    "j8b_ngram_jaccard",
+    oracle=f"""
+WITH {_DOC_CTES},
+pairs AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id)
+SELECT doc_i, doc_j, round(jac, 6) AS jaccard
+FROM pairs WHERE jac >= {_TAU}
+""",
+)
+def j8b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard ≥ 0.5 — the ground truth j8's
+    LSH approximates.  O(n²): the small-sf exactness baseline only;
+    at 100 TB always run j8 instead (identical output contract)."""
+    sh = _docs_with_shingles(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i"))
+    b = sh.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j"))
+    jac = F.size(F.array_intersect("sh_i", "sh_j")) / F.size(
+        F.array_union("sh_i", "sh_j")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("doc_i") < F.col("doc_j"))
+        .withColumn("jac", jac)
+        .where(F.col("jac") >= _TAU)
+        .select("doc_i", "doc_j", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------- SimHash dedup
+
+
+def _simhash_col(nbits: int = 16):
+    """Σ_b [Σ_tokens (2·bit_b − 1) > 0] · 2^b over a token's md5."""
+    h = F.md5(F.col("s"))
+    return [F.sum(2 * md5_bit(h, b) - 1).alias(f"s{b}") for b in range(nbits)]
+
+
+@register(
+    "j8c_simhash",
+    oracle="""
+WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS s FROM docs),
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM tok GROUP BY doc_id)
+SELECT doc_id, {val} AS simhash FROM bits
+""".format(
+        sums=",\n         ".join(
+            "sum(2 * (((strpos('0123456789abcdef', substr(md5(s), {pos}, 1)) - 1) // {p}) % 2) - 1) AS s{b}".format(
+                pos=1 + b // 4, p=2 ** (3 - b % 4), b=b
+            )
+            for b in range(16)
+        ),
+        val=" + ".join(
+            f"(CASE WHEN s{b} > 0 THEN 1 ELSE 0 END) * {2 ** b}" for b in range(16)
+        ),
+    ),
+)
+def j8c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over distinct tokens: bit b is the
+    sign of Σ(±1) votes from each token's md5 bit b.  Near-dups land
+    at small Hamming distance; dedup at scale groups on the signature
+    (or bit-band substrings), never on content.  Pure integer math →
+    exact oracle parity."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("s")
+    )
+    bits = tok.groupBy("doc_id").agg(*_simhash_col())
+    val = sum(
+        F.when(F.col(f"s{b}") > 0, 1).otherwise(0) * (2**b) for b in range(16)
+    )
+    return bits.select("doc_id", val.alias("simhash"))
+
+
+# -------------------------------------------- embedding-cosine near-dup
+
+
+@register(
+    "j8d_embed_neardup",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_i, b.vec_id AS id_j,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_i, id_j, round(cos, 6) AS cos_sim FROM p WHERE cos >= 0.4
+""",
+)
+def j8d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, τ=0.4 — this
+    corpus's cosines top out at ~0.51).  Scale path: j9b's IVF
+    bucketing or random-hyperplane LSH prunes the pair space first;
+    the exact pass then verifies candidates only."""
+    e = embeddings_d(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_i"), F.col("emb").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_j"), F.col("emb").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_i") < F.col("id_j"))
+        .withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= 0.4)
+        .select("id_i", "id_j", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------- J9. similarity search
+
+_PROBE_MOD = 50  # vec_id % 50 == 0 → deterministic probe set
+_TOPK = 10
+
+_J9_CTES = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+probes AS (SELECT * FROM e WHERE vec_id % {_PROBE_MOD} = 0)
+"""
+
+
+@register(
+    "j9_sim_search",
+    oracle=f"""
+WITH {_J9_CTES},
+scored AS (
+  SELECT p.vec_id AS q_id, c.vec_id AS n_id,
+         list_dot_product(p.v, c.v)
+           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM probes p JOIN e c ON c.vec_id <> p.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+  FROM scored)
+SELECT q_id, n_id, rn, round(cos, 6) AS cos_sim FROM ranked WHERE rn <= {_TOPK}
+""",
+)
+def j9_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: broadcast the probe
+    set, stream all candidates past it, WindowGroupLimit keeps k per
+    probe below the shuffle (same physical shape as the kNN core)."""
+    e = embeddings_d(spark, sf_dir)
+    probes = e.where(F.col("vec_id") % _PROBE_MOD == 0)
+    nn = knn_join(
+        probes,
+        e,
+        _TOPK,
+        metric=lambda a, b: -cosine_sim(a, b),  # max cosine == min negated
+        exclude_self=True,
+    )
+    return nn.select(
+        "q_id",
+        "n_id",
+        "rn",
+        F.round(-F.col("dist"), 6).alias("cos_sim"),
+    )
+
+
+@register(
+    "j9b_sim_search_ivf",
+    oracle=f"""
+WITH {_J9_CTES},
+cent_dim AS (
+  SELECT label, j AS dim,
+         sum(CAST(v[j] AS DECIMAL(38,10)))::DOUBLE / count(*) AS cv
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
+  GROUP BY label, j),
+cent AS (SELECT label, list(cv ORDER BY dim) AS cvec FROM cent_dim GROUP BY label),
+probe_clusters AS (
+  SELECT q_id, label FROM (
+    SELECT p.vec_id AS q_id, c.label,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY list_dot_product(p.v, c.cvec)
+                      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                      c.label) AS cr
+    FROM probes p CROSS JOIN cent c
+  ) WHERE cr <= 3),
+scored AS (
+  SELECT p.vec_id AS q_id, c.vec_id AS n_id,
+         list_dot_product(p.v, c.v)
+           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM probes p
+  JOIN probe_clusters pc ON pc.q_id = p.vec_id
+  JOIN e c ON c.label = pc.label AND c.vec_id <> p.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+  FROM scored)
+SELECT q_id, n_id, rn, round(cos, 6) AS cos_sim FROM ranked WHERE rn <= {_TOPK}
+""",
+)
+def j9b_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN — the 100 TB scale path for j9: coarse-quantize
+    with per-label centroids (deterministic k-means stand-in), probe
+    the nprobe=3 nearest clusters per query, exact-rank inside probed
+    clusters only.  Work drops from |Q|·|C| to |Q|·(3/k_clusters)·|C|
+    and the candidate join is an equi-join on the cluster id (hash-
+    partitionable) instead of a cross join.  Deterministic end to
+    end → full value oracle, unlike typical randomized ANN."""
+    e = embeddings_d(spark, sf_dir).cache()
+    probes = e.where(F.col("vec_id") % _PROBE_MOD == 0)
+
+    # per-label centroid: exact-decimal mean per dimension, re-assembled
+    # in dimension order (collect_list order is nondeterministic;
+    # array_sort on (pos, val) structs restores it).
+    cent = (
+        e.select("label", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "cv"
+            )
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+    )
+
+    wq = Window.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    probe_clusters = (
+        probes.select(F.col("vec_id").alias("q_id"), F.col("emb").alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("ccos", cosine_sim(F.col("qv"), F.col("cvec")))
+        .withColumn("cr", F.row_number().over(wq))
+        .where(F.col("cr") <= 3)
+        .select("q_id", "qv", "label")
+    )
+
+    cand = e.select(
+        F.col("vec_id").alias("n_id"), F.col("emb").alias("nv"), "label"
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        probe_clusters.join(cand, "label")
+        .where(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos", cosine_sim(F.col("qv"), F.col("nv")))
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= _TOPK)
+        .select("q_id", "n_id", "rn", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+# ------------------------------------------------------- J10. TF-IDF
+
+
+@register(
+    "j10_text_tfidf",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n::DOUBLE / df.df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored)
+SELECT doc_id, term, rn, round(tfidf, 6) AS tfidf
+FROM ranked WHERE rn <= 5
+""",
+)
+def j10_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → TF → IDF → top-5 terms per doc.  All built-in SQL
+    (the MLlib HashingTF+IDF pipeline gives hashed, engine-specific
+    features — this variant is the oracle-able one).  Scale: tf and
+    df are partial-aggregable; df is broadcast back (vocab ≪ corpus)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()  # tiny scalar; at scale: a broadcast single-row agg
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n)) / F.col("df")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "term", "rn", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+# ------------------------------------------------------ J11. centroids
+
+
+@register(
+    "j11_centroid",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+SELECT label, j AS dim,
+       round(sum(CAST(v[j] AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS centroid
+FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
+GROUP BY label, j
+""",
+)
+def j11_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid, one row per (label, dimension).
+    posexplode → partial-aggregable (label, dim) mean: the shuffle
+    carries 10×64 groups regardless of corpus size.  Exact-decimal
+    mean for cross-engine determinism."""
+    e = embeddings_d(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid")
+        )
+    )
+
+
+# ----------------------------------------------------- J12. multimodal
+
+
+@register(
+    "j12_multimodal",
+    oracle="""
+SELECT d.doc_id, d.lang, d.n_chars, e.label,
+       octet_length(encode(d.text)) AS payload_bytes,
+       len(e.embedding) AS emb_dim
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def j12_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row: text + opaque binary payload + embedding +
+    typed metadata in one table (documents ⋈ embeddings by id).  The
+    binary column is a real BinaryType passthrough — the pattern for
+    image/audio blobs whose decode happens in j12b."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "label",
+            F.octet_length("payload").alias("payload_bytes"),
+            F.size("embedding").alias("emb_dim"),
+        )
+    )
+
+
+@register(
+    "j12b_multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS width,
+       64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS height,
+       1 + ('0x' || substr(md5(text), 5, 1))::INT % 8 AS n_frames
+FROM documents
+""",
+)
+def j12b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-decode plumbing over mapInPandas: binary payloads arrive
+    as Arrow batches in a pandas worker, which "decodes" them to
+    typed metadata.  The image/audio libraries are not in this
+    container, so the decode kernel is a STUB — a deterministic fake
+    deriving dimensions from the payload's md5 — but the Spark-side
+    contract (schema, Arrow batching, partition-parallel execution)
+    is the real production shape: swap `_fake_decode` for
+    PIL/ffmpeg and nothing else changes."""
+    import hashlib
+
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def _fake_decode(batches):
+        for pdf in batches:
+            digests = [
+                hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [64 + int(h[0:2], 16) % 192 for h in digests],
+                    "height": [64 + int(h[2:4], 16) % 192 for h in digests],
+                    "n_frames": [1 + int(h[4:5], 16) % 8 for h in digests],
+                }
+            )
+
+    return d.mapInPandas(
+        _fake_decode, "doc_id BIGINT, width INT, height INT, n_frames INT"
+    )
+
+
+# ------------------------------------------------- J13. text analysis
+
+_LANG_MARKERS = {
+    "de": ("der", "die", "und", "ist"),
+    "en": ("the", "a", "is", "of"),
+    "es": ("el", "los", "y", "es"),
+    "fr": ("le", "la", "et", "est"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+def _lang_sql_scores():
+    return ",\n         ".join(
+        "len(list_filter(w, x -> list_contains({lst}, x))) AS c_{lang}".format(
+            lst="[" + ", ".join(f"'{m}'" for m in ms) + "]", lang=lang
+        )
+        for lang, ms in _LANG_MARKERS.items()
+    )
+
+
+@register(
+    "j13_lang_id",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+scores AS (
+  SELECT doc_id, lang,
+         {_lang_sql_scores()}
+  FROM docs),
+long_scores AS (
+  SELECT doc_id, lang, cand, c FROM scores
+  UNPIVOT (c FOR cand IN (c_de AS 'de', c_en AS 'en', c_es AS 'es',
+                          c_fr AS 'fr', c_zh AS 'zh')))
+SELECT doc_id, lang, CASE WHEN c = 0 THEN 'unk' ELSE cand END AS pred_lang
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY c DESC, cand) AS rn
+  FROM long_scores
+) WHERE rn = 1
+""",
+)
+def j13_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count each language's marker tokens,
+    argmax with (count desc, lang asc) tiebreak, 'unk' when nothing
+    fires.  Honest caveat: this corpus's text is the same English-ish
+    word soup for every `lang` value, so predictions ≈ 'en'/'unk' —
+    the operator (and its oracle parity) is the deliverable, the
+    fixture has no real signal to recover."""
+    d = t(spark, sf_dir, "documents")
+    w = tokens("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lang).alias("cand"),
+                        F.size(
+                            F.filter(w, lambda x: x.isin(*ms))  # noqa: B023
+                        ).alias("c"),
+                    )
+                    for lang, ms in _LANG_MARKERS.items()
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "lang", F.col("s.cand").alias("cand"), F.col("s.c").alias("c"))
+    win = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("c") == 0, "unk").otherwise(F.col("cand")).alias("pred_lang"),
+        )
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_SW_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+
+@register(
+    "j14_quality_score",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id, n_chars,
+         len(w) AS n_tokens,
+         len(list_filter(w, x -> list_contains({_SW_SQL}, x)))::DOUBLE / len(w) AS stop_ratio,
+         (n_chars - len(w) + 1)::DOUBLE / len(w) AS avg_token_len
+  FROM docs)
+SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stop_ratio,
+       round(avg_token_len, 6) AS avg_token_len,
+       round(least(n_tokens / 100.0, 1.0) * 0.5
+             + stop_ratio * 0.3
+             + least(avg_token_len / 10.0, 1.0) * 0.2, 6) AS quality
+FROM m
+""",
+)
+def j14_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation + stopword ratio
+    + mean token length, fixed linear blend.  Pure per-row arithmetic
+    (int-derived doubles, IEEE-identical across engines) — the shape
+    every corpus-filtering pipeline starts from."""
+    d = t(spark, sf_dir, "documents")
+    w = tokens("text")
+    m = d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        (
+            F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).cast("double")
+            / F.size(w)
+        ).alias("stop_ratio"),
+        (
+            (F.col("n_chars") - F.size(w) + 1).cast("double") / F.size(w)
+        ).alias("avg_token_len"),
+    )
+    quality = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+        + F.col("stop_ratio") * 0.3
+        + F.least(F.col("avg_token_len") / 10.0, F.lit(1.0)) * 0.2
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@register(
+    "j15_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+       length(text) AS n_chars_measured
+FROM documents
+""",
+)
+def j15_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish
+    lowercase-alnum regex run pass — the standard "how many tokens
+    will this cost" pre-pass, all JVM-side expressions."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias(
+            "re_tokens"
+        ),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "j16_fingerprint",
+    oracle="""
+WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, text,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+          for i in generate_series(1, len(w) - 4)] AS s5
+  FROM docs)
+SELECT doc_id,
+       CASE WHEN len(s5) = 0 THEN md5(text)
+            ELSE list_min(list_transform(s5, x -> md5(x))) END AS fingerprint
+FROM sh
+""",
+)
+def j16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum md5 over rolling 5-word shingles
+    (winnowing with window = whole doc).  Robust to small edits that
+    don't touch the minimal shingle; groupable for cheap clustering.
+    Short docs fall back to whole-text md5."""
+    d = t(spark, sf_dir, "documents")
+    s5 = shingles(tokens("text"), 5)
+    return d.select(
+        "doc_id",
+        F.when(F.size(s5) == 0, F.md5("text"))
+        .otherwise(F.array_min(F.transform(s5, lambda x: F.md5(x))))
+        .alias("fingerprint"),
+    )

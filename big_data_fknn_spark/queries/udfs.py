@@ -1,1 +1,140 @@
-"""Placeholder — filled in as coverage widens."""
+"""SURVEY.md §2.K — the Python UDF/UDAF/UDTF surface.
+
+The reference's "UDFs" are plain Scala closures inside its RDD maps;
+on Spark the equivalents are declared functions the engine can
+schedule and (for pandas variants) Arrow-vectorize.  Everything else
+in this repo avoids Python in the hot path (SURVEY.md §7.7) — these
+four queries exist to demonstrate the surface itself, each shape
+noted with its cost model.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_fknn_spark.queries import register
+from big_data_fknn_spark.tables import embeddings_d, t
+
+
+@register(
+    "k1_py_udf",
+    oracle="""
+SELECT c_custkey,
+       'b' || (floor(c_acctbal / 1000.0)::INT)::VARCHAR AS bal_band
+FROM customer
+""",
+)
+def k1_py_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the SLOW path: one Python round
+    trip per row, no codegen, opaque to Catalyst (blocks pushdown
+    through it).  Exists to demo the API; h6's CASE WHEN is the
+    right way to write this."""
+    import math
+
+    @F.udf("string")
+    def bal_band(bal: float) -> str:
+        return f"b{math.floor(bal / 1000.0)}"
+
+    c = t(spark, sf_dir, "customer")
+    return c.select("c_custkey", bal_band("c_acctbal").alias("bal_band"))
+
+
+@register(
+    "k2_pandas_udf",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2
+FROM embeddings
+""",
+)
+def k2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF: the whole partition arrives as
+    numpy-backed batches — 10-100× the row-at-a-time UDF, the right
+    escape hatch when an expression genuinely can't be built from
+    pyspark.sql.functions.  (This one can — functions/distance.py
+    l2_norm — which is what the engine uses elsewhere.)"""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def l2(vecs: pd.Series) -> pd.Series:
+        return vecs.map(lambda v: float(np.sqrt(np.dot(v, v))))
+
+    e = embeddings_d(spark, sf_dir)
+    return e.select("vec_id", F.round(l2("emb"), 6).alias("l2"))
+
+
+@register(
+    "k3_udaf",
+    oracle="""
+WITH e AS (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings)
+SELECT label, round(avg(n), 6) AS mean_norm, count(*) AS n_vecs
+FROM e GROUP BY label
+""",
+)
+def k3_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): each group's column
+    arrives as one pandas Series.  NOTE the scale trap: a grouped-agg
+    UDF materializes the whole group in one worker — fine for 10
+    labels, wrong for high-cardinality keys (use applyInPandas with
+    pre-aggregation, or a built-in)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def mean_norm(norms: pd.Series) -> float:
+        return float(np.mean(norms))
+
+    # grouped-agg pandas UDFs can't share an agg with non-pandas
+    # aggregates ([INVALID_PANDAS_UDF_PLACEMENT]) — count is one too
+    @F.pandas_udf("long")
+    def n_rows(norms: pd.Series) -> int:
+        return len(norms)
+
+    e = embeddings_d(spark, sf_dir)
+    norms = e.select(
+        "label",
+        F.sqrt(
+            F.aggregate(
+                F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("n"),
+    )
+    return norms.groupBy("label").agg(
+        F.round(mean_norm("n"), 6).alias("mean_norm"),
+        n_rows("n").alias("n_vecs"),
+    )
+
+
+@register(
+    "k4_udtf",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS pos FROM docs)
+SELECT doc_id, pos, w[pos] || ' ' || w[pos + 1] AS bigram FROM idx
+""",
+)
+def k4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row → many output rows, used
+    LATERAL in SQL — here a word-bigram emitter over documents.
+    Deterministic string splitting, so unlike most UDTF demos this
+    one carries a full value oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, bigram string")
+    class BigramEmitter:
+        def eval(self, doc_id: int, text: str):
+            w = text.split(" ")
+            for i in range(len(w) - 1):
+                yield doc_id, i + 1, f"{w[i]} {w[i + 1]}"
+
+    fn = f"bigrams_{uuid.uuid4().hex[:8]}"
+    view = f"docs_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(fn, BigramEmitter)
+    t(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT b.doc_id, b.pos, b.bigram FROM {view} d, LATERAL {fn}(d.doc_id, d.text) b"
+    )
