@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from big_data_fknn_spark.operators.knn import knn_join
+from big_data_fknn_spark.operators.knn import knn_join_blas
 
 EPS = 1e-12  # guards w = 1/d² against duplicate points (d = 0)
 
@@ -43,7 +43,7 @@ def keller_memberships(train: DataFrame, k: int = 5) -> DataFrame:
 
     ``train`` needs columns (vec_id, emb: array<double>, label).
     """
-    knn = knn_join(
+    knn = knn_join_blas(
         train,
         train,
         k=k,
@@ -87,7 +87,7 @@ def fknn_classify(
     conf = the winning class's normalized fuzzy membership, rounded
     to 6 decimals for cross-engine hash stability (SURVEY.md §7.1).
     """
-    knn = knn_join(test, train, k=k, keep_q_cols=("label",))
+    knn = knn_join_blas(test, train, k=k, keep_q_cols=("label",))
     knn = knn.withColumn(
         "w", F.lit(1.0) / F.greatest(F.col("dist") * F.col("dist"), F.lit(EPS))
     )

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_fknn_spark.functions.distance import cosine_sim
+from big_data_fknn_spark.functions.distance import cosine_sim, dot, l2_norm
 from big_data_fknn_spark.functions.numeric import DEC
 from big_data_fknn_spark.functions.text import md5_bit, shingles, tokens
 from big_data_fknn_spark.operators.knn import knn_join
@@ -51,8 +51,11 @@ sh3 AS (
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", shingles(tokens("text"), n).alias("sh"))
+    # Bind the token array to a column FIRST: expressions referencing
+    # an unbound split() re-evaluate it per element_at access (no CSE
+    # through lambda captures) — measured 12× slower at sf0.1.
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    return d.select("doc_id", shingles(F.col("w"), n).alias("sh"))
 
 
 # ------------------------------------------------------------- J7. exact
@@ -155,7 +158,11 @@ def j8_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_NH // _BAND_R)
         ]
     )
-    bands = mh.select("doc_id", F.posexplode(band_arr).alias("band", "key"))
+    # cache: the self-join below scans bands TWICE — uncached, each
+    # side recomputes the whole shingle→minhash pipeline (at 100 TB
+    # this is a materialized signature table, written once, joined
+    # against itself)
+    bands = mh.select("doc_id", F.posexplode(band_arr).alias("band", "key")).cache()
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -199,17 +206,34 @@ FROM pairs WHERE jac >= {_TAU}
 """,
 )
 def j8b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs 3-gram Jaccard ≥ 0.5 — the ground truth j8's
-    LSH approximates.  O(n²): the small-sf exactness baseline only;
-    at 100 TB always run j8 instead (identical output contract)."""
-    sh = _docs_with_shingles(spark, sf_dir)
-    a = sh.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i"))
-    b = sh.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j"))
-    jac = F.size(F.array_intersect("sh_i", "sh_j")) / F.size(
-        F.array_union("sh_i", "sh_j")
+    """Exact 3-gram Jaccard ≥ 0.5 pairs — the ground truth j8's LSH
+    approximates — via the inverted-index formulation: explode
+    (doc, shingle), equi-join on the shingle, count shared shingles
+    per pair, then jac = |∩| / (|A| + |B| − |∩|).
+
+    A qualifying pair shares ≥ 1 shingle, so this is EXACTLY the
+    naive all-pairs result, but work scales with Σ_shingle df²
+    (shingle collision mass, ≈ duplicate density) instead of
+    |docs|² — the all-pairs cross join stops completing at sf0.1,
+    this runs in ~1 s.  The same shape shards cleanly at 100 TB: the
+    join shuffles on the shingle hash."""
+    sh = _docs_with_shingles(spark, sf_dir).cache()
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = tok.select(F.col("doc_id").alias("doc_i"), "s")
+    b = tok.select(F.col("doc_id").alias("doc_j"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .where(F.col("doc_i") < F.col("doc_j"))
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    si = sizes.select(F.col("doc_id").alias("doc_i"), F.col("n_sh").alias("n_i"))
+    sj = sizes.select(F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j"))
+    jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
     return (
-        a.join(F.broadcast(b), F.col("doc_i") < F.col("doc_j"))
+        inter.join(F.broadcast(si), "doc_i")
+        .join(F.broadcast(sj), "doc_j")
         .withColumn("jac", jac)
         .where(F.col("jac") >= _TAU)
         .select("doc_i", "doc_j", F.round("jac", 6).alias("jaccard"))
@@ -281,17 +305,47 @@ SELECT id_i, id_j, round(cos, 6) AS cos_sim FROM p WHERE cos >= 0.4
 )
 def j8d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, τ=0.4 — this
-    corpus's cosines top out at ~0.51).  Scale path: j9b's IVF
-    bucketing or random-hyperplane LSH prunes the pair space first;
-    the exact pass then verifies candidates only."""
+    corpus's cosines top out at ~0.51), as a block-matrix similarity
+    join: one side is collected + broadcast as a normalized numpy
+    matrix, candidate Arrow batches matmul against it and emit only
+    pairs over threshold.  ~25× the per-pair expression cross join.
+
+    Scale path: the broadcast side chunks like knn_join_blas at
+    ~100k rows; beyond that, an LSH/IVF pre-filter (j9b) prunes the
+    pair space and this kernel verifies candidates only.  BLAS cosine
+    differs from the oracle's sequential fold by ~1 ulp — output
+    rounds to 6dp, and τ sits far from any data value."""
+    import numpy as np
+    import pandas as pd
+
     e = embeddings_d(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("id_i"), F.col("emb").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_j"), F.col("emb").alias("vb"))
-    return (
-        a.join(F.broadcast(b), F.col("id_i") < F.col("id_j"))
-        .withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
-        .where(F.col("cos") >= 0.4)
-        .select("id_i", "id_j", F.round("cos", 6).alias("cos_sim"))
+    rows = e.select("vec_id", "emb").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, Mn))
+
+    def kernel(batches):
+        ids_all, Qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack(pdf["emb"].to_numpy())
+            C = C / np.linalg.norm(C, axis=1, keepdims=True)
+            ids_c = pdf["vec_id"].to_numpy(dtype=np.int64)
+            S = C @ Qn.T  # (batch, all)
+            keep = (S >= 0.4) & (ids_c[:, None] < ids_all[None, :])
+            bi, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_i": ids_c[bi],
+                    "id_j": ids_all[bj],
+                    "cos_sim": np.round(S[bi, bj], 6),
+                }
+            )
+
+    return e.select("vec_id", "emb").mapInPandas(
+        kernel, "id_i long, id_j long, cos_sim double"
     )
 
 
@@ -325,20 +379,28 @@ def j9_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: broadcast the probe
     set, stream all candidates past it, WindowGroupLimit keeps k per
     probe below the shuffle (same physical shape as the kNN core)."""
-    e = embeddings_d(spark, sf_dir)
-    probes = e.where(F.col("vec_id") % _PROBE_MOD == 0)
-    nn = knn_join(
-        probes,
-        e,
-        _TOPK,
-        metric=lambda a, b: -cosine_sim(a, b),  # max cosine == min negated
-        exclude_self=True,
+    e = embeddings_d(spark, sf_dir).select(
+        "vec_id", "emb", l2_norm(F.col("emb")).alias("nrm")
     )
-    return nn.select(
-        "q_id",
-        "n_id",
-        "rn",
-        F.round(-F.col("dist"), 6).alias("cos_sim"),
+    probes = e.where(F.col("vec_id") % _PROBE_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("emb").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    # norms once per row; cos = dot/(qn·cn) is the oracle formula
+    pairs = cand.join(F.broadcast(probes), F.col("q_id") != F.col("n_id"))
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOPK)
+        .select("q_id", "n_id", "rn", F.round("cos", 6).alias("cos_sim"))
     )
 
 
@@ -627,8 +689,8 @@ def j13_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     word soup for every `lang` value, so predictions ≈ 'en'/'unk' —
     the operator (and its oracle parity) is the deliverable, the
     fixture has no real signal to recover."""
-    d = t(spark, sf_dir, "documents")
-    w = tokens("text")
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", tokens("text").alias("w"))
+    w = F.col("w")
     scored = d.select(
         "doc_id",
         "lang",
@@ -685,8 +747,10 @@ def j14_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     + mean token length, fixed linear blend.  Pure per-row arithmetic
     (int-derived doubles, IEEE-identical across engines) — the shape
     every corpus-filtering pipeline starts from."""
-    d = t(spark, sf_dir, "documents")
-    w = tokens("text")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", tokens("text").alias("w")
+    )
+    w = F.col("w")
     m = d.select(
         "doc_id",
         F.size(w).alias("n_tokens"),
@@ -757,8 +821,10 @@ def j16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (winnowing with window = whole doc).  Robust to small edits that
     don't touch the minimal shingle; groupable for cheap clustering.
     Short docs fall back to whole-text md5."""
-    d = t(spark, sf_dir, "documents")
-    s5 = shingles(tokens("text"), 5)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens("text").alias("w")
+    )
+    s5 = shingles(F.col("w"), 5)
     return d.select(
         "doc_id",
         F.when(F.size(s5) == 0, F.md5("text"))

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from big_data_fknn_spark.functions.distance import cosine_sim, euclidean, manhattan
 from big_data_fknn_spark.operators.fknn import fknn_pipeline, keller_memberships
-from big_data_fknn_spark.operators.knn import knn_join
+from big_data_fknn_spark.operators.knn import knn_join_blas
 from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.tables import embeddings_d, train_test_split
 
@@ -90,7 +90,9 @@ def j1_knn_crisp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §7.3 — never engine mode()).
     """
     train, test = train_test_split(spark, sf_dir)
-    knn = knn_join(test, train, k=K, keep_q_cols=("label",), keep_c_cols=("label",))
+    knn = knn_join_blas(
+        test, train, k=K, keep_q_cols=("label",), keep_c_cols=("label",)
+    )
     votes = knn.groupBy(
         F.col("q_id").alias("vec_id"),
         F.col("q_label").alias("label"),

@@ -36,15 +36,25 @@ def optimized(spark, key: str) -> str:
     return str(DEFS[key].fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan())
 
 
-def test_knn_broadcasts_queries_and_limits_below_shuffle(spark):
+def test_knn_uses_arrow_blas_kernel(spark):
+    # j1/j3 take the fast path: broadcast query matrix + mapInPandas
+    # BLAS kernel emitting batch-local top-k (operators/knn.py).
     p = plan(spark, "j1_knn_crisp")
+    assert "MapInPandas" in p, "kNN must run the Arrow BLAS kernel"
+    assert "BroadcastNestedLoopJoin" not in p, "no pair materialization"
+
+
+def test_knn_expression_path_broadcasts_and_limits_below_shuffle(spark):
+    # the declarative path (used by j9 and the c1/e1 demos) must
+    # broadcast the query side and prune top-k below the shuffle
+    p = plan(spark, "j9_sim_search")
     assert "BroadcastNestedLoopJoin" in p, "query side must broadcast"
     assert "WindowGroupLimit" in p, "top-k must prune below the shuffle"
 
 
-def test_fknn_stage2_keeps_topk_pushdown(spark):
+def test_fknn_stage2_uses_kernel_twice(spark):
     p = plan(spark, "j3_fknn_stage2")
-    assert "WindowGroupLimit" in p
+    assert p.count("MapInPandas") >= 2, "both FkNN stages take the kernel"
 
 
 def test_dim_join_broadcasts(spark):
