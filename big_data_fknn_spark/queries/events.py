@@ -17,72 +17,13 @@ expression expands, so they inherit partial+final aggregation.
 
 from __future__ import annotations
 
-import os
-import tempfile
-import uuid
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from big_data_fknn_spark.functions.numeric import dsum
 from big_data_fknn_spark.queries import register
+from big_data_fknn_spark.streaming import events_stream, run_to_memory
 from big_data_fknn_spark.tables import t
-
-# Raw parquet schema of events.parquet with ts read as long nanos
-# (Spark 4 rejects TIMESTAMP(NANOS); see tables.events_t).
-_EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream with a proper timestamp.
-
-    Spark's file stream source wants a *directory* to monitor, so the
-    single parquet file is exposed through a throwaway symlink dir —
-    in production this would be the landing directory new files
-    arrive in.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    raw = spark.readStream.schema(_EVENTS_RAW).parquet(src_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-
-def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
-    """Drain a streaming DataFrame into a memory sink, return the table.
-
-    `availableNow` processes the full replay then stops — the batch
-    bench/correctness harnesses need a terminating query.  Each run
-    gets a unique sink name + throwaway checkpoint.
-    """
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
-
 
 # --------------------------------------------------------------- A6. source
 
@@ -94,10 +35,10 @@ def a6_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink.  Rows-only (micro-batch boundaries are engine
     semantics, but the row SET equals the batch read — asserted in
     tests/test_streaming.py)."""
-    s = _events_stream(spark, sf_dir).where(F.col("value") > 0).select(
+    s = events_stream(spark, sf_dir).where(F.col("value") > 0).select(
         "event_id", "user_id", "event_type"
     )
-    return _run_to_memory(s, "append")
+    return run_to_memory(s, "append")
 
 
 # ------------------------------------------------- I. event-time windowing
@@ -203,14 +144,14 @@ def i4_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     would hold them until a later batch advances the watermark — in
     production the stream keeps running and windows finalize
     continuously)."""
-    s = _events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("bucket"), "n")
     )
-    return _run_to_memory(agg, "complete")
+    return run_to_memory(agg, "complete")
 
 
 @register("i5_stream_dedup", oracle=None)
@@ -219,11 +160,11 @@ def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark horizon (state is dropped once event-time passes
     event_ts + delay — bounded memory at 100 TB/day, unlike a global
     distinct)."""
-    s = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     deduped = s.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type"
     )
-    return _run_to_memory(deduped, "append")
+    return run_to_memory(deduped, "append")
 
 
 @register("i6_stateful", oracle=None)
@@ -249,8 +190,8 @@ def i6_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             [{"user_id": key[0], "n_events": n, "total_value": total, "last_us": last_us}]
         )
 
-    s = _events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir)
     tracked = s.groupBy("user_id").applyInPandasWithState(
         track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    return _run_to_memory(tracked, "update")
+    return run_to_memory(tracked, "update")
