@@ -49,6 +49,7 @@ _MODULES = (
     "llm",
     "events",
     "udfs",
+    "analytics",
 )
 
 

@@ -1,0 +1,240 @@
+"""Composite analytics — multi-operator end-to-end queries.
+
+Single-operator coverage (SURVEY.md §2) proves each primitive; these
+queries prove the primitives COMPOSE the way a warehouse user writes
+them: TPC-H-shaped pricing/market reports, exact percentiles, a
+salt-and-merge skew-mitigation pattern, and an event funnel.  Keys
+are x1..x6 (extensions beyond the survey inventory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_fknn_spark.functions.numeric import DEC, dsum
+from big_data_fknn_spark.queries import register
+from big_data_fknn_spark.tables import t
+
+
+@register(
+    "x1_tpch_q3",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def x1_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-way join, selective
+    filters on both fact paths, grouped revenue, global top-10.
+    Catalyst pushes both date filters into the scans and the LIMIT
+    becomes TakeOrderedAndProject — no full sort.  Revenue is an
+    exact decimal sum, so the top-10 cut is cross-engine stable."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "x2_tpch_q5",
+    oracle="""
+SELECT n.n_name,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+)
+def x2_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): six-table join with a
+    same-nation constraint.  The nation/region dims broadcast; the
+    customer⋈orders⋈lineitem⋈supplier chain shuffles on join keys
+    and AQE reorders/sizes the exchanges."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "x3_percentile_exact",
+    oracle="""
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+       round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+       round(quantile_cont(c_acctbal, 0.75), 6) AS p75
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def x3_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the
+    same linear-interpolation definition).  Scale note: exact
+    percentile needs the group's values together — for extreme
+    cardinality switch to x4-style pre-aggregation or the
+    approx_percentile sketch (d3's tradeoff)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+@register(
+    "x4_salted_agg",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def x4_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: 5 event types over 100k+ rows is a
+    pathologically low-cardinality (hot-key) aggregation — one
+    reducer per type would own 20% of the table.  Salt the key with
+    a deterministic shard (event_id % 16), partially aggregate per
+    (key, salt), then merge the 16 partials per key.  Result is
+    IDENTICAL to the plain GROUP BY (the oracle); only the shuffle
+    key distribution changes.  Decimal sums make the two-level
+    re-aggregation exact."""
+    e = t(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("salt", F.col("event_id") % 16)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast(DEC)).alias("pv"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 6).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "x5_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'view') AS t_view,
+         min(ts) FILTER (event_type = 'click') AS t_click,
+         min(ts) FILTER (event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) FILTER (t_view IS NOT NULL) AS n_view,
+       count(*) FILTER (t_click > t_view) AS n_view_click,
+       count(*) FILTER (t_purchase > t_click AND t_click > t_view) AS n_full_funnel
+FROM firsts
+""",
+)
+def x5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel (view → click → purchase, strictly ordered first
+    occurrences): conditional min per user, then staged counts — one
+    shuffle on user_id, no self-joins.  NULL comparisons drop users
+    missing a stage in both engines."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "x6_monthly_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY month), 6) AS delta
+FROM monthly
+""",
+)
+def x6_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series rollup + month-over-month delta: calendar
+    bucketing, exact decimal revenue, unpartitioned lag over the
+    (tiny) monthly series.  The global window is safe because the
+    aggregate has already reduced to ~80 rows — the anti-pattern is
+    a global window over the FACT table."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 6).alias("delta"),
+    )
