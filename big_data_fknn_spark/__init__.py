@@ -13,13 +13,17 @@ Layout
 ------
 - ``session``    : SparkSession factory tuned for local[N] testing.
 - ``tables``     : parquet table loaders for the driver's testdata.
-- ``functions``  : column-expression builders (distances, text).
-- ``operators``  : reusable DataFrame→DataFrame operators (knn_join,
-                   fuzzy memberships, dedup, similarity search, ...).
+- ``sources``    : extra input connectors (KEEL — the reference's
+                   native dataset format).
+- ``functions``  : column-expression builders (distances, text
+                   hashing/shingles, order-independent decimal sums).
+- ``operators``  : reusable DataFrame→DataFrame operators (knn_join
+                   declarative + BLAS kernel, fuzzy memberships).
 - ``queries``    : the registry mapping SURVEY.md §2 query keys to
                    (spark_fn, duckdb_oracle_sql) pairs — the driver
                    contract surface.
-- ``streaming``  : Structured Streaming demos (rows-only checks).
+- ``streaming``  : file-source replay + memory-sink drain plumbing
+                   under the streaming queries.
 """
 
 __version__ = "0.1.0"

@@ -238,3 +238,71 @@ def x6_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") - F.lag("revenue").over(w), 6).alias("delta"),
     )
+
+
+@register(
+    "a7_keel_roundtrip",
+    oracle="""
+SELECT label,
+       count(*) AS n,
+       round(sum(CAST(embedding[1]::DOUBLE AS DECIMAL(38,10))), 6)::DOUBLE AS f0_sum
+FROM embeddings GROUP BY label
+""",
+)
+def a7_keel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEL-format round trip — the reference's native input format
+    ([R utils/keel/KeelParser.scala], sources/keel.py here): export
+    embeddings as @attribute header + CSV data, re-read through the
+    KEEL reader (driver parses the header, executors scan the data
+    with the declared schema), and aggregate.  %.17g rendering makes
+    the double round trip bit-exact, so the oracle can recompute
+    straight from the parquet table."""
+    import tempfile
+
+    from big_data_fknn_spark.sources import read_keel, write_keel
+    from big_data_fknn_spark.tables import embeddings_d
+
+    emb = embeddings_d(spark, sf_dir).select(
+        F.col("emb").alias("features"), F.col("label").cast("double").alias("label")
+    )
+    d = tempfile.mkdtemp(prefix="keel_")
+    write_keel(emb, f"{d}/data.header", f"{d}/data.dat", relation="embeddings")
+    df, ks = read_keel(spark, f"{d}/data.header", f"{d}/data.dat")
+    assert ks.kinds["class"] == "nominal" and len(ks.feature_names) == 64
+    return df.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.element_at("features", 1).cast(DEC)), 6
+        ).cast("double").alias("f0_sum"),
+    )
+
+
+@register("j8e_minhash_mllib", oracle=None)
+def j8e_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via MLlib's MinHashLSH — the library
+    counterpart of the hand-built j8 pipeline (BASELINE.json's north
+    star names MLlib as the natural surface).  3-word shingle sets
+    (NOT unigrams: this corpus's unigram sets are near-identical
+    everywhere, which floods LSH buckets and degenerates the join to
+    all-pairs — observed as a hang at sf0.1) become sparse indicator
+    vectors via HashingTF; approxSimilarityJoin prunes by banded
+    minhash before computing exact Jaccard distance.  Rows-only:
+    MLlib's hash seeds are engine-specific (SURVEY.md §7.6) — j8 is
+    the oracle-checked equivalent."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from big_data_fknn_spark.queries.llm import _docs_with_shingles
+
+    d = _docs_with_shingles(spark, sf_dir).select(
+        "doc_id", F.col("sh").alias("toks")
+    )
+    tf = HashingTF(inputCol="toks", outputCol="v", numFeatures=1 << 16)
+    vecs = tf.transform(d).where(F.size("toks") > 0)
+    lsh = MinHashLSH(inputCol="v", outputCol="sig", numHashTables=8, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
+    return pairs.select(
+        F.col("datasetA.doc_id").alias("doc_i"),
+        F.col("datasetB.doc_id").alias("doc_j"),
+        F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    ).where(F.col("doc_i") < F.col("doc_j"))
