@@ -306,3 +306,75 @@ def j8e_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("datasetB.doc_id").alias("doc_j"),
         F.round("jaccard_dist", 6).alias("jaccard_dist"),
     ).where(F.col("doc_i") < F.col("doc_j"))
+
+
+@register(
+    "x7_subqueries",
+    oracle="""
+SELECT c.c_custkey, round(c.c_acctbal, 6) AS bal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 2 * (
+                    SELECT avg(o_totalprice) FROM orders))
+""",
+)
+def x7_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated subqueries via spark.sql: Catalyst folds
+    the scalar averages into one-row broadcast joins and decorrelates
+    the EXISTS into a left-semi join (RewriteCorrelatedScalarSubquery
+    / RewritePredicateSubquery) — none of the per-row re-execution a
+    naive reading implies.  avg() here is only a FILTER bound, not an
+    output, so double-avg ulp drift cannot flip a row: the nearest
+    c_acctbal is ~0.01 away."""
+    import uuid
+
+    cv = f"customer_{uuid.uuid4().hex[:8]}"
+    ov = f"orders_{uuid.uuid4().hex[:8]}"
+    t(spark, sf_dir, "customer").createOrReplaceTempView(cv)
+    t(spark, sf_dir, "orders").createOrReplaceTempView(ov)
+    return spark.sql(f"""
+        SELECT c.c_custkey, round(c.c_acctbal, 6) AS bal
+        FROM {cv} c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM {cv})
+          AND EXISTS (SELECT 1 FROM {ov} o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 2 * (
+                            SELECT avg(o_totalprice) FROM {ov}))
+    """)
+
+
+@register(
+    "x8_cube_grouping",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def x8_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping() disambiguation: all four grouping-set
+    combinations in one pass (Catalyst expands to a single Expand +
+    hash aggregate, not four scans).  coalesce folds the NULL
+    subtotal markers into printable labels; gid distinguishes a real
+    NULL key from a subtotal row."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")
+            ).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+        )
+    )
