@@ -168,6 +168,12 @@ def knn_join_blas(
                 if metric == "cosine_neg":
                     C = C / np.linalg.norm(C, axis=1, keepdims=True)
                     D = -(Q @ C.T)  # smaller = more similar
+                elif metric == "manhattan":
+                    # no matmul identity for L1; accumulate per dim to
+                    # keep peak memory at one (|Q|,|batch|) plane
+                    D = np.zeros((m, len(C)))
+                    for dcol in range(Q.shape[1]):
+                        D += np.abs(Q[:, dcol, None] - C[None, :, dcol])
                 else:
                     d2 = qsq[:, None] + (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T)
                     D = np.sqrt(np.maximum(d2, 0.0))

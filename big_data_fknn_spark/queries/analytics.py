@@ -213,7 +213,7 @@ def x5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x6_monthly_growth",
     oracle="""
 WITH monthly AS (
-  SELECT date_trunc('month', o_orderdate) AS month,
+  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
          round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
   FROM orders GROUP BY 1
 )
@@ -350,7 +350,7 @@ def x7_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
-       grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid,
+       (grouping(o_orderstatus) + 2 * grouping(o_orderpriority))::BIGINT AS gid,
        count(*) AS n
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -366,9 +366,9 @@ def x8_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            (
-                F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")
-            ).alias("gid"),
+            (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority"))
+            .cast("bigint")
+            .alias("gid"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(

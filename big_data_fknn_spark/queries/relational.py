@@ -57,7 +57,7 @@ _A2_ROWS = [
     (5, "epsilon", 7.0),
 ]
 _A23_ORACLE = """
-SELECT * FROM (VALUES
+SELECT id, name, score::DOUBLE AS score FROM (VALUES
   (1, 'alpha', 3.5), (2, 'beta', -1.25), (3, 'gamma', 0.0),
   (4, 'delta', 99.875), (5, 'epsilon', 7.0)
 ) AS v(id, name, score)
@@ -675,7 +675,7 @@ def h3_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "h4_datetime",
     oracle="""
-SELECT date_trunc('day', ts) AS day, extract(hour FROM ts)::INT AS hr,
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, extract(hour FROM ts)::INT AS hr,
        count(*) AS n,
        date_diff('day', DATE '2024-01-01', ts::DATE)::INT AS days_in
 FROM events
