@@ -1,0 +1,74 @@
+"""Helpers over ``df._jdf.queryExecution()`` (the stable-enough
+private surface PySpark itself uses for ``df.explain``)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_INTERESTING = (
+    "FileScan",
+    "PushedFilters",
+    "Exchange",
+    "HashAggregate",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastHashJoin",
+    "BroadcastNestedLoopJoin",
+    "WindowGroupLimit",
+    "Window",
+    "TakeOrderedAndProject",
+    "MapInPandas",
+    "Expand",
+)
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The physical plan as a string (post-planning, pre-AQE-finish).
+
+    Scan metadata (PushedFilters/ReadSchema) is truncated to 100
+    chars by default, which silently breaks any parsing of it —
+    widen it for the render, then restore."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "100000")
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, old)
+
+
+def has_operator(df: DataFrame, name: str) -> bool:
+    return name in executed_plan(df)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Every PushedFilters list in the plan's scans, flattened."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", executed_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def read_schema_width(df: DataFrame) -> list[int]:
+    """Column count of each scan's ReadSchema — the column-pruning
+    check (a scan reading 16 columns for a 3-column projection is a
+    plan bug, not a correctness bug)."""
+    widths = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", executed_plan(df)):
+        body = m.group(1)
+        widths.append(0 if not body.strip() else body.count(",") + 1)
+    return widths
+
+
+def explain_summary(df: DataFrame) -> str:
+    """One line per interesting operator — the 100 TB code-review view."""
+    lines = []
+    for raw in executed_plan(df).splitlines():
+        if any(k in raw for k in _INTERESTING):
+            lines.append(raw.strip()[:160])
+    return "\n".join(lines)

@@ -15,6 +15,12 @@ from __future__ import annotations
 
 import pytest
 
+from big_data_fknn_spark.plans import (
+    executed_plan,
+    has_operator,
+    pushed_filters,
+    read_schema_width,
+)
 from big_data_fknn_spark.queries import load_all
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -22,80 +28,81 @@ SF_DIR = "/root/testdata/sf0.001"
 DEFS = load_all()
 
 
-def plan(spark, key: str) -> str:
-    return (
-        DEFS[key]
-        .fn(spark, SF_DIR)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-
-
-def optimized(spark, key: str) -> str:
-    return str(DEFS[key].fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan())
+def q(spark, key: str):
+    return DEFS[key].fn(spark, SF_DIR)
 
 
 def test_knn_uses_arrow_blas_kernel(spark):
     # j1/j3 take the fast path: broadcast query matrix + mapInPandas
     # BLAS kernel emitting batch-local top-k (operators/knn.py).
-    p = plan(spark, "j1_knn_crisp")
-    assert "MapInPandas" in p, "kNN must run the Arrow BLAS kernel"
-    assert "BroadcastNestedLoopJoin" not in p, "no pair materialization"
+    df = q(spark, "j1_knn_crisp")
+    assert has_operator(df, "MapInPandas"), "kNN must run the Arrow BLAS kernel"
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), "no pair materialization"
 
 
 def test_knn_expression_path_broadcasts_and_limits_below_shuffle(spark):
     # the declarative path (used by j9 and the c1/e1 demos) must
     # broadcast the query side and prune top-k below the shuffle
-    p = plan(spark, "j9_sim_search")
-    assert "BroadcastNestedLoopJoin" in p, "query side must broadcast"
-    assert "WindowGroupLimit" in p, "top-k must prune below the shuffle"
+    df = q(spark, "j9_sim_search")
+    assert has_operator(df, "BroadcastNestedLoopJoin"), "query side must broadcast"
+    assert has_operator(df, "WindowGroupLimit"), "top-k must prune below the shuffle"
 
 
 def test_fknn_stage2_uses_kernel_twice(spark):
-    p = plan(spark, "j3_fknn_stage2")
-    assert p.count("MapInPandas") >= 2, "both FkNN stages take the kernel"
+    assert executed_plan(q(spark, "j3_fknn_stage2")).count("MapInPandas") >= 2
 
 
 def test_dim_join_broadcasts(spark):
-    p = plan(spark, "c4_broadcast_hash")
-    assert "BroadcastHashJoin" in p, "filtered dim must broadcast"
-    assert "ShuffleExchange" not in p.replace("AQEShuffleRead", ""), (
-        "fact side must not shuffle for a broadcast join"
-    )
+    df = q(spark, "c4_broadcast_hash")
+    assert has_operator(df, "BroadcastHashJoin"), "filtered dim must broadcast"
+    assert "ShuffleExchange" not in executed_plan(df).replace(
+        "AQEShuffleRead", ""
+    ), "fact side must not shuffle for a broadcast join"
 
 
 def test_scan_pushes_filter_and_prunes_columns(spark):
-    p = plan(spark, "b2_filter_pred")
-    assert "PushedFilters: [" in p
-    # column pruning: the lineitem scan must not read all 16 columns
-    rs = p.split("ReadSchema:", 1)[1].splitlines()[0]
-    assert rs.count(",") < 8, f"scan reads too many columns: {rs}"
+    df = q(spark, "b2_filter_pred")
+    assert pushed_filters(df), "predicate must reach the parquet scan"
+    assert max(read_schema_width(df)) < 8, (
+        f"lineitem scan reads too many columns: {read_schema_width(df)}"
+    )
+
+
+def test_tpch_q3_pushes_both_date_filters(spark):
+    pf = " ".join(pushed_filters(q(spark, "x1_tpch_q3")))
+    assert "o_orderdate" in pf and "l_shipdate" in pf
+    assert has_operator(q(spark, "x1_tpch_q3"), "TakeOrderedAndProject"), (
+        "ORDER BY + LIMIT must not global-sort"
+    )
 
 
 def test_hashagg_has_partial_stage(spark):
-    p = plan(spark, "d1_hashagg")
-    assert "partial_" in p, "aggregation must map-side combine before the shuffle"
+    assert "partial_" in executed_plan(q(spark, "d1_hashagg")), (
+        "aggregation must map-side combine before the shuffle"
+    )
+
+
+def test_cube_is_single_expand_pass(spark):
+    p = executed_plan(q(spark, "x8_cube_grouping"))
+    assert p.count("Expand") >= 1 and p.count("FileScan") == 1, (
+        "CUBE must expand grouping sets in one scan, not four"
+    )
 
 
 @pytest.mark.parametrize("key", ["e1_topk_window", "j7_dedup_exact"])
 def test_rank_limit_pushdown(spark, key):
-    assert "WindowGroupLimit" in plan(spark, key)
+    assert has_operator(q(spark, key), "WindowGroupLimit")
 
 
 def test_minhash_join_is_equi_not_cross(spark):
-    p = plan(spark, "j8_dedup_near")
-    assert "BroadcastNestedLoopJoin" not in p.split("Exchange")[0] or True
-    # candidate generation must hash-join on the band key
+    p = executed_plan(q(spark, "j8_dedup_near"))
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     ), "LSH candidates must come from an equi-join on (band, key)"
 
 
 def test_ivf_search_joins_on_cluster_id(spark):
-    p = plan(spark, "j9b_sim_search_ivf")
-    assert "BroadcastNestedLoopJoin" not in p.split("WindowGroupLimit")[-1] or True
-    # the candidate join is an equi-join on label, not a cross join
+    p = executed_plan(q(spark, "j9b_sim_search_ivf"))
     assert p.count("BroadcastNestedLoopJoin") <= 1, (
         "IVF must not brute-force the candidate set"
     )
