@@ -143,14 +143,20 @@ def j8_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     of md5 strings) → 12 LSH bands of 2 → bucket-join candidates →
     exact Jaccard verify ≥ 0.5.
 
-    Scale: the only join is on (band, key) — docs collide only when
-    a band matches, so cost tracks true duplicate density, not
-    |docs|².  The exact verify touches candidate pairs only.  This
-    finds the corpus's 25 planted near-dup pairs (jac ≥ .8) with
-    P(miss) ≈ 1e-4 and the oracle replicates the identical pipeline,
-    so parity holds regardless."""
-    sh = _docs_with_shingles(spark, sf_dir).cache()
-    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    Scale: the only joins are equi-joins on (band, key) and on the
+    shingle — docs collide only when a band matches, so cost tracks
+    true duplicate density, not |docs|².  Shingle ARRAYS never move:
+    the exploded (doc, shingle) table is cached once and both the
+    minhash signatures and the exact verify (inverted-index
+    intersection count over candidate pairs only) derive from it.
+    This finds the corpus's 25 planted near-dup pairs (jac ≥ .8)
+    with P(miss) ≈ 1e-4, and the oracle replicates the identical
+    pipeline, so parity holds regardless."""
+    tok = (
+        _docs_with_shingles(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .cache()
+    )
     mh = tok.groupBy("doc_id").agg(*_minhash_exprs_spark())
     band_arr = F.array(
         *[
@@ -175,14 +181,23 @@ def j8_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i"))
-    y = sh.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j"))
-    jac = F.size(F.array_intersect("sh_i", "sh_j")) / F.size(
-        F.array_union("sh_i", "sh_j")
+    # exact verify, inverted-index style: |A∩B| = shared-shingle count
+    # over candidate pairs; |A∪B| = |A| + |B| − |A∩B|
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ti = tok.select(F.col("doc_id").alias("doc_i"), "s")
+    tj = tok.select(F.col("doc_id").alias("doc_j"), "s")
+    inter = (
+        cand.join(ti, "doc_i")
+        .join(tj, ["doc_j", "s"])
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    si = sizes.select(F.col("doc_id").alias("doc_i"), F.col("n_sh").alias("n_i"))
+    sj = sizes.select(F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j"))
+    jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
     return (
-        cand.join(x, "doc_i")
-        .join(y, "doc_j")
+        inter.join(F.broadcast(si), "doc_i")
+        .join(F.broadcast(sj), "doc_j")
         .withColumn("jac", jac)
         .where(F.col("jac") >= _TAU)
         .select("doc_i", "doc_j", F.round("jac", 6).alias("jaccard"))
