@@ -1,0 +1,55 @@
+"""Render PLANS.md: the headline queries' physical-plan summaries.
+
+    python -m big_data_fknn_spark.plans > PLANS.md
+
+Reviewable evidence that the plans have the shape the scale story
+claims (broadcasts, rank-limit pushdown, partial aggregation, pushed
+filters, pruned scans) — regenerate after any plan-affecting change.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from big_data_fknn_spark.plans import explain_summary  # noqa: E402
+from big_data_fknn_spark.queries import load_all  # noqa: E402
+from big_data_fknn_spark.session import get_spark  # noqa: E402
+
+KEYS = (
+    "d1_hashagg",
+    "c5_sort_merge",
+    "c4_broadcast_hash",
+    "e1_topk_window",
+    "i1_tumbling",
+    "j1_knn_crisp",
+    "j3_fknn_stage2",
+    "j8_dedup_near",
+    "j9_sim_search",
+    "j9b_sim_search_ivf",
+    "x1_tpch_q3",
+    "x8_cube_grouping",
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    spark = get_spark(app_name="plans_md")
+    reg = load_all()
+    print("# PLANS — headline physical plans (auto-generated)\n")
+    print("Regenerate with `python -m big_data_fknn_spark.plans > PLANS.md`.")
+    print(f"Interesting operators only (plans/inspect.py), at {SF}.\n")
+    for k in KEYS:
+        print(f"## {k}\n\n```")
+        print(explain_summary(reg[k].fn(spark, SF)))
+        print("```\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

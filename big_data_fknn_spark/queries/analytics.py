@@ -378,3 +378,48 @@ def x8_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "x9_cohort_retention",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id, date_trunc('day', min(ts))::TIMESTAMP AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_day,
+         date_diff('day', c.cohort_day, date_trunc('day', e.ts)) AS day_n
+  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+  WHERE e.ts >= c.cohort_day
+)
+SELECT cohort_day, day_n::BIGINT AS day_n, count(*) AS active_users
+FROM activity GROUP BY cohort_day, day_n
+""",
+)
+def x9_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by signup day, counted on each
+    subsequent active day.  The cohort table is small (one row per
+    user) and broadcasts back onto the event stream — the canonical
+    product-analytics query, one fact-table scan plus a distinct."""
+    e = t(spark, sf_dir, "events")
+    cohorts = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    )
+    activity = (
+        e.join(F.broadcast(cohorts), "user_id")
+        .where(F.col("ts") >= F.col("cohort_day"))
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_n").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )

@@ -195,3 +195,76 @@ def i6_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     return run_to_memory(tracked, "update")
+
+
+@register(
+    "i7_stream_stream_join",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+""",
+)
+def i7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view → purchase within 10 min per
+    user), batch mode for the oracle; the true streaming variant is
+    i7b.  At scale both sides shuffle on user_id and the time bound
+    keeps join state finite."""
+    e = t(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        )
+    )
+
+
+@register("i7b_stream_stream_join_live", oracle=None)
+def i7b_stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same interval join as a REAL stream-stream join: both
+    sides replayed as streams, watermarked so Spark can expire join
+    state (without the watermark + time bound the state store grows
+    forever).  Result set equals the batch i7 (tests/test_streaming).
+    """
+    s = events_stream(spark, sf_dir)
+    v = (
+        s.where(F.col("event_type") == "view")
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"))
+    )
+    s2 = events_stream(spark, sf_dir)
+    p = (
+        s2.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("user_id", "view_id", "purchase_id")
+    return run_to_memory(joined, "append")

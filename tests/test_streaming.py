@@ -59,3 +59,11 @@ def test_i6_stateful_per_user_totals(spark, events_batch):
     assert rows(got, "user_id", "n_events", "last_us") == rows(
         want, "user_id", "n_events", "last_us"
     )
+
+
+def test_i7b_stream_stream_join_equals_batch(spark):
+    got = DEFS["i7b_stream_stream_join_live"].fn(spark, SF_DIR)
+    want = DEFS["i7_stream_stream_join"].fn(spark, SF_DIR)
+    assert rows(got, "user_id", "view_id", "purchase_id") == rows(
+        want, "user_id", "view_id", "purchase_id"
+    )
