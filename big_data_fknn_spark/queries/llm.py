@@ -846,3 +846,137 @@ def j16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array_min(F.transform(s5, lambda x: F.md5(x))))
         .alias("fingerprint"),
     )
+
+
+# ----------------------------------- near-dup clusters (connected comps)
+
+
+@register(
+    "j8f_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_DOC_CTES},
+pairs AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= {_TAU}),
+edges AS (SELECT doc_i AS src, doc_j AS dst FROM pairs
+          UNION ALL
+          SELECT doc_j AS src, doc_i AS dst FROM pairs),
+reach AS (
+  SELECT DISTINCT src AS node, src AS lab FROM edges
+  UNION
+  SELECT e.dst AS node, r.lab AS lab FROM edges e JOIN reach r ON r.node = e.src),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS csize
+FROM comp
+""",
+)
+def j8f_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the step after pairwise detection that a
+    real dedup pipeline needs — group transitively-linked near-dup
+    docs into components and label each doc with its component's min
+    doc_id (the canonical survivor).
+
+    Edges are the exact 3-gram-Jaccard >= tau pairs (same inverted
+    index as j8b_ngram_jaccard).  Components come from Pregel-style
+    min-label propagation expressed purely as DataFrame joins: each
+    round every node's label becomes min(own, neighbors'); converges
+    in O(component diameter) rounds.  Each round is one shuffle on
+    the node id; `localCheckpoint` truncates the lineage so plans
+    stay flat.  At 100 TB near-dup components are tiny and shallow
+    (dup clusters, not a social graph), so 3-5 rounds suffice; the
+    convergence count() is an O(|V|) agg, not a collect.
+
+    Oracle: DuckDB recursive CTE propagating labels to a fixpoint.
+    """
+    sh = _docs_with_shingles(spark, sf_dir).cache()
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = tok.select(F.col("doc_id").alias("doc_i"), "s")
+    b = tok.select(F.col("doc_id").alias("doc_j"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .where(F.col("doc_i") < F.col("doc_j"))
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    si = sizes.select(F.col("doc_id").alias("doc_i"), F.col("n_sh").alias("n_i"))
+    sj = sizes.select(F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j"))
+    jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+    pairs = (
+        inter.join(F.broadcast(si), "doc_i")
+        .join(F.broadcast(sj), "doc_j")
+        .where(jac >= _TAU)
+        .select("doc_i", "doc_j")
+    )
+    edges = pairs.select(
+        F.col("doc_i").alias("src"), F.col("doc_j").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_j").alias("src"), F.col("doc_i").alias("dst"))
+    )
+    edges = edges.localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(16):  # >> diameter of any dup cluster
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "lab")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
+        .withColumn("csize", F.count(F.lit(1)).over(w))
+    )
+
+
+# ------------------------------------- deterministic stratified sample
+
+
+@register(
+    "j17_stratified_sample",
+    oracle="""
+SELECT doc_id, lang, source FROM documents
+WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+      < CASE WHEN lang = 'en' THEN 4 ELSE 8 END
+""",
+)
+def j17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus rebalancing:
+    downsample the dominant language (en -> 4/16) while keeping the
+    tail languages at 8/16, keyed on an md5 bucket of doc_id so the
+    sample is stable across runs, engines, and partitionings (unlike
+    sample()/randomSplit, whose RNG is partition-dependent).
+
+    Scale: a narrow filter evaluated inside the scan stage - no
+    shuffle at all; the hex-digit bucket is uniform so output is
+    balanced across partitions.  The same predicate works as a
+    partition-pruning key if the corpus is bucketed by the digest."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+    )
+    thr = F.when(F.col("lang") == "en", 4).otherwise(8)
+    return d.where(bucket < thr).select("doc_id", "lang", "source")
