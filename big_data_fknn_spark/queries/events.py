@@ -17,7 +17,7 @@ expression expands, so they inherit partial+final aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_fknn_spark.functions.numeric import dsum
@@ -268,3 +268,72 @@ def i7b_stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select("user_id", "view_id", "purchase_id")
     return run_to_memory(joined, "append")
+
+
+# ------------------------------------- I8. idempotent merge sink
+
+
+@register(
+    "i8_foreachbatch_upsert",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS ts_us,
+       event_type, round(value, 6) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+""",
+)
+def i8_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-style streaming UPSERT: replay events through a
+    file source and maintain "latest event per user" state with a
+    foreachBatch merge — the standard pattern for keyed mutable
+    state on an append-only lake when a transactional table format
+    isn't available.  Each batch writes a NEW state generation
+    (read prev ∪ batch → window-dedup → write gen_{id}) instead of
+    overwriting the files it is reading; re-running a batch just
+    rewrites its generation, so the sink is idempotent.
+
+    Scale: the merge shuffles on user_id only; state stays one row
+    per key.  On a real lake the generation swap is a Delta/Iceberg
+    MERGE INTO or an atomic manifest pointer update.
+
+    The mechanism is streaming but the final state is deterministic
+    (max event time per user, event_id tiebreak) → full SQL oracle,
+    ordered on epoch_us because Spark reads these nanos timestamps
+    truncated to micros.
+    """
+    import os
+    import tempfile
+
+    stream = events_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="upsert_state_")
+    gens: list[str] = []
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        cur = batch
+        if gens:
+            prev = batch.sparkSession.read.parquet(gens[-1])
+            cur = prev.unionByName(batch.select(prev.columns))
+        out = cur.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        path = os.path.join(root, f"gen_{batch_id}")
+        out.drop("rn").write.mode("overwrite").parquet(path)
+        gens.append(path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.read.parquet(gens[-1]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )

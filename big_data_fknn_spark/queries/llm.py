@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from big_data_fknn_spark.functions.distance import cosine_sim, dot, l2_norm
 from big_data_fknn_spark.functions.numeric import DEC
 from big_data_fknn_spark.functions.text import md5_bit, shingles, tokens
+from big_data_fknn_spark.operators.graph import connected_components
 from big_data_fknn_spark.operators.knn import knn_join
 from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.tables import embeddings_d, t
@@ -911,42 +912,11 @@ def j8f_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= _TAU)
         .select("doc_i", "doc_j")
     )
-    edges = pairs.select(
-        F.col("doc_i").alias("src"), F.col("doc_j").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_j").alias("src"), F.col("doc_i").alias("dst"))
-    )
-    edges = edges.localCheckpoint()
-
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lab", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(16):  # >> diameter of any dup cluster
-        msgs = edges.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "lab")
-        new = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+    comp = connected_components(pairs, src="doc_i", dst="doc_j")
 
     w = Window.partitionBy("cluster_id")
     return (
-        labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
+        comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
         .withColumn("csize", F.count(F.lit(1)).over(w))
     )
 
@@ -980,3 +950,81 @@ def j17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thr = F.when(F.col("lang") == "en", 4).otherwise(8)
     return d.where(bucket < thr).select("doc_id", "lang", "source")
+
+
+# ------------------------------------------ embedding int8 quantization
+
+
+@register(
+    "j18_embed_quantize",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS sc
+      FROM e)
+SELECT vec_id, j AS dim,
+       CAST(round(v[j] / sc * 127, 0) AS INT) AS qval,
+       round(sc, 6) AS scale
+FROM s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
+WHERE sc > 0
+""",
+)
+def j18_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with a
+    per-vector absmax scale — the storage/bandwidth lever for
+    vector corpora (4x smaller than float32, 8x than float64;
+    brute-force scans become int8 dot products).
+
+    Row-parallel and shuffle-free: scale + quantized values are
+    computed inside the scan stage; posexplode only widens the
+    output for the oracle's sake.  Division and rounding happen in
+    the same expression shape in both engines so the doubles agree
+    bit-for-bit before the half-up round."""
+    e = embeddings_d(spark, sf_dir)
+    sc = F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    return (
+        e.select("vec_id", "emb", sc.alias("sc"))
+        .where(F.col("sc") > 0)
+        .select("vec_id", "sc", F.posexplode("emb"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.round(F.col("col") / F.col("sc") * 127).cast("int").alias("qval"),
+            F.round("sc", 6).alias("scale"),
+        )
+    )
+
+
+# --------------------------------------------- text normalization
+
+
+@register(
+    "j19_text_normalize",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+       length(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_chars_norm
+FROM documents
+""",
+)
+def j19_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleanup before hashing/dedup: lowercase, strip
+    non-alphanumerics, collapse whitespace.  Pure per-row string
+    expressions inside the scan stage — no shuffle, codegen'd.
+    Output is the md5 of the normalized text (not the text itself)
+    so downstream exact-dedup runs on 16-byte keys."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).alias("n_chars_norm"),
+    )

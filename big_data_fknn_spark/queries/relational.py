@@ -764,3 +764,80 @@ def h7_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+# ---------------------------- A8. partitioned sink + partition pruning
+
+
+@register(
+    "a8_partitioned_sink_prune",
+    oracle="""
+SELECT event_id, user_id, event_type, round(value, 6) AS value
+FROM events WHERE event_type IN ('view', 'purchase')
+""",
+)
+def a8_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition PRUNING: write events
+    partitioned by event_type, read back with a partition predicate.
+    The filter never touches row data — pruned directories are not
+    even listed (PartitionFilters in the scan, asserted in
+    tests/test_plans.py).  At 100 TB this is the difference between
+    scanning 5 directories and scanning one: partition on the
+    coarse, always-filtered column (event date/type), never on
+    high-cardinality keys."""
+    out = _tmp_path("a8_events_parted")
+    (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.round("value", 6).alias("value"), "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# --------------------------------- A9. bucketed (co-located) join
+
+
+@register(
+    "a9_bucketed_join",
+    oracle="""
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+""",
+)
+def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written bucketBy(8) on
+    the join key, so the sort-merge join reads matching buckets
+    directly — NO shuffle exchange on either side (asserted in
+    tests/test_plans.py).  This is the 100 TB pattern for a join
+    repeated every run (fact ⋈ dim on a stable key): pay the
+    bucketed write once, skip the exchange forever after.  The
+    `merge` hint pins the bucketed SMJ path so the plan is stable
+    regardless of the dim side's size."""
+    import re as _re
+
+    tag = _re.sub(r"\W", "_", sf_dir).strip("_")
+    base = _tmp_path(f"a9_bucketed_{tag}")
+    for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tbl = f"a9_{name}_{tag}"
+        (
+            t(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .saveAsTable(tbl)
+        )
+    o = spark.table(f"a9_orders_{tag}")
+    c = spark.table(f"a9_customer_{tag}").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.hint("merge")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )

@@ -106,3 +106,21 @@ def test_ivf_search_joins_on_cluster_id(spark):
     assert p.count("BroadcastNestedLoopJoin") <= 1, (
         "IVF must not brute-force the candidate set"
     )
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    df = q(spark, "a8_partitioned_sink_prune")
+    plan = executed_plan(df)
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "event_type predicate must prune partitions, not filter rows"
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    df = q(spark, "a9_bucketed_join")
+    plan = executed_plan(df)
+    assert "SortMergeJoin" in plan, "bucketed join must stay sort-merge"
+    assert "Exchange" not in plan, (
+        "bucketed co-located join must not shuffle either side"
+    )
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
