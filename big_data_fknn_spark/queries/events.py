@@ -337,3 +337,101 @@ def i8_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value", 6).alias("value"),
     )
+
+
+# ---------------------------- I9. transformWithState (Spark 4 API)
+
+
+@register("i9_transform_with_state", oracle=None)
+def i9_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's transformWithStateInPandas — the successor to
+    applyInPandasWithState (i6) with named state variables, timers,
+    and TTL.  Same semantics as i6 (per-user running count + value
+    sum) so tests/test_streaming.py can assert the two APIs and the
+    batch groupBy agree; rows-only for the driver (double-sum order
+    inside Arrow batches is engine-specific).
+
+    Requires the RocksDB state store; at scale that's the point —
+    keyed state spills to local SST files + changelog checkpoints
+    instead of executor heap, so per-key state survives 100M+ keys
+    per executor.
+
+    DEPENDENCY GATE: the transformWithState Python worker speaks a
+    protobuf protocol to the JVM state server, and this container
+    lacks `google.protobuf` (installs forbidden).  Without it the
+    query falls back to the applyInPandasWithState implementation
+    of the SAME per-user aggregate, so the registered semantics are
+    identical either way; tests assert both paths against the batch
+    answer."""
+    import pandas as pd
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return _i9_fallback_apply_in_pandas(spark, sf_dir)
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Track(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self.agg.get() if self.agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.agg.update((n, total))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "total_value": total}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = events_stream(spark, sf_dir)
+        tracked = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Track(),
+            outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_to_memory(tracked, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def _i9_fallback_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i9's protobuf-free fallback: the identical per-user running
+    (count, value-sum) via applyInPandasWithState (i6's API)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": total}]
+        )
+
+    s = events_stream(spark, sf_dir)
+    tracked = s.groupBy("user_id").applyInPandasWithState(
+        track,
+        "user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        "n BIGINT, total DOUBLE",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(tracked, "update")

@@ -1028,3 +1028,257 @@ def j19_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_hash"),
         F.length(norm).alias("n_chars_norm"),
     )
+
+
+# --------------------------------------- benchmark decontamination
+
+
+@register(
+    "j20_decontaminate",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                                    for i in generate_series(1, len(w) - 4)])) AS g
+       FROM docs),
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+hits AS (SELECT s.doc_id, count(*) AS n
+         FROM sh s JOIN ev USING (g)
+         WHERE s.doc_id % 50 != 0 GROUP BY s.doc_id)
+SELECT d.doc_id,
+       coalesce(h.n, 0) AS n_overlap,
+       CAST(coalesce(h.n, 0) >= 1 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 50 != 0
+""",
+)
+def j20_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any
+    5-gram with a held-out eval set (here the deterministic
+    doc_id % 50 == 0 subset standing in for an external benchmark).
+    This is the standard pre-training hygiene step (GPT-3 §C /
+    Gopher-style n-gram overlap), absent from the reference (pure
+    classifier — SURVEY.md §2) but mandated pipeline surface.
+
+    Calibration on this corpus: 5-gram overlap flags EXACTLY the
+    planted near-dup partner of an eval doc (1 hit at sf0.01);
+    3-grams would flag 257/490 docs on vocabulary noise.  Long
+    n-grams are what make this check precise.
+
+    Scale shape: the eval side is tiny by construction, so its
+    distinct-shingle set BROADCASTS — the corpus-side scan streams
+    through a broadcast semi-probe and only the (rare) hits shuffle
+    into the per-doc count.  The 100 TB cost is one pass over the
+    corpus; there is no corpus×corpus term."""
+    sh = _docs_with_shingles(spark, sf_dir, 5)
+    corp = sh.where(F.col("doc_id") % 50 != 0)
+    ev = (
+        sh.where(F.col("doc_id") % 50 == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    hits = (
+        corp.select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = t(spark, sf_dir, "documents").where(F.col("doc_id") % 50 != 0)
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= 1).cast("int").alias("contaminated"),
+        )
+    )
+
+
+# ------------------------------------------------- PII scrubbing
+
+
+_PII_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\d{3}[-. ]\d{3}[-. ]\d{4}"
+_DENY_RE = r"\b(customer|supplier)\b"
+
+
+@register(
+    "j21_pii_scrub",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '{_PII_RE}', '[PII]', 'g'),
+                        '{_DENY_RE}', '[TERM]', 'g') AS scrubbed,
+         len(regexp_extract_all(text, '{_PII_RE}')) AS n_pii,
+         len(regexp_extract_all(text, '{_DENY_RE}')) AS n_deny
+  FROM documents)
+SELECT doc_id, n_pii, n_deny, md5(scrubbed) AS scrubbed_md5 FROM s
+""",
+)
+def j21_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / sensitive-term scrubbing: redact email + phone patterns
+    and a denylist of terms, with per-doc audit counts.  The corpus
+    plants no real PII (n_pii = 0 throughout — the regex path is
+    still exercised end-to-end), so the denylist terms provide the
+    non-trivial replacements the oracle hash checks.
+
+    Pure per-row regexp work inside the scan stage (codegen'd, no
+    shuffle, no UDF); the patterns stay in the ASCII subset where
+    Java regex and RE2 agree.  At 100 TB this runs at scan speed and
+    is where you'd swap in a real PII model via mapInPandas."""
+    d = t(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace("text", F.lit(_PII_RE), F.lit("[PII]")),
+        F.lit(_DENY_RE),
+        F.lit("[TERM]"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_RE)).alias("n_pii"),
+        F.regexp_count("text", F.lit(_DENY_RE)).alias("n_deny"),
+        F.md5(scrub).alias("scrubbed_md5"),
+    )
+
+
+# -------------------------------------------- document chunking
+
+
+@register(
+    "j22_doc_chunk",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+st AS (SELECT doc_id, w,
+              unnest(generate_series(1, greatest(len(w), 1), 48)) AS s
+       FROM docs)
+SELECT doc_id,
+       ((s - 1) // 48)::BIGINT AS chunk_idx,
+       len(w[s:s+63]) AS n_tokens,
+       md5(array_to_string(w[s:s+63], ' ')) AS chunk_md5
+FROM st
+""",
+)
+def j22_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for context-length-bounded
+    training: 64-token chunks on a 48-token stride (16-token
+    overlap), the standard "pack long docs into fixed windows"
+    step.  Emits (doc_id, chunk_idx, token count, chunk hash).
+
+    Chunking is array arithmetic inside the scan stage — sequence()
+    for the starts, slice() per start, one generator explode; no
+    shuffle, no UDF, rows grow by ~len/stride.  The same plan at
+    100 TB is embarrassingly parallel and the output is what you'd
+    feed a tokenizer fleet."""
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(48))
+    chunk = F.slice(F.col("w"), F.col("s"), 64)
+    return (
+        d.select("doc_id", "w", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.floor((F.col("s") - 1) / 48).cast("bigint").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+    )
+
+
+# ------------------------------------- repetition-based quality
+
+
+@register(
+    "j23_repetition_ratio",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 2),
+bi AS (SELECT doc_id,
+              len(w) - 1 AS total2,
+              len(list_distinct([w[i] || ' ' || w[i+1]
+                                 for i in generate_series(1, len(w) - 1)])) AS d2
+       FROM docs),
+tc AS (SELECT doc_id, unnest(w) AS tk FROM docs),
+cnt AS (SELECT doc_id, tk, count(*) AS c FROM tc GROUP BY doc_id, tk),
+top AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM cnt GROUP BY doc_id)
+SELECT b.doc_id,
+       round(1.0 - b.d2 / CAST(b.total2 AS DOUBLE), 6) AS dup_bigram_frac,
+       round(t.topc / CAST(t.tot AS DOUBLE), 6) AS top_token_frac,
+       CAST((1.0 - b.d2 / CAST(b.total2 AS DOUBLE)) > 0.3
+            OR (t.topc / CAST(t.tot AS DOUBLE)) > 0.2 AS INT) AS low_quality
+FROM bi b JOIN top t USING (doc_id)
+""",
+)
+def j23_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: duplicate-bigram
+    fraction (1 - distinct/total bigrams) and top-token mass
+    fraction per document, with a low-quality flag at the published
+    thresholds (dup bigrams > 0.3, single token > 20% of mass).
+
+    Two independent per-doc passes: bigram stats are pure array
+    expressions in the scan stage (zero shuffle); the token-mode
+    pass explodes and hash-aggregates on (doc_id, token) — a
+    partial+final agg keyed by doc, the classic word-count shape
+    whose map-side combine keeps shuffle volume at distinct-token
+    level.  Both engines compute int/int divisions in the same
+    order → bit-identical before the 6dp round."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("w"))
+        .where(F.size("w") >= 2)
+    )
+    bi = d.select(
+        "doc_id",
+        (F.size("w") - 1).alias("total2"),
+        F.size(shingles(F.col("w"), 2)).alias("d2"),
+    )
+    top = (
+        d.select("doc_id", F.explode("w").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("topc"), F.sum("count").alias("tot"))
+    )
+    dup = F.lit(1.0) - F.col("d2") / F.col("total2").cast("double")
+    tf = F.col("topc") / F.col("tot").cast("double")
+    return bi.join(top, "doc_id").select(
+        "doc_id",
+        F.round(dup, 6).alias("dup_bigram_frac"),
+        F.round(tf, 6).alias("top_token_frac"),
+        ((dup > 0.3) | (tf > 0.2)).cast("int").alias("low_quality"),
+    )
+
+
+# ------------------------------------------- corpus resharding
+
+
+@register(
+    "j24_corpus_reshard",
+    oracle="""
+SELECT CAST(('0x' || substr(md5(text), 1, 2))::BIGINT % 32 AS INT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+""",
+)
+def j24_corpus_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus resharding: content-hash each document
+    into 32 shards (md5 prefix, engine-portable) and report shard
+    occupancy — the "shuffle the corpus into N stable training
+    shards" step, where hash-on-content both balances shard sizes
+    and makes placement reproducible across engines and runs.
+
+    The repartition(32, shard_id) IS the reshard; the occupancy agg
+    then reuses that exchange instead of adding its own (Catalyst
+    sees the child partitioning already satisfies the grouping).
+    At 100 TB each shard lands as one writer task's output —
+    this plus a .write.partitionBy is the whole reshard job."""
+    d = t(spark, sf_dir, "documents")
+    shard = (F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("bigint") % 32).cast(
+        "int"
+    )
+    return (
+        d.select(shard.alias("shard_id"), "n_chars")
+        .repartition(32, "shard_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

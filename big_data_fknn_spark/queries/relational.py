@@ -841,3 +841,28 @@ def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "c_name", "o_totalprice")
     )
+
+
+# ------------------------------------------- A10. ORC round trip
+
+
+@register(
+    "a10_orc_roundtrip",
+    oracle="""
+SELECT doc_id, lang, source, n_chars FROM documents
+""",
+)
+def a10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round trip — the second columnar format the
+    engine speaks natively (both ORC and Parquet get vectorized
+    reads, predicate pushdown, and column pruning from the same
+    FileFormat machinery).  Correctness check: the round-tripped
+    rows equal the source projection."""
+    out = _tmp_path("a10_docs.orc")
+    (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return spark.read.orc(out)

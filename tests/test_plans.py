@@ -124,3 +124,23 @@ def test_bucketed_join_has_no_shuffle(spark):
         "bucketed co-located join must not shuffle either side"
     )
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    # j20's eval-shingle set is small by construction; the corpus
+    # probe must be a broadcast join, and nothing may cross-join.
+    df = q(spark, "j20_decontaminate")
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan, "eval shingles must broadcast"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reshard_agg_reuses_repartition_exchange(spark):
+    # j24: the groupBy(shard_id) must reuse the repartition(32,
+    # shard_id) exchange — exactly one shuffle in the whole plan.
+    df = q(spark, "j24_corpus_reshard")
+    plan = executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "reshard agg must reuse the repartition exchange, not add its own"
+    )

@@ -67,3 +67,20 @@ def test_i7b_stream_stream_join_equals_batch(spark):
     assert rows(got, "user_id", "view_id", "purchase_id") == rows(
         want, "user_id", "view_id", "purchase_id"
     )
+
+
+def test_i9_transform_with_state_per_user_totals(spark, events_batch):
+    # i9 runs the Spark 4 transformWithState API when protobuf is
+    # available, else its applyInPandasWithState fallback — either
+    # path must reproduce the batch per-user aggregate (value sums
+    # compared at 6dp: double-add order differs per path).
+    got = DEFS["i9_transform_with_state"].fn(spark, SF_DIR)
+    want = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    g = rows(got.withColumn("total_value", F.round("total_value", 6)),
+             "user_id", "n_events", "total_value")
+    w = rows(want.withColumn("total_value", F.round("total_value", 6)),
+             "user_id", "n_events", "total_value")
+    assert g == w
