@@ -232,3 +232,88 @@ def j6_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select(F.lit("train").alias("part"), "vec_id").unionByName(
         te.select(F.lit("test").alias("part"), "vec_id")
     )
+
+
+@register(
+    "j25_kfold_cv",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, label, vec_id % 5 AS fold
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS q, a.fold AS fold, a.label AS label,
+         b.vec_id AS n, b.label AS n_label, list_distance(a.emb, b.emb) AS d
+  FROM emb a JOIN emb b ON a.fold <> b.fold
+),
+k AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d, n) AS rn FROM p
+  ) WHERE rn <= {K}
+),
+votes AS (
+  SELECT q, fold, label, n_label AS cls, count(*) AS cnt FROM k GROUP BY 1, 2, 3, 4
+),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY cnt DESC, cls) AS r FROM votes
+),
+pred AS (SELECT q, fold, label, cls AS pred FROM pick WHERE r = 1)
+SELECT fold,
+       count(*) AS n_test,
+       CAST(sum(CAST(label = pred AS INT)) AS BIGINT) AS n_correct,
+       round(avg(CAST(label = pred AS DOUBLE)), 6) AS accuracy
+FROM pred GROUP BY fold
+""",
+)
+def j25_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated crisp kNN — the KEEL evaluation loop the
+    reference lineage reports results with (per-fold tra/tst files,
+    [R runkNN_IS.scala CLI args; P kNN-IS SS4 experimental setup]),
+    as a single deterministic query.
+
+    Folds are ``vec_id % 5`` (reproducible in both engines, unlike
+    randomSplit).  Each fold's test points classify against the other
+    four folds via the broadcast-queries BLAS kernel — five
+    independent kNN passes whose union is one job, exactly the
+    reference's iterative chunk scheme.  The candidate table is
+    cached once and never shuffles; at 100 TB each pass streams the
+    train side and only k rows per query leave each executor.
+
+    Vote tiebreak: max count, then smallest class id (never engine
+    ``mode()`` — SURVEY.md SS7.3).
+    """
+    emb = embeddings_d(spark, sf_dir).withColumn(
+        "fold", F.col("vec_id") % 5
+    )
+    emb.cache()
+    per_fold = [
+        knn_join_blas(
+            emb.where(F.col("fold") == f_id),
+            emb.where(F.col("fold") != f_id),
+            k=K,
+            keep_q_cols=("label",),
+            keep_c_cols=("label",),
+        )
+        for f_id in range(5)
+    ]
+    knn = per_fold[0]
+    for part in per_fold[1:]:
+        knn = knn.unionByName(part)
+    votes = knn.groupBy(
+        F.col("q_id").alias("q"),
+        (F.col("q_id") % 5).alias("fold"),
+        F.col("q_label").alias("label"),
+        F.col("n_label").alias("cls"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    pick = Window.partitionBy("q").orderBy(F.col("cnt").desc(), F.col("cls").asc())
+    pred = (
+        votes.withColumn("r", F.row_number().over(pick))
+        .where(F.col("r") == 1)
+        .select("q", "fold", "label", F.col("cls").alias("pred"))
+    )
+    hit = (F.col("label") == F.col("pred")).cast("int")
+    return pred.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        F.round(F.avg(hit.cast("double")), 6).alias("accuracy"),
+    )
