@@ -275,3 +275,32 @@ def d10_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("label") == F.col("pred"), 1.0).otherwise(0.0)), 6
         ).alias("accuracy"),
     )
+
+
+@register(
+    "d11_histogram",
+    oracle="""
+SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::DOUBLE AS total
+FROM lineitem GROUP BY 1
+""",
+)
+def d11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of lineitem prices (10k-wide buckets).
+
+    Fixed bucket edges (constant divisor, floor) rather than
+    min/max-derived edges: the same IEEE divide+floor happens in
+    both engines, so boundary rows never straddle a bucket from
+    last-ulp drift.  Bucket totals use the exact-decimal sum.  One
+    partial+final hash aggregate, ~12 groups out — the map-side
+    combine does essentially all the work, the shuffle is a few
+    dozen rows.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("total"),
+    )

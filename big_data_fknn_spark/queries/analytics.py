@@ -423,3 +423,73 @@ def x9_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_n").agg(
         F.count(F.lit(1)).alias("active_users")
     )
+
+
+@register(
+    "x10_gap_fill",
+    oracle="""
+WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS hr, value FROM events),
+agg AS (
+  SELECT user_id, hr,
+         round(sum(CAST(value AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS v
+  FROM ev GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM ev GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+  FROM span
+),
+j AS (
+  SELECT g.user_id, g.hr, a.v FROM grid g
+  LEFT JOIN agg a ON g.user_id = a.user_id AND g.hr = a.hr
+)
+SELECT user_id, hr,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_ffill,
+       CAST(v IS NULL AS INT) AS gap
+FROM j
+""",
+)
+def x10_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: per-user hourly grid over
+    the user's own [min, max] event hours, hourly mean value where
+    events exist, last-observation-carried-forward across empty
+    hours, plus a gap marker.
+
+    The grid comes from ``sequence(mn, mx, interval 1 hour)`` +
+    ``explode`` — generated executor-side from one row per user, so
+    densification never collects to the driver.  The fill is one
+    running ``last(v, ignorenulls)`` window per user; partitioning by
+    user keeps the state per-key and shuffle-bounded (the streaming
+    analogue would be transformWithState).  Hourly means use the
+    exact-decimal sum (functions/numeric.py) so fill values hash
+    identically across engines and partition counts.
+    """
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir)
+    ev = e.select("user_id", F.date_trunc("hour", "ts").alias("hr"), "value")
+    agg = ev.groupBy("user_id", "hr").agg(
+        F.round(
+            F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("v")
+    )
+    span = ev.groupBy("user_id").agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hr"),
+    )
+    j = grid.join(agg, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+        F.col("v").isNull().cast("int").alias("gap"),
+    )

@@ -192,3 +192,40 @@ def f3_sort_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("ts")
         .select("event_id", "user_id", "event_type")
     )
+
+
+@register(
+    "e6_value_fns",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_price,
+       nth_value(o_totalprice, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def e6_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions: first/last/nth order price per
+    customer.  last/nth need the full-partition frame (the default
+    frame ends at CURRENT ROW in both engines); the (date, key)
+    order makes every pick deterministic.  No value arithmetic —
+    prices pass through untouched, so no decimal guard is needed.
+    """
+    o = t(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    grow = Window.partitionBy("o_custkey").orderBy(*order)
+    full = grow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(grow).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+    )
