@@ -493,3 +493,48 @@ def x10_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
         F.col("v").isNull().cast("int").alias("gap"),
     )
+
+
+@register(
+    "x11_tpch_q18",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+       sum(l.l_quantity) AS total_qty
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+GROUP BY 1, 2, 3
+""",
+)
+def x11_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds 300, re-joined to customer and lineitem.
+
+    Quantities are integer-valued doubles (≤458 per order here), so
+    plain double sums are exact — no decimal guard needed.  The
+    HAVING subquery becomes a left-semi join on the already-grouped
+    lineitem aggregate; AQE sizes it at runtime, and at 100 TB the
+    qualifying-order set is tiny (heavy-tail orders), so the semi
+    join broadcasts while the main lineitem pass stays a single
+    shuffle on l_orderkey.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )

@@ -1282,3 +1282,65 @@ def j24_corpus_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ------------------------------------------- SemDeDup-style semantic dedup
+
+
+@register(
+    "j26_semdedup",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM e a JOIN e b
+    ON a.label = b.label AND b.vec_id < a.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+)
+SELECT e.vec_id, e.label,
+       CAST(e.vec_id IN (SELECT vec_id FROM dup) AS INT) AS is_dup
+FROM e
+""",
+)
+def j26_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each cluster,
+    mark a vector as duplicate when an earlier (smaller-id) cluster
+    member sits within cosine ≥ τ=0.4.  Labels stand in for k-means
+    cluster ids (the same deterministic coarse quantizer as j9b) —
+    the point of SemDeDup is exactly that the quadratic pair search
+    is CLUSTER-bounded, never corpus-bounded.
+
+    Spark plan: equi-join on the cluster key co-partitions both
+    sides (one shuffle each), the cosine predicate filters inside
+    the join, and a left-semi probe marks survivors — no driver
+    collection.  At 100 TB with balanced clusters of c members,
+    work is n·c instead of n²; skewed clusters hit AQE's skew-join
+    split.  τ sits far from any data cosine (corpus max ~0.51,
+    noise <0.2 — SURVEY §testdata), so the ~1-ulp expression-vs-
+    oracle drift can't flip a pair.
+    """
+    from big_data_fknn_spark.functions.distance import cosine_sim
+
+    e = embeddings_d(spark, sf_dir).select(
+        "vec_id", F.col("emb").alias("v"), "label"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .where(cosine_sim(F.col("a.v"), F.col("b.v")) >= 0.4)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        e.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("hit", F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )

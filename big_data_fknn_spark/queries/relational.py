@@ -866,3 +866,44 @@ def a10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orc(out)
     )
     return spark.read.orc(out)
+
+
+@register(
+    "a11_schema_evolution",
+    oracle="""
+SELECT n_nationkey, n_name, -1 AS n_regionkey, 'v1' AS src FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'v2' AS src FROM nation
+""",
+)
+def a11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: two writer generations of the same
+    table — v1 before a column existed, v2 after adding
+    ``n_regionkey`` — land in one directory; ``mergeSchema=true``
+    reconciles them at read time and backfills the missing column
+    with NULL for v1 files (coalesced to -1 so both engines hash an
+    int, never a nullable-int→float dtype).
+
+    This is the 100 TB reality: petabyte tables are written over
+    years by evolving jobs, and readers must union old and new file
+    schemas without a rewrite.  Spark's parquet source does it with
+    per-file footer schemas + a merged read schema; only the footer
+    metadata is read twice, the column data is still pruned.
+    """
+    n = t(spark, sf_dir, "nation")
+    out = _tmp_path("a11_evolved")
+    n.select("n_nationkey", "n_name", F.lit("v1").alias("src")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "gen=1"))
+    n.select("n_nationkey", "n_name", "n_regionkey", F.lit("v2").alias("src")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return merged.select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce("n_regionkey", F.lit(-1)).cast("int").alias("n_regionkey"),
+        "src",
+    )
