@@ -1344,3 +1344,129 @@ def j26_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("hit", F.lit(0)).cast("int").alias("is_dup"),
         )
     )
+
+
+# ------------------------------------- CCNet-style LM quality filter
+
+
+@register(
+    "j27_unigram_logprob",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tk FROM docs),
+freq AS (SELECT tk, count(*)::DOUBLE AS cnt FROM tok GROUP BY tk),
+tot AS (SELECT sum(cnt) AS n FROM freq),
+j AS (
+  SELECT t.doc_id, -ln(f.cnt / (SELECT n FROM tot)) AS nll
+  FROM tok t JOIN freq f USING (tk)
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) AS avg_nll
+FROM j GROUP BY doc_id
+""",
+)
+def j27_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document mean
+    negative log-probability under the corpus's own unigram LM
+    (self-inclusive counts — fully deterministic, no smoothing
+    constant to disagree on).  High avg_nll = rare-token soup =
+    likely noise; low = repetitive boilerplate.
+
+    Plan: one explode → token-count aggregate (the vocabulary,
+    orders of magnitude smaller than the corpus) → broadcast back
+    onto the token stream → per-doc mean.  The vocab table is the
+    only shuffle product; the re-join is broadcast, so the token
+    stream is read exactly twice and never shuffles by token a
+    second time.  ln() differs ≤1 ulp between engines; per-doc sums
+    of ~10² terms keep that drift ~9 orders below the 6dp round.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    tok = d.select("doc_id", F.explode("w").alias("tk"))
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    nll = (
+        tok.join(F.broadcast(freq), "tk")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("cnt") / F.col("n"))).alias("nll"))
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+
+
+# --------------------------------------- end-to-end corpus filter
+
+
+@register(
+    "j28_corpus_filter",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bi AS (
+  SELECT doc_id, len(w) AS nt,
+         CASE WHEN len(w) >= 2 THEN
+           1.0 - len(list_distinct([w[i] || ' ' || w[i+1]
+                                    for i in generate_series(1, len(w) - 1)]))
+                 / CAST(len(w) - 1 AS DOUBLE)
+         ELSE 0.0 END AS dup2
+  FROM docs),
+tc AS (SELECT doc_id, unnest(w) AS tk FROM docs),
+cnt AS (SELECT doc_id, tk, count(*) AS c FROM tc GROUP BY doc_id, tk),
+top AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS topf FROM cnt GROUP BY doc_id),
+m AS (SELECT b.doc_id, b.nt, b.dup2, t.topf FROM bi b JOIN top t USING (doc_id))
+SELECT doc_id, nt AS n_tokens,
+       CASE WHEN nt < 40 THEN 'too_short'
+            WHEN dup2 > 0.08 THEN 'repetition'
+            WHEN topf > 0.1 THEN 'top_token'
+            ELSE 'ok' END AS reason,
+       CAST(nt >= 40 AND dup2 <= 0.08 AND topf <= 0.1 AS INT) AS keep
+FROM m
+""",
+)
+def j28_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus admission filter: the composition a
+    real data pipeline runs as ONE pass — length gate, Gopher
+    repetition gate (duplicate-bigram fraction), and top-token-mass
+    gate, emitting keep/drop plus the first failing rule.
+
+    All signals are doc-local: bigram stats stay pure array
+    expressions in the scan stage; only the token-mode pass
+    aggregates (the word-count shape, map-side combined on doc_id).
+    One scan, one shuffle keyed by doc — at 100 TB the filter's cost
+    is the read itself, which is the point: admission filtering must
+    be IO-bound, never compute- or shuffle-bound.  Ratios are
+    small-int divisions → bit-identical across engines, so the rule
+    cascade can compare unrounded.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    bi = d.select(
+        "doc_id",
+        F.size("w").alias("nt"),
+        F.when(
+            F.size("w") >= 2,
+            1.0
+            - F.size(shingles(F.col("w"), 2)).cast("double")
+            / (F.size("w") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup2"),
+    )
+    top = (
+        d.select("doc_id", F.explode("w").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c").cast("double")).alias("topf"))
+    )
+    m = bi.join(top, "doc_id")
+    reason = (
+        F.when(F.col("nt") < 40, "too_short")
+        .when(F.col("dup2") > 0.08, "repetition")
+        .when(F.col("topf") > 0.1, "top_token")
+        .otherwise("ok")
+    )
+    keep = (
+        (F.col("nt") >= 40) & (F.col("dup2") <= 0.08) & (F.col("topf") <= 0.1)
+    ).cast("int")
+    return m.select(
+        "doc_id", F.col("nt").alias("n_tokens"), reason.alias("reason"), keep.alias("keep")
+    )

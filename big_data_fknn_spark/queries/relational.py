@@ -907,3 +907,32 @@ def a11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_regionkey", F.lit(-1)).cast("int").alias("n_regionkey"),
         "src",
     )
+
+
+@register(
+    "h8_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS mask_and,
+       o_orderkey | 7 AS mask_or,
+       xor(o_orderkey, 131071) AS mask_xor,
+       o_orderkey << 2 AS shl,
+       o_orderkey >> 3 AS shr
+FROM orders
+""",
+)
+def h8_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar functions (and/or/xor/shifts) — the primitives
+    behind hash partitioners, bloom probes, and bitmap indexes.
+    Pure int64 lane math, bit-identical across engines by
+    definition; whole-stage codegen keeps it in one scan stage."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("mask_and"),
+        k.bitwiseOR(F.lit(7)).alias("mask_or"),
+        k.bitwiseXOR(F.lit(131071)).alias("mask_xor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    )
