@@ -538,3 +538,35 @@ def x11_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
         .agg(F.sum("l_quantity").alias("total_qty"))
     )
+
+
+# One SQL string, two engines: runs verbatim through spark.sql over
+# temp views AND through DuckDB as its own oracle (common dialect:
+# CAST not ::, ANSI join/window/CTE).
+_X12_SQL = """
+WITH per_nation AS (
+  SELECT n_name, count(*) AS n_cust,
+         CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 6) AS DOUBLE)
+           AS total_bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, n_cust, total_bal,
+       rank() OVER (ORDER BY total_bal DESC, n_name) AS bal_rank
+FROM per_nation
+"""
+
+
+@register("x12_sql_api", oracle=_X12_SQL)
+def x12_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end: the ORACLE STRING ITSELF runs through
+    ``spark.sql`` over temp views — one ANSI text, two engines,
+    hash-identical results.  Proof that the engine's declared
+    surface is the SQL dialect intersection (CTEs, joins, windows,
+    decimal aggregates), not a DataFrame-only dialect.  Catalyst
+    gets the same plan freedom as the DataFrame API; the dimension
+    join broadcasts, the window is a 25-row post-agg sort.
+    """
+    for name in ("customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_X12_SQL)

@@ -317,3 +317,101 @@ def j25_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("bigint").alias("n_correct"),
         F.round(F.avg(hit.cast("double")), 6).alias("accuracy"),
     )
+
+
+# --------------------------- J29. Lloyd k-means (iterative, DataFrame-only)
+
+_KM_K = 8
+_KM_ASSIGN_SQL = """
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, {cents}.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.v, {cents}.c),
+                                              p -> (p[1]-p[2])*(p[1]-p[2]))),
+                      {cents}.cid
+           ) AS rn
+    FROM e CROSS JOIN {cents}
+  ) WHERE rn = 1
+"""
+
+
+@register(
+    "j29_kmeans_lloyd",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT {_KM_K}),
+a1 AS ({_KM_ASSIGN_SQL.format(cents="c0")}),
+m1 AS (
+  SELECT cid, j AS pos,
+         round(sum(CAST(v[j] AS DECIMAL(38,10)))::DOUBLE / count(*), 12) AS m
+  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
+  GROUP BY cid, j
+),
+c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY cid),
+a2 AS ({_KM_ASSIGN_SQL.format(cents="c1")})
+SELECT vec_id, cid FROM a2
+""",
+)
+def j29_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means, two unrolled iterations, pure DataFrame ops —
+    the iterative-ML shape the reference's RDD lineage hand-rolled,
+    declared instead as assign→recenter plan segments (k=8,
+    deterministic init = the k lowest vec_ids).
+
+    Determinism across engines: centroid means are exact-decimal
+    sums rounded to 12dp BEFORE feeding the next iteration, so both
+    engines assign against bit-identical centers; argmin ties break
+    by centroid id.  Scale shape per iteration: centers broadcast
+    (k×dim doubles), assignment is a scan + WindowGroupLimit-style
+    per-key argmin, recenter is a (cid, dim)-keyed partial agg —
+    k·dim groups in the shuffle regardless of corpus size.  More
+    iterations = more plan segments; checkpoint every ~10 to cut
+    lineage, exactly like MLlib's own KMeans driver loop.
+    """
+
+    def assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+        p = e.crossJoin(F.broadcast(cents))
+        d2 = F.aggregate(
+            F.zip_with("emb", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+        return (
+            p.select("vec_id", "emb", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "emb", "cid")
+        )
+
+    def recenter(assigned: DataFrame) -> DataFrame:
+        from big_data_fknn_spark.functions.numeric import DEC
+
+        m = (
+            assigned.select("cid", F.posexplode("emb").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1)),
+                    12,
+                ).alias("m")
+            )
+        )
+        return m.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+
+    e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
+    c0 = (
+        e.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))
+    )
+    a1 = assign(e, c0)
+    c1 = recenter(a1)
+    a2 = assign(e, c1)
+    return a2.select("vec_id", "cid")
