@@ -570,3 +570,71 @@ def x12_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "nation"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_X12_SQL)
+
+
+_PR_ITER_SQL = """
+  SELECT n.node,
+         round(CAST(0.15 AS DOUBLE) / 100
+               + CAST(0.85 AS DOUBLE) * coalesce(sum({prev}.r / deg.d), 0),
+               12) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN deg ON deg.src = e.src
+  LEFT JOIN {prev} ON {prev}.node = e.src
+  GROUP BY n.node
+"""
+
+
+@register(
+    "x13_pagerank",
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst FROM lineitem
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT unnest(generate_series(0, 99)) AS node),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / 100 AS r FROM nodes),
+r1 AS ({_PR_ITER_SQL.format(prev="r0")}),
+r2 AS ({_PR_ITER_SQL.format(prev="r1")}),
+r3 AS ({_PR_ITER_SQL.format(prev="r2")})
+SELECT node, round(r, 6) AS rank FROM r3
+""",
+)
+def x13_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, three unrolled power iterations (damping 0.85) over
+    a deterministic derived graph (order-key mod 100 → part-key mod
+    100, deduplicated).  With operators/graph.py's connected
+    components this completes the iterative-graph pair.
+
+    Each iteration is scatter (edge join splits rank by out-degree)
+    + gather (sum by destination) — the Pregel superstep as two
+    DataFrame ops.  Ranks are rounded to 12dp between iterations so
+    both engines iterate from bit-identical vectors; double-sum
+    drift over ≤100 in-edges sits ~4 orders below that pin.  At
+    scale the edge list is the big table: partition it by dst so
+    the gather is shuffle-local, broadcast the rank vector while it
+    fits, and checkpoint every ~10 iterations to cut lineage.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 100).alias("src"),
+        (F.col("l_partkey") % 100).alias("dst"),
+    ).distinct()
+    edges.cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = spark.range(100).select(F.col("id").alias("node"))
+    r = nodes.select("node", F.lit(1.0 / 100).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(deg, "src")
+            .join(r.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("d")).alias("c"))
+        )
+        gathered = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        r = nodes.join(gathered, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(0.15 / 100) + 0.85 * F.coalesce("s", F.lit(0.0)), 12
+            ).alias("r"),
+        )
+    return r.select("node", F.round("r", 6).alias("rank"))

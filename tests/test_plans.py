@@ -144,3 +144,34 @@ def test_reshard_agg_reuses_repartition_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, (
         "reshard agg must reuse the repartition exchange, not add its own"
     )
+
+
+def test_q18_having_subquery_is_semi_join(spark):
+    # x11: the HAVING-subquery must lower to a semi join on the
+    # grouped lineitem aggregate, never a full inner re-join.
+    plan = executed_plan(q(spark, "x11_tpch_q18"))
+    assert "LeftSemi" in plan, "qualifying-order probe must be a semi join"
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_lm_broadcasts_vocab(spark):
+    # j27: the vocabulary aggregate re-joins the token stream via
+    # broadcast — tokens must not shuffle by token a second time.
+    plan = executed_plan(q(spark, "j27_unigram_logprob"))
+    assert "BroadcastHashJoin" in plan, "vocab join must broadcast"
+
+
+def test_semdedup_pairs_are_cluster_equi_join(spark):
+    # j26: the pair search must co-partition on the cluster key —
+    # an equi hash/sort-merge join, never an all-pairs product.
+    plan = executed_plan(q(spark, "j26_semdedup"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_broadcasts_centers(spark):
+    # j29: both assign stages broadcast the k-row center table; the
+    # corpus side must never shuffle for the join.
+    plan = executed_plan(q(spark, "j29_kmeans_lloyd"))
+    assert "BroadcastNestedLoopJoin" in plan, "centers must broadcast"
+    assert "CartesianProduct" not in plan
