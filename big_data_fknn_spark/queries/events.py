@@ -17,6 +17,8 @@ expression expands, so they inherit partial+final aggregation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -435,3 +437,47 @@ def _i9_fallback_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(tracked, "update")
+
+
+# ------------------------------ I10. durable streaming file sink
+
+
+@register(
+    "i10_stream_file_sink",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events WHERE value > 5
+""",
+)
+def i10_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable end of a streaming pipeline: file-source stream →
+    filter/project → PARQUET sink with a checkpoint (availableNow
+    trigger), then read the sink back.  Unlike the memory-sink
+    demos, this is the production exactly-once path: the sink's
+    _spark_metadata commit log names exactly the files of committed
+    batches, so a crashed job resumes from the checkpoint without
+    duplicating output, and readers ignore half-written files.  The
+    committed row SET is deterministic (every source row passes
+    through a stateless filter exactly once) → full value oracle.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"i10_sink_{uuid.uuid4().hex[:12]}"
+    )
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    s = (
+        events_stream(spark, sf_dir)
+        .where(F.col("value") > 5)
+        .select("event_id", "user_id", "event_type")
+    )
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)

@@ -1470,3 +1470,59 @@ def j28_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id", F.col("nt").alias("n_tokens"), reason.alias("reason"), keep.alias("keep")
     )
+
+
+# ------------------------------- J30. random projection (dim reduction)
+
+
+@register(
+    "j30_random_projection",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells AS (
+  SELECT e.vec_id, dims.j, pos.i,
+         e.v[pos.i] * CASE WHEN ('0x' || substr(md5(pos.i || '_' || dims.j), 1, 1))::INT % 2 = 0
+                           THEN 1 ELSE -1 END AS term
+  FROM e
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) pos
+  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) dims
+)
+SELECT vec_id, j, round(sum(term) / 8, 6) AS proj
+FROM cells GROUP BY vec_id, j
+""",
+)
+def j30_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign (Achlioptas) random projection 64 → 8 dims — the
+    dimensionality reducer in front of LSH / coarse quantizers at
+    scale.  The ±1 projection matrix is derived from md5 parity of
+    the (row, column) index pair, so both engines materialize the
+    IDENTICAL matrix with no RNG to disagree on; scaling by
+    1/sqrt(64) = 1/8 is exact.
+
+    Plan: the 64×8 sign matrix is a 512-row broadcast; the corpus
+    side posexplodes once and partial-aggregates on (vec_id, j) —
+    shuffle rows = 8 per vector, the projected width, not the input
+    width.  64-term double sums drift ~1e-15, nine orders under the
+    6dp round.
+    """
+    e = embeddings_d(spark, sf_dir)
+    pos = e.select("vec_id", F.posexplode("emb").alias("p0", "x")).select(
+        "vec_id", (F.col("p0") + 1).alias("i"), "x"
+    )
+    dims = spark.range(1, 9).select(F.col("id").alias("j"))
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.col("i"), F.col("j"))), 1, 1),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    cells = pos.crossJoin(F.broadcast(dims)).select(
+        "vec_id", "j", (F.col("x") * sign).alias("term")
+    )
+    return cells.groupBy("vec_id", "j").agg(
+        F.round(F.sum("term") / 8, 6).alias("proj")
+    )
