@@ -1526,3 +1526,54 @@ def j30_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("vec_id", "j").agg(
         F.round(F.sum("term") / 8, 6).alias("proj")
     )
+
+
+# ----------------------------- J31. dedup capstone: the shipped corpus
+
+
+@register(
+    "j31_dedup_survivors",
+    oracle=f"""
+WITH RECURSIVE {{doc_ctes}},
+pairs AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= {{tau}}),
+edges AS (SELECT doc_i AS src, doc_j AS dst FROM pairs
+          UNION ALL
+          SELECT doc_j AS src, doc_i AS dst FROM pairs),
+reach AS (
+  SELECT DISTINCT src AS node, src AS lab FROM edges
+  UNION
+  SELECT e.dst AS node, r.lab AS lab FROM edges e JOIN reach r ON r.node = e.src),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(coalesce(c.cluster_id, d.doc_id) = d.doc_id AS INT) AS kept
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""".format(doc_ctes=_DOC_CTES, tau=_TAU),
+)
+def j31_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's deliverable: the FULL corpus labeled with
+    its canonical cluster id and a kept flag — exactly the table a
+    training run reads (``WHERE kept = 1``).  Composition capstone:
+    exact 3-gram-Jaccard pairs (j8b's inverted index) → transitive
+    clusters (j8f's min-label propagation) → left join back onto
+    documents, singletons surviving as their own canonical.
+
+    The final join is by doc_id against a cluster table that is at
+    most the size of the near-dup subset — tiny at any scale — so
+    the labeling pass costs one broadcast join over the corpus scan.
+    """
+    clusters = j8f_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    lab = F.coalesce("cluster_id", "doc_id")
+    return (
+        docs.join(F.broadcast(clusters), "doc_id", "left")
+        .select(
+            "doc_id",
+            lab.alias("cluster_id"),
+            (lab == F.col("doc_id")).cast("int").alias("kept"),
+        )
+    )
