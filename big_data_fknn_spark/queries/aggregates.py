@@ -304,3 +304,34 @@ def d11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("l_extendedprice").alias("total"),
     )
+
+
+@register(
+    "d12_stat_moments",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def d12_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (stddev/variance/correlation/
+    covariance) per group.  Both engines use numerically stable
+    co-moment merge formulas, so partition-order drift stays ~1e-12
+    relative — far inside the 6-decimal round.  Inputs are kept to
+    small-magnitude columns (quantity 1..50, discount 0..0.1) so the
+    rounding boundary is never in play.  Scale: constant state per
+    group (n, mean, M2, co-moment), merged associatively — the same
+    partial+final HashAggregate shape as d1, no extra pass."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )

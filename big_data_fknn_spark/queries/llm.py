@@ -1577,3 +1577,139 @@ def j31_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lab == F.col("doc_id")).cast("int").alias("kept"),
         )
     )
+
+
+# ------------------------------------------------------- J32. BM25
+
+
+_BM25_TERMS = ("table", "hash", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS_SQL = ", ".join(f"'{q}'" for q in _BM25_TERMS)
+
+
+@register(
+    "j32_bm25",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS term FROM docs),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl, count(*) AS n FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                + {_BM25_B} * dl.dl / stats.avgdl))) AS score,
+         count(*) AS n_terms
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+ranked AS (
+  SELECT doc_id, n_terms, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
+  FROM scored)
+SELECT doc_id, n_terms, score, rn FROM ranked WHERE rn <= 20
+""",
+)
+def j32_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: score every document against a fixed query
+    term set (k1=1.2, b=0.75) and return the top 20.
+
+    Every floating input (tf, df, doclen, avgdl, N) derives from
+    exact integer counts, so both engines feed identical doubles
+    into ln/division — drift is ulp-level, far inside the 6dp round.
+    The rank key is the *rounded* score (+ doc_id), so the top-20
+    cut is engine-independent.
+
+    Scale: tf/df/doclen are partial-aggregable; df and the corpus
+    stats are tiny and broadcast back onto the tf stream; the query
+    filter prunes the token stream before the doc-keyed shuffle.
+    The final top-20 is a TakeOrderedAndProject, never a global
+    sort."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    total_tokens, n_docs = dl.agg(
+        F.sum("dl"), F.count(F.lit(1))
+    ).first()  # two exact ints; at scale: still one tiny agg row
+    avgdl = float(total_tokens) / float(n_docs)
+    tf = (
+        tok.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    part = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(part), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "n_terms", "score", "rn")
+    )
+
+
+# -------------------------------------------- J33. inverted index
+
+
+@register(
+    "j33_inverted_index",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS term FROM docs),
+postings AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf,
+         min(doc_id) AS first_doc
+  FROM tok GROUP BY term),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rn
+  FROM postings)
+SELECT term, df, cf, first_doc, rn FROM ranked WHERE rn <= 100
+""",
+)
+def j33_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → postings statistics (document
+    frequency, collection frequency, first posting), top 100 terms
+    by df.  The postings aggregation is the search-index core of a
+    retrieval stack; here it stays relational so the oracle can
+    verify it value-for-value.
+
+    Scale: one token-keyed shuffle with full map-side combine (the
+    per-partition partial agg collapses each term to constant
+    state); posting *lists* at 100 TB would be collect_list per
+    term-shard written to a key-sorted store — same shuffle shape,
+    bigger payload.  The vocabulary is Zipf-bounded, orders of
+    magnitude smaller than the corpus."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    postings = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("cf"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("term"))
+    return (
+        postings.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 100)
+        .select("term", "df", "cf", "first_doc", "rn")
+    )

@@ -936,3 +936,37 @@ def h8_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shl"),
         F.shiftright(k, 3).alias("shr"),
     )
+
+
+@register(
+    "h9_map_fns",
+    oracle="""
+SELECT event_id,
+       len(json_keys(props)) AS n_keys,
+       json_extract_string(props, '$.k')::INT AS k_val,
+       CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+            THEN 1 ELSE 0 END AS has_k,
+       1 AS tag_val
+FROM events
+""",
+)
+def h9_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the semi-structured ``props`` JSON into
+    a real ``map<string,int>`` and exercise the map operators —
+    ``map_keys``/``size``, ``element_at`` lookup, membership
+    (``map_contains_key``), and ``map_concat`` with a literal map.
+    The DuckDB oracle reaches the same scalars through its JSON
+    functions (it has no first-class MAP over JSON), which is the
+    point: the *values* round-trip identically whichever container
+    the engine uses.  Scale: all scan-stage scalar expressions, one
+    pass, whole-stage codegen, no shuffle."""
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    tagged = F.map_concat(m, F.create_map(F.lit("tag"), F.lit(1)))
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.map_contains_key(m, "k").cast("int").alias("has_k"),
+        F.element_at(tagged, "tag").alias("tag_val"),
+    )

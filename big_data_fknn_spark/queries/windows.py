@@ -229,3 +229,29 @@ def e6_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
     )
+
+
+@register(
+    "f4_offset",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40
+""",
+)
+def f4_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination: ORDER BY + OFFSET + LIMIT (page 3 of
+    20).  Spark plans offset+limit over a sorted stream as a single
+    TakeOrderedAndProject of the first offset+limit rows, then drops
+    the prefix — no global sort materialized.  The unique
+    (price, orderkey) sort key makes every page boundary
+    deterministic in both engines.  Scale note: OFFSET cost grows
+    with the offset (the first offset+limit rows are still
+    collected); deep pagination at 100 TB should switch to keyset
+    (WHERE sortkey > last_seen) — same plan as f2."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
