@@ -335,3 +335,67 @@ def d12_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "d13_median",
+    oracle="""
+SELECT o_orderpriority,
+       round(median(o_totalprice), 6) AS med_price,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def d13_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median (the `median` builtin, Spark 3.4+).
+
+    Both engines interpolate the even-count midpoint as (a+b)/2 on
+    doubles — the identical IEEE op — so the result hash-matches
+    without a tolerance.  Scale note: exact median materializes the
+    group's values for the percentile pass (unlike d12's constant
+    state); for high-cardinality keys at 100 TB prefer
+    approx_percentile (d3's sketch cousin) or x3's manual
+    interpolation over a pre-aggregated value histogram."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 6).alias("med_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "d14_conditional_agg",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+       bool_and(o_totalprice > 0) AS all_pos,
+       bool_or(o_orderstatus = 'F') AS any_final,
+       arg_max(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
+               + o_orderkey) AS top_order
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def d14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / selector aggregates: count_if (SQL FILTER),
+    bool_and/bool_or, and max_by (arg_max).  All are single-pass
+    partial+final aggregates — constant merge state, map-side combine
+    does the work at 100 TB, same as d1.
+
+    Determinism note: max_by ties are engine-arbitrary, so the
+    ordering value packs (cents, orderkey) into one BIGINT —
+    o_totalprice has 2 decimals and fits 2^43 cents, o_orderkey fits
+    the low 10^10 — making the argmax unique.  Both engines compute
+    the identical packed integer (round() on an exactly-representable
+    double)."""
+    o = t(spark, sf_dir, "orders")
+    packed = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(10000000000).cast("bigint")
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+        F.max_by("o_orderkey", packed).alias("top_order"),
+    )

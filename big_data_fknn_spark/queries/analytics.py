@@ -638,3 +638,161 @@ def x13_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return r.select("node", F.round("r", 6).alias("rank"))
+
+
+@register(
+    "x14_unpivot",
+    oracle="""
+SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice::DOUBLE AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_size' AS attr, p_size::DOUBLE AS val FROM part
+""",
+)
+def x14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) — the inverse of d5's pivot.  Spark's
+    native `unpivot` compiles to a single Expand node (one scan, rows
+    × n_values emitted map-side, no shuffle, no self-union) — at 100
+    TB that halves the read vs the UNION ALL a SQL user would write,
+    which is exactly what the oracle spells out."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double"),
+        F.col("p_size").cast("double"),
+    )
+    return p.unpivot(
+        ["p_partkey"], ["p_retailprice", "p_size"], "attr", "val"
+    )
+
+
+@register(
+    "x15_scd2",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM e WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+       row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS version
+FROM chg
+""",
+)
+def x15_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each user's
+    event stream into validity intervals of their current event_type
+    (change-row filter via lag, interval close via lead, NULL
+    valid_to = current version).  The warehouse-dimension shape the
+    reference never needed but every 100 TB pipeline maintains.
+    Scale: one shuffle on user_id serves all three windows (same
+    partition key); ties broken by event_id so both engines chain
+    versions identically."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return chg.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )
+
+
+@register(
+    "x16_tpch_q10",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def x16_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): quarter-filtered
+    orders ⋈ return-flagged lineitem ⋈ customer ⋈ broadcast nation,
+    grouped revenue, global top-20.  Both date predicates push into
+    the scans; the final cut is TakeOrderedAndProject on an exact
+    decimal sum (cross-engine stable, same rationale as x1)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "x17_observe_metrics",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::DOUBLE AS gross
+FROM lineitem
+WHERE l_quantity < 30
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def x17_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe` — pipeline observability: named accumulator-style
+    metrics (row count, sum) collected DURING the normal pass, zero
+    extra scan.  At 100 TB this is how a production job publishes
+    data-quality counters (rows in, rows dropped, checksum) without a
+    second read of the input; in Structured Streaming the same
+    Observation surfaces per-batch.  The observed metrics ride the
+    query asynchronously, so the returned result — what the oracle
+    checks — is the ordinary aggregate."""
+    from pyspark.sql import Observation
+
+    li = t(spark, sf_dir, "lineitem")
+    obs = Observation("x17_quality")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count_if(F.col("l_quantity") < 30).alias("rows_kept"),
+    )
+    return (
+        observed.where(F.col("l_quantity") < 30)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("gross"),
+        )
+    )

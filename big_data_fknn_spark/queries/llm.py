@@ -1713,3 +1713,51 @@ def j33_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 100)
         .select("term", "df", "cf", "first_doc", "rn")
     )
+
+
+@register(
+    "j34_fuzzy_editdist",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang, split_part(text, ' ', 1) AS tok1,
+         substr(text, 1, 60) AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       levenshtein(a.prefix, c.prefix) AS edit_dist
+FROM b a JOIN b c
+  ON a.lang = c.lang AND a.tok1 = c.tok1 AND a.doc_id < c.doc_id
+WHERE levenshtein(a.prefix, c.prefix) <= 30
+""",
+)
+def j34_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection: Levenshtein over 60-char
+    document prefixes, with a (lang, first-token) blocking key so the
+    quadratic comparison runs per block, never corpus-wide — the
+    classic record-linkage shape.  Scale: the equi-join co-partitions
+    blocks across executors; cost is Σ|block|² (biggest block here is
+    ~12 docs), and blocks are independent so skew is handled by AQE.
+    At 100 TB you'd tighten blocks (lang + simhash band, see j8c)
+    before the Levenshtein pass.  ASCII corpus → Spark's
+    char-based and DuckDB's distances agree exactly."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok1"),
+        F.substring("text", 1, 60).alias("prefix"),
+    )
+    a, c = d.alias("a"), d.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.lang") == F.col("c.lang"))
+            & (F.col("a.tok1") == F.col("c.tok1"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("c.prefix")).alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 30)
+    )

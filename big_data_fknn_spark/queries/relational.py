@@ -970,3 +970,164 @@ def h9_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_contains_key(m, "k").cast("int").alias("has_k"),
         F.element_at(tagged, "tag").alias("tag_val"),
     )
+
+
+# ------------------------------------------------- late additions (r1 cont.)
+
+
+@register(
+    "c11_lateral_topk",
+    oracle="""
+SELECT n.n_name, tc.c_custkey, tc.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) tc
+""",
+)
+def c11_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (Spark 3.4+ SQL): top-2
+    customers by balance per nation, written the way a SQL user
+    writes it.  Catalyst decorrelates the LIMIT-per-key subquery
+    into a window rank ≤ k under the hood — the same physical shape
+    as e1_topk_window, so the WindowGroupLimit map-side prune still
+    applies at 100 TB.  Deterministic: (c_acctbal DESC, c_custkey)
+    is a unique order."""
+    import uuid as _uuid
+
+    sfx = _uuid.uuid4().hex[:8]
+    t(spark, sf_dir, "nation").createOrReplaceTempView(f"nation_{sfx}")
+    t(spark, sf_dir, "customer").createOrReplaceTempView(f"customer_{sfx}")
+    return spark.sql(
+        f"""
+SELECT n.n_name, tc.c_custkey, tc.c_acctbal
+FROM nation_{sfx} n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer_{sfx} c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) tc
+"""
+    )
+
+
+@register(
+    "a12_json_roundtrip",
+    oracle="""
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY event_type
+""",
+)
+def a12_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed JSON-lines round trip of a real table: Spark
+    writes events as JSONL (timestamps serialized as strings — JSON
+    has no timestamp type), re-reads with a DECLARED schema (no
+    inference pass — at 100 TB schema inference is a full extra
+    scan), parses timestamps back, and aggregates.  Matching the
+    parquet-sourced oracle proves the round trip is lossless to
+    microsecond precision."""
+    out = _tmp_path("a12_events_jsonl")
+    (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("string").alias("ts_str"),
+        )
+        .write.mode("overwrite")
+        .json(out)
+    )
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, ts_str string"
+    ).json(out)
+    return (
+        back.select(
+            "event_type", "user_id", F.col("ts_str").cast("timestamp").alias("ts")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "h10_variant",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def h10_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): `parse_json` builds the
+    binary variant encoding once at scan time, `try_variant_get`
+    extracts typed fields without re-parsing the JSON text per access
+    — at 100 TB with many extractions per row that one-time parse is
+    the difference vs h5's get_json_object (which re-parses the
+    string per call).  try_ semantics (NULL on type mismatch) match
+    the oracle's permissive string-extract + cast."""
+    e = t(spark, sf_dir, "events")
+    k = F.expr("try_variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "a13_python_datasource",
+    oracle="""
+SELECT (range * range) % 97 % 7 AS bucket,
+       count(*) AS n,
+       CAST(sum((range * range) % 97) AS BIGINT) AS sum_h,
+       min(range) AS first_id,
+       max(range) AS last_id
+FROM range(100000) GROUP BY 1
+""",
+)
+def a13_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 `pyspark.sql.datasource`) —
+    the distributed successor to the reference's driver-side KEEL
+    parser ([R KeelParser.scala]; sources/keel.py is our faithful
+    path).  `DetSeqDataSource` splits itself into InputPartitions
+    whose `read` runs on executors, so a new format scales with the
+    cluster, not the driver.  Deterministic arithmetic rows → the
+    oracle regenerates them with range().  The aggregate on top
+    proves the source composes with ordinary Catalyst plans."""
+    from big_data_fknn_spark.sources.pyds import DetSeqDataSource
+
+    try:
+        spark.dataSource.register(DetSeqDataSource)
+    except Exception:
+        pass  # already registered in this session
+    seq = (
+        spark.read.format("detseq")
+        .option("n", 100000)
+        .option("parts", 8)
+        .load()
+    )
+    return seq.groupBy((F.col("h") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h").alias("sum_h"),
+        F.min("id").alias("first_id"),
+        F.max("id").alias("last_id"),
+    )

@@ -138,3 +138,107 @@ def k4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT b.doc_id, b.pos, b.bigram FROM {view} d, LATERAL {fn}(d.doc_id, d.text) b"
     )
+
+
+@register(
+    "k5_cogroup",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+                  round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS cust_bal
+           FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp,
+             round(sum(CAST(s_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS supp_bal
+      FROM supplier GROUP BY 1)
+SELECT coalesce(c.nationkey, s.nationkey)::BIGINT AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(cust_bal, 0.0) AS cust_bal,
+       coalesce(n_supp, 0) AS n_supp,
+       coalesce(supp_bal, 0.0) AS supp_bal
+FROM c FULL JOIN s ON c.nationkey = s.nationkey
+""",
+)
+def k5_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas UDF: both tables shuffle on the key, each
+    key's two groups arrive as two pandas frames in ONE Python call —
+    the escape hatch for custom merge logic no join expresses (as-of
+    matching, per-key reconciliation).  This kernel does a full-outer
+    aggregate merge so it carries a value oracle; sums accumulate in
+    Decimal (exact, order-independent — functions/numeric.py
+    rationale applies inside Python too).  Scale: one co-partitioned
+    shuffle per side, then embarrassingly parallel per key; group
+    pairs must fit one worker's memory."""
+    from decimal import Decimal
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"), "c_acctbal"
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey"), "s_acctbal"
+    )
+
+    def merge(key: tuple, c: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:
+        def dec_sum(vals) -> float:
+            total = sum((Decimal(repr(float(v))) for v in vals), Decimal(0))
+            return float(round(total, 6))
+
+        return pd.DataFrame(
+            {
+                "nationkey": [int(key[0])],
+                "n_cust": [len(c)],
+                "cust_bal": [dec_sum(c["c_acctbal"]) if len(c) else 0.0],
+                "n_supp": [len(s)],
+                "supp_bal": [dec_sum(s["s_acctbal"]) if len(s) else 0.0],
+            }
+        )
+
+    return (
+        cust.groupBy("nationkey")
+        .cogroup(supp.groupBy("nationkey"))
+        .applyInPandas(
+            merge,
+            "nationkey bigint, n_cust bigint, cust_bal double, "
+            "n_supp bigint, supp_bal double",
+        )
+    )
+
+
+@register(
+    "k6_map_in_arrow",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents
+""",
+)
+def k6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: partitions stream through Python as raw Arrow
+    RecordBatches — no pandas conversion at all, the cheapest Python
+    hop Spark offers.  The kernel runs vectorized pyarrow.compute
+    string ops (token counting here; the same shape the multimodal
+    decode path j12b uses for binary payloads).  ASCII corpus, so
+    utf8_length == DuckDB length(); tokens = space-count + 1 (docs
+    have no leading/trailing/double spaces — same convention as
+    j15)."""
+
+    def count_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.add(pc.count_substring(text, " "), 1), pa.int64()
+                    ),
+                ],
+                ["doc_id", "n_chars", "n_tokens"],
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        count_batches, "doc_id bigint, n_chars bigint, n_tokens bigint"
+    )

@@ -1,0 +1,60 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API).
+
+The reference feeds Spark from external text formats via a
+hand-written parser on the driver ([R utils/keel/KeelParser.scala] —
+see sources/keel.py for that path).  Spark 4 generalizes "teach Spark
+a new format" into a first-class, *distributed* API: a DataSource
+declares its schema and splits itself into InputPartitions; each
+partition's `read` runs on an executor, so ingestion scales with the
+cluster instead of the driver.
+
+`DetSeqDataSource` is a deterministic arithmetic-sequence source —
+the minimal honest demo (no RNG, so the DuckDB oracle can reproduce
+every row): `n` rows split into `parts` input partitions, each row
+carrying its id and a small modular-hash column.  The same skeleton
+is what a KEEL/HDF5/tar-of-images reader would use at 100 TB: replace
+the range arithmetic with "list my files, one InputPartition per
+file/stripe, yield decoded rows".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _SeqPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _SeqReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 4))
+
+    def partitions(self):
+        step = max(1, (self.n + self.parts - 1) // self.parts)
+        return [
+            _SeqPartition(i, min(i + step, self.n))
+            for i in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _SeqPartition):
+        # Runs on an executor; emits plain tuples matching schema().
+        for i in range(partition.start, partition.end):
+            yield (i, (i * i) % 97)
+
+
+class DetSeqDataSource(DataSource):
+    """`spark.read.format("detseq").option("n", N).option("parts", P)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "detseq"
+
+    def schema(self) -> str:
+        return "id bigint, h bigint"
+
+    def reader(self, schema):
+        return _SeqReader(self.options)
