@@ -15,35 +15,28 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructType
 
-# Raw parquet schema of events.parquet with ts read as long nanos
-# (Spark 4 rejects TIMESTAMP(NANOS); see tables.events_t).
-EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Declared file-stream schema matching the batch read of events.
+
+    A file stream needs an explicit schema; derive it from a one-off
+    batch read so ts comes out as long-nanos or TIMESTAMP_NTZ exactly
+    as the batch path (tables.events_t) would see it.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream with a proper timestamp."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(spark, sf_dir)
     src_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(src_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(schema).parquet(src_dir)
+    if isinstance(schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -36,20 +37,27 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with its TIMESTAMP(NANOS) column made readable.
+    """events with `ts` normalized to a session-TZ TIMESTAMP.
 
-    Spark 4 rejects parquet nano timestamps ([PARQUET_TYPE_ILLEGAL]);
-    the legacy conf reads them as long nanos, which we truncate to
-    microseconds — bit-identical to DuckDB's ns→µs TIMESTAMP read of
-    the same file, so oracles can compare `ts` directly.
+    The generator has shipped `ts` as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) parquet across regenerations, so handle either:
 
-    Scale note: the cast hides `ts` from parquet predicate pushdown;
-    at 100 TB the table would be date-partitioned at rest so pruning
-    happens on the partition column instead.
+    - nanos: Spark 4 rejects them outright ([PARQUET_TYPE_ILLEGAL]);
+      the legacy conf reads them as long nanos which we truncate to
+      microseconds — bit-identical to DuckDB's ns→µs TIMESTAMP read.
+    - micros: arrives as TIMESTAMP_NTZ; a plain cast relabels it as
+      session-TZ TIMESTAMP (value-identical — session TZ is UTC,
+      session.py) so every downstream window/oracle sees one type.
+
+    Scale note: a cast on `ts` hides it from parquet predicate
+    pushdown; at 100 TB the table would be date-partitioned at rest
+    so pruning happens on the partition column instead.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def embeddings_d(spark: SparkSession, sf_dir: str) -> DataFrame:
