@@ -399,3 +399,34 @@ def d14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
         F.max_by("o_orderkey", packed).alias("top_order"),
     )
+
+
+@register(
+    "d15_string_agg",
+    oracle="""
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       count(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def d15_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): collect,
+    sort inside the aggregate, then join with a delimiter — the
+    deterministic form (an unordered listagg is nondeterministic
+    under parallelism and would never hash-match).  collect_list's
+    partial states concat map-side like any agg buffer; the sort cost
+    is per-group output size, not input size."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )

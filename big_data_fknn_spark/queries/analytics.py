@@ -796,3 +796,154 @@ def x17_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("gross"),
         )
     )
+
+
+@register(
+    "x18_tpch_q6",
+    oracle="""
+SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 6)::DOUBLE AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def x18_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (revenue-change forecast): the pure scan-side
+    query — conjunctive range predicates, no join, no grouping.  Every
+    predicate reaches the parquet reader (PushedFilters in .explain)
+    so at 100 TB the job is IO-bound on exactly the row groups whose
+    min/max stats overlap the ranges; the agg itself is a single
+    partial+final over whatever survives."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "x19_tpch_q14",
+    oracle="""
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))
+                          ELSE 0 END)::DOUBLE
+         / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE,
+         6) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+""",
+)
+def x19_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): selective fact filter, a
+    dimension join that should broadcast (part is tiny relative to
+    lineitem at any scale where this engine matters), and a
+    conditional-ratio aggregate.  Both sums accumulate in exact
+    decimal; the division happens once, driver-side-free, after the
+    single shuffle-free final agg."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "x20_tpch_q19",
+    oracle="""
+SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def x20_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR-branches each mixing build-side (part) and probe-side
+    (lineitem) columns.  Catalyst extracts the common single-side
+    conjuncts from the OR (l_quantity <= 30, p_size >= 1, brand IN
+    set) and pushes them below the join, so the broadcast probe sees
+    a pre-filtered fact stream — the classic CNF-extraction test."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        j.where(
+            branch("Brand#12", 15, 1, 11)
+            | branch("Brand#23", 20, 10, 20)
+            | branch("Brand#3", 25, 20, 30)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "x21_tpch_q4",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def x21_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS against the
+    fact table expressed directly as a left-semi join — the physical
+    form Catalyst decorrelates the subquery into anyway.  The semi
+    join short-circuits per probe row (first match wins, no fanout),
+    and the priority rollup after it is a 5-group agg whose map-side
+    combine reduces each partition to at most 5 rows before the only
+    shuffle."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

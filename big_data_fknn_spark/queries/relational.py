@@ -1131,3 +1131,49 @@ def a13_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("first_id"),
         F.max("id").alias("last_id"),
     )
+
+
+@register(
+    "h11_math_fns",
+    oracle="""
+SELECT p_partkey,
+       round(ln(p_retailprice), 6) AS ln_price,
+       round(log10(p_retailprice), 6) AS log10_price,
+       round(sqrt(p_retailprice), 6) AS sqrt_price,
+       round(pow(p_size, 1.5), 6) AS size_pow,
+       round(exp(p_size / 50.0), 6) AS size_exp,
+       round(sin(p_size), 6) AS size_sin,
+       round(atan2(p_size, p_retailprice), 6) AS size_atan2,
+       abs(p_size - 25) AS size_dev,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       p_size % 7 AS size_mod
+FROM part
+WHERE p_partkey <= 200
+""",
+)
+def h11_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math-function surface: ln/log10/sqrt/pow/exp/trig/
+    abs/floor/ceil/mod.  Both engines call the same IEEE-754 libm
+    family; round(x, 6) absorbs any last-ulp platform drift
+    (SURVEY.md §7.1).  All of it runs inside one whole-stage-codegen
+    project over the scan — zero shuffles, and at 100 TB the columns
+    not referenced never leave the parquet footer (ReadSchema
+    pruning)."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.round(F.log(F.col("p_retailprice")), 6).alias("ln_price"),
+        F.round(F.log10("p_retailprice"), 6).alias("log10_price"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.round(F.pow("p_size", F.lit(1.5)), 6).alias("size_pow"),
+        F.round(F.exp(F.col("p_size") / 50.0), 6).alias("size_exp"),
+        F.round(F.sin("p_size"), 6).alias("size_sin"),
+        F.round(F.atan2(F.col("p_size").cast("double"), "p_retailprice"), 6).alias(
+            "size_atan2"
+        ),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )

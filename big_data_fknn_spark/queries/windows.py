@@ -255,3 +255,27 @@ def f4_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "e7_cume_dist",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
+FROM customer
+WHERE c_custkey <= 300
+""",
+)
+def e7_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist — fraction of partition rows ordered at-or-below the
+    current row.  Rank-family semantics make it tie-stable (equal
+    order keys share one value), so no synthetic tiebreaker is needed
+    for cross-engine parity, unlike row_number.  One shuffle on the
+    partition key, sort within, single pass."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -175,3 +175,37 @@ def test_kmeans_broadcasts_centers(spark):
     plan = executed_plan(q(spark, "j29_kmeans_lloyd"))
     assert "BroadcastNestedLoopJoin" in plan, "centers must broadcast"
     assert "CartesianProduct" not in plan
+
+
+def test_q6_pushes_every_predicate_to_scan(spark):
+    # x18: the pure-scan query must push its range predicates into
+    # the parquet reader and aggregate without any join.
+    plan = executed_plan(q(spark, "x18_tpch_q6"))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    assert "Join" not in plan
+
+
+def test_q14_and_q19_broadcast_part(spark):
+    # x19/x20: part is the dimension side — it must arrive via
+    # BroadcastHashJoin, and lineitem must not shuffle for the join.
+    for key in ("x19_tpch_q14", "x20_tpch_q19"):
+        plan = executed_plan(q(spark, key))
+        assert "BroadcastHashJoin" in plan, f"{key}: part must broadcast"
+        assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    # x21: EXISTS must run as a left-semi join probing filtered
+    # lineitem; the returnflag filter must sit below the join.
+    plan = executed_plan(q(spark, "x21_tpch_q4"))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_math_fns_single_stage_no_shuffle(spark):
+    # h11: pure scalar projection — no Exchange anywhere, and the
+    # scan must prune to the two referenced part columns + key.
+    plan = executed_plan(q(spark, "h11_math_fns"))
+    assert "Exchange" not in plan
+    assert "p_name" not in plan, "unreferenced columns must be pruned"
