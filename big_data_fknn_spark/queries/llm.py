@@ -1761,3 +1761,53 @@ def j34_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 30)
     )
+
+
+@register(
+    "j35_seq_packing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), packed AS (
+  SELECT lang, doc_id, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / 2048) AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT lang, bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, bin_id
+""",
+)
+def j35_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign documents to fixed token
+    budgets (2048/bin) by CONTIGUOUS offset — a doc starts in the bin
+    where its running-token offset lands.  Deterministic by
+    construction (doc_id order within language), unlike first-fit
+    heuristics whose output depends on visit order across workers.
+    One shuffle on lang serves both the running sum and the bin
+    rollup; at 100 TB each language streams independently and the
+    window state is a single counter per partition."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = d.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(2048)),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -209,3 +209,19 @@ def test_math_fns_single_stage_no_shuffle(spark):
     plan = executed_plan(q(spark, "h11_math_fns"))
     assert "Exchange" not in plan
     assert "p_name" not in plan, "unreferenced columns must be pruned"
+
+
+def test_multires_rollup_is_one_scan_one_expand(spark):
+    # x22: three time grains must come from a single Expand over one
+    # events scan — never a union of three separate reads.
+    plan = executed_plan(q(spark, "x22_time_rollup_multires"))
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1, "three grains must share one scan"
+    assert "Union" not in plan
+
+
+def test_seq_packing_single_lang_shuffle(spark):
+    # j35: the running-offset window and the bin rollup must share
+    # the lang-keyed exchange — one shuffle in the whole plan.
+    plan = executed_plan(q(spark, "j35_seq_packing"))
+    assert plan.count("Exchange hashpartitioning") == 1
