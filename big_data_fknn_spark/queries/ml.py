@@ -415,3 +415,78 @@ def j29_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = recenter(a1)
     a2 = assign(e, c1)
     return a2.select("vec_id", "cid")
+
+
+@register("j36_mllib_pipeline", oracle=None)  # iterative LBFGS → rows-only
+def j36_mllib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's north star verbatim: an MLlib *Pipeline* over
+    DataFrames — array column → Vector (array_to_vector, zero-copy
+    per row), StandardScaler fit on train, multinomial logistic
+    regression, transform on the held-out split, per-(label, pred)
+    counts.  Training is treeAggregate gradient passes (the same
+    partial+final shape as every agg here); prediction is one
+    broadcast of the coefficient matrix — embarrassingly parallel at
+    any scale.  LBFGS converges engine-side → rows-only check."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler
+    from pyspark.ml.functions import array_to_vector
+
+    train, test = train_test_split(spark, sf_dir)
+    to_vec = lambda df: df.select(  # noqa: E731
+        "vec_id", "label", array_to_vector("emb").alias("features_raw")
+    )
+    pipe = Pipeline(
+        stages=[
+            StandardScaler(
+                inputCol="features_raw", outputCol="features", withMean=True
+            ),
+            LogisticRegression(
+                maxIter=25, regParam=0.01, family="multinomial", tol=1e-7
+            ),
+        ]
+    )
+    model = pipe.fit(to_vec(train))
+    return (
+        model.transform(to_vec(test))
+        .groupBy("label", F.col("prediction").cast("int").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("j37_brp_lsh", oracle=None)  # MLlib seeded hyperplanes → rows-only
+def j37_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH — the euclidean-distance ANN scale
+    path promised in SURVEY §2 j9 (MinHashLSH covers Jaccard in j8e).
+    Vectors hash into buckets by quantized random projections;
+    approxSimilarityJoin only compares bucket collisions, so join
+    work scales with collision mass, not |corpus|².  Seeded → stable
+    per engine build, but hyperplanes are engine-internal → rows-only
+    (j8d is the oracled exact twin on the same threshold family)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = embeddings_d(spark, sf_dir).select(
+        "vec_id", array_to_vector("emb").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=1.0,
+        numHashTables=3,
+        seed=42,
+    )
+    model = lsh.fit(emb)
+    # Threshold 1.2 ≈ the 0.5% quantile of the pairwise-distance
+    # distribution (64-dim near-orthogonal vectors: median 1.41) —
+    # selects genuinely-near pairs instead of everything.
+    pairs = model.approxSimilarityJoin(emb, emb, 1.2, distCol="dist")
+    return (
+        pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("a"),
+            F.col("datasetB.vec_id").alias("b"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .orderBy("a", "b")
+    )
