@@ -947,3 +947,54 @@ def x21_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@register(
+    "x23_zorder_cluster",
+    oracle="""
+WITH z AS (
+  SELECT l_partkey % 1024 AS pk, l_suppkey % 1024 AS sk,
+         ( ((((l_partkey % 1024) >> 0) & 1) << 1)  | ((((l_suppkey % 1024) >> 0) & 1) << 0)
+         | ((((l_partkey % 1024) >> 1) & 1) << 3)  | ((((l_suppkey % 1024) >> 1) & 1) << 2)
+         | ((((l_partkey % 1024) >> 2) & 1) << 5)  | ((((l_suppkey % 1024) >> 2) & 1) << 4)
+         | ((((l_partkey % 1024) >> 3) & 1) << 7)  | ((((l_suppkey % 1024) >> 3) & 1) << 6)
+         | ((((l_partkey % 1024) >> 4) & 1) << 9)  | ((((l_suppkey % 1024) >> 4) & 1) << 8)
+         | ((((l_partkey % 1024) >> 5) & 1) << 11) | ((((l_suppkey % 1024) >> 5) & 1) << 10)
+         | ((((l_partkey % 1024) >> 6) & 1) << 13) | ((((l_suppkey % 1024) >> 6) & 1) << 12)
+         | ((((l_partkey % 1024) >> 7) & 1) << 15) | ((((l_suppkey % 1024) >> 7) & 1) << 14)
+         | ((((l_partkey % 1024) >> 8) & 1) << 17) | ((((l_suppkey % 1024) >> 8) & 1) << 16)
+         | ((((l_partkey % 1024) >> 9) & 1) << 19) | ((((l_suppkey % 1024) >> 9) & 1) << 18)
+         ) AS zval
+  FROM lineitem
+)
+SELECT zval >> 16 AS zbucket, count(*) AS n,
+       min(pk) AS pk_min, max(pk) AS pk_max,
+       min(sk) AS sk_min, max(sk) AS sk_max
+FROM z GROUP BY zbucket
+""",
+)
+def x23_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout: interleave the low 10 bits
+    of the two join keys, bucket rows by the top z-bits, and report
+    each bucket's key bounding box.  This is the lakehouse data-layout
+    primitive — sorting files by zval makes per-file min/max stats
+    tight in BOTH keys simultaneously, so scans filtering on either
+    key prune files (the per-bucket pk/pk_max spans in the result ARE
+    those pruning stats).  Pure int64 lane math (h8 family) in one
+    codegen stage; the only shuffle is the bucket rollup."""
+    li = t(spark, sf_dir, "lineitem")
+    pk = F.col("l_partkey") % 1024
+    sk = F.col("l_suppkey") % 1024
+    zval = F.lit(0).cast("bigint")
+    for i in range(10):
+        zval = zval.bitwiseOR(
+            F.shiftleft(F.shiftright(pk, i) % 2, 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(sk, i) % 2, 2 * i))
+    z = li.select(pk.alias("pk"), sk.alias("sk"), zval.alias("zval"))
+    return z.groupBy(F.shiftright("zval", 16).alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pk").alias("pk_min"),
+        F.max("pk").alias("pk_max"),
+        F.min("sk").alias("sk_min"),
+        F.max("sk").alias("sk_max"),
+    )

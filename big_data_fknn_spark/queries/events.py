@@ -525,3 +525,22 @@ FROM x22_ev
 GROUP BY GROUPING SETS ((h), (d), (m))
 """
     ).withColumn("total", F.col("total").cast("double"))
+
+
+@register("i11_stream_session_live", oracle=None)
+def i11_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming session window: the live twin of i3 — replayed
+    events, 10-minute watermark, per-user 30-minute-gap sessions.
+    Session state merges windows as events arrive and finalizes when
+    the watermark passes a session's close; complete mode makes the
+    single availableNow replay emit every session so tests can assert
+    it equals the batch i3 result exactly.  At scale the state store
+    holds only open sessions (bounded by active users × gap), not
+    history."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    return run_to_memory(agg, "complete")

@@ -84,3 +84,17 @@ def test_i9_transform_with_state_per_user_totals(spark, events_batch):
     w = rows(want.withColumn("total_value", F.round("total_value", 6)),
              "user_id", "n_events", "total_value")
     assert g == w
+
+
+def test_live_session_window_equals_batch(spark):
+    # i11 (true streaming session window) must produce exactly the
+    # batch i3 session set — same users, starts, and counts.
+    from big_data_fknn_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    live = {
+        tuple(r) for r in reg["i11_stream_session_live"].fn(spark, sf).collect()
+    }
+    batch = {tuple(r) for r in reg["i3_session"].fn(spark, sf).collect()}
+    assert live == batch
