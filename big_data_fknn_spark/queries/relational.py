@@ -1177,3 +1177,90 @@ def h11_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("p_retailprice").alias("price_ceil"),
         (F.col("p_size") % 7).alias("size_mod"),
     )
+
+
+@register(
+    "h12_intervals",
+    oracle="""
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 45 DAY AS due_date,
+       o_orderdate + INTERVAL 3 MONTH AS review_date,
+       (date_trunc('month', o_orderdate) + INTERVAL 1 MONTH - INTERVAL 1 DAY)::TIMESTAMP AS month_end,
+       round(date_diff('second', o_orderdate, TIMESTAMP '2000-01-01') / 86400.0, 6) AS days_to_y2k
+FROM orders
+WHERE o_orderkey <= 500
+""",
+)
+def h12_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic: day intervals (fixed 24 h), calendar month
+    intervals (variable length — `+ 3 months` lands on the same
+    day-of-month, which ADD_MONTHS/INTERVAL agree on for these dates),
+    end-of-month via trunc + month − day, and a fractional-day
+    difference.  All constant-folded expression work inside one
+    codegen stage over the pruned 2-column scan.
+
+    Oracle gotcha: DuckDB 1.0.0 dedups constant subexpressions by
+    interval VALUE equality, under which 3 MONTH == 90 DAY (30-day
+    months) — a 90-day due_date would silently alias the 3-month
+    review_date.  45 DAY keeps every interval distinct."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("review_date"),
+        (
+            F.date_trunc("month", "o_orderdate")
+            + F.expr("INTERVAL 1 MONTH")
+            - F.expr("INTERVAL 1 DAY")
+        )
+        .cast("timestamp")
+        .alias("month_end"),
+        F.round(
+            (
+                F.lit("2000-01-01").cast("timestamp").cast("long")
+                - F.col("o_orderdate").cast("timestamp").cast("long")
+            )
+            / 86400.0,
+            6,
+        ).alias("days_to_y2k"),
+    )
+
+
+@register(
+    "g5_union_byname",
+    oracle="""
+SELECT c_custkey AS entity_key, c_acctbal AS balance, c_mktsegment AS segment,
+       NULL::VARCHAR AS priority
+FROM customer WHERE c_custkey <= 200
+UNION ALL BY NAME
+SELECT o_orderkey AS entity_key, o_totalprice AS balance,
+       NULL::VARCHAR AS segment, o_orderpriority AS priority
+FROM orders WHERE o_orderkey <= 200
+""",
+)
+def g5_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving UNION: two sources with overlapping-but-
+    different columns combine by NAME with NULL backfill
+    (unionByName(allowMissingColumns=True)) — how a pipeline appends
+    a new-generation table to an old one without positional-union
+    corruption.  Zero shuffle: union is a metadata concat of the two
+    scans."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 200)
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 200)
+        .select(
+            F.col("o_orderkey").alias("entity_key"),
+            F.col("o_totalprice").alias("balance"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    return c.unionByName(o, allowMissingColumns=True)

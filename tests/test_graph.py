@@ -28,3 +28,44 @@ def test_two_components_and_direction_irrelevant(spark):
 def test_star_and_cycle(spark):
     got = _cc(spark, [(10, 11), (10, 12), (10, 13), (20, 21), (21, 22), (22, 20)])
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_random_graphs_match_union_find(spark):
+    # Property check: on deterministic pseudo-random graphs, the
+    # distributed min-label propagation must agree with a sequential
+    # union-find on every node.  Seeds cover sparse, dense, and
+    # many-component regimes; failures would print the seed.
+    import random
+
+    def union_find(n_nodes, edges):
+        parent = {v: v for e in edges for v in e}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-label per component
+        comp = {}
+        for v in parent:
+            r = find(v)
+            comp.setdefault(r, []).append(v)
+        out = {}
+        for members in comp.values():
+            m = min(members)
+            for v in members:
+                out[v] = m
+        return out
+
+    for seed, n, m in [(1, 12, 8), (2, 30, 45), (3, 50, 20), (4, 8, 28)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = _cc(spark, edges)
+        want = union_find(n, edges)
+        assert got == want, f"seed={seed}"

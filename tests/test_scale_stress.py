@@ -67,3 +67,49 @@ def test_blas_kernel_2k_x_20k_under_budget(spark, stress_path):
     idx = np.lexsort((np.arange(N_CAND), d))[:5]
     want = sorted((int(i), round(float(d[i]), 9)) for i in idx)
     assert got == want
+
+
+def test_aqe_splits_skewed_join(spark):
+    # Scale evidence: a join where one key holds ~100x the rows of
+    # every other must trigger AQE's skew-join splitting (the 100 TB
+    # hot-key defense) once the skew thresholds are scaled down to
+    # testdata size.  Assert the executed plan marks the join skew=true.
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        skewed = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 != 0, F.lit(7)).otherwise(F.col("id") % 50)
+            .alias("k"),
+            (F.col("id") * 3).alias("payload"),
+        )
+        dim = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 11).alias("dval")
+        )
+        # No agg downstream: AQE declines to split a skewed join whose
+        # output partitioning a later stage would have to rebuild.
+        # Action must run on THIS Dataset so its queryExecution holds
+        # the final adaptive plan (a write clones the plan).
+        j = skewed.join(dim, "k").select("k", "payload", "dval")
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE must mark the skewed join"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
