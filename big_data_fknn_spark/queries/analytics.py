@@ -998,3 +998,40 @@ def x23_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sk").alias("sk_min"),
         F.max("sk").alias("sk_max"),
     )
+
+
+@register(
+    "x24_compaction",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::DOUBLE AS qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def x24_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the unglamorous op that keeps a 100 TB
+    lake healthy: a fragmented write (64 splinter files here; in
+    production, thousands of streaming micro-batch outputs) is
+    re-read and rewritten at a target file count via repartition, and
+    the compacted copy must be byte-equivalent in content.  The
+    oracle aggregates the ORIGINAL table; returning the same numbers
+    from the compacted copy proves the rewrite lost nothing.  File
+    counts are asserted in tests/test_plans.py."""
+    from big_data_fknn_spark.queries.relational import _tmp_path
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    frag = _tmp_path("x24_fragmented.parquet")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compact = _tmp_path("x24_compacted.parquet")
+    spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast(DEC)), 6)
+            .cast("double")
+            .alias("qty"),
+        )
+    )

@@ -1811,3 +1811,63 @@ def j35_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "j38_mixture_rebalance",
+    oracle="""
+WITH counts AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+), target AS (
+  SELECT min(n_s) AS tgt FROM counts
+), rated AS (
+  SELECT c.source, c.n_s,
+         round(CAST(t.tgt AS DOUBLE) / c.n_s, 6) AS rate
+  FROM counts c CROSS JOIN target t
+)
+SELECT d.source,
+       max(r.n_s) AS n_before,
+       count(*) AS n_after,
+       max(r.rate) AS rate
+FROM documents d JOIN rated r ON d.source = r.source
+WHERE CAST(strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1 AS DOUBLE)
+      + CAST(strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1 AS DOUBLE) / 16
+      < r.rate * 16
+GROUP BY d.source
+""",
+)
+def j38_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven corpus mixture rebalancing: compute each source's
+    row count, derive a per-source acceptance rate that equalizes the
+    mixture to the smallest source, and admit documents through a
+    deterministic md5-bucket test at that rate.  Unlike j17 (fixed
+    per-stratum rates) the rates here COME FROM the data — the
+    two-pass shape every production resampler has: a tiny aggregate
+    (one row per source) broadcast back onto the stream.  The stream
+    itself never shuffles; the admission test runs in the scan stage.
+    256 md5 buckets quantize the rate to ~0.4% granularity —
+    deterministic across engines, runs, and partitionings."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tgt = counts.agg(F.min("n_s").alias("tgt"))
+    rated = counts.crossJoin(F.broadcast(tgt)).select(
+        "source",
+        "n_s",
+        F.round(F.col("tgt").cast("double") / F.col("n_s"), 6).alias("rate"),
+    )
+    hexd = lambda i: (  # noqa: E731 — md5 hex digit i as 0..15
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), i, 1), 16, 10
+        ).cast("double")
+    )
+    bucket = hexd(1) + hexd(2) / 16  # 256 evenly spaced values in [0,16)
+    return (
+        d.join(F.broadcast(rated), "source")
+        .where(bucket < F.col("rate") * 16)
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_before"),
+            F.count(F.lit(1)).alias("n_after"),
+            F.max("rate").alias("rate"),
+        )
+    )

@@ -225,3 +225,17 @@ def test_seq_packing_single_lang_shuffle(spark):
     # the lang-keyed exchange — one shuffle in the whole plan.
     plan = executed_plan(q(spark, "j35_seq_packing"))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_compaction_actually_compacts(spark):
+    # x24: after the query runs, the fragmented dir must hold ~64
+    # part files and the compacted dir exactly 2.
+    import glob
+
+    from big_data_fknn_spark.queries.relational import _tmp_path
+
+    q(spark, "x24_compaction").collect()
+    frag = glob.glob(_tmp_path("x24_fragmented.parquet") + "/part-*")
+    comp = glob.glob(_tmp_path("x24_compacted.parquet") + "/part-*")
+    assert len(frag) == 64
+    assert len(comp) == 2
