@@ -1264,3 +1264,47 @@ def g5_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return c.unionByName(o, allowMissingColumns=True)
+
+
+@register(
+    "h13_array_hof",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+SELECT vec_id,
+       len(list_filter(v, x -> x > 0.2)) > 0 AS any_big,
+       len(list_filter(v, x -> abs(x) < 1.0)) = len(v) AS all_small,
+       round(list_sort(v)[1], 6) AS v_min,
+       round(list_sort(v)[len(v)], 6) AS v_max,
+       list_position(list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END), 1) AS first_pos_idx,
+       len(flatten([v[1:4], v[(len(v)-2):len(v)]])) AS ends_len,
+       len(generate_series(1, label + 1)) AS lab_seq_len
+FROM e
+""",
+)
+def h13_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates and builders: exists / forall,
+    sort-and-index extremes, first-match position, flatten of sliced
+    ends, and a data-dependent sequence.  All lambda expressions
+    compile into the same codegen stage as the scan — arrays stay in
+    Tungsten memory, no Python involved (the UDF surface k1-k6 exists
+    for when that's genuinely needed)."""
+    from big_data_fknn_spark.tables import embeddings_d
+
+    emb = embeddings_d(spark, sf_dir)
+    v = F.col("emb")
+    return emb.select(
+        "vec_id",
+        F.exists(v, lambda x: x > 0.2).alias("any_big"),
+        F.forall(v, lambda x: F.abs(x) < 1.0).alias("all_small"),
+        F.round(F.array_min(v), 6).alias("v_min"),
+        F.round(F.array_max(v), 6).alias("v_max"),
+        F.array_position(
+            F.transform(v, lambda x: F.when(x > 0, 1).otherwise(0)), 1
+        ).alias("first_pos_idx"),
+        F.size(
+            F.flatten(
+                F.array(F.slice(v, 1, 4), F.slice(v, F.size(v) - 2, 3))
+            )
+        ).alias("ends_len"),
+        F.size(F.sequence(F.lit(1), F.col("label") + 1)).alias("lab_seq_len"),
+    )
