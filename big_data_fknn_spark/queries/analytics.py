@@ -1035,3 +1035,75 @@ def x24_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qty"),
         )
     )
+
+
+@register(
+    "x25_tpch_q13",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+)
+def x25_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): a LEFT
+    join whose extra ON-predicate filters the right side only (kept
+    customers with zero matches must survive with count 0 — the
+    classic outer-join-predicate-placement trap), then a second
+    aggregation OVER the first's result.  Two shuffles total; the
+    second one's key space is tiny (distinct order counts), so its
+    map-side combine collapses nearly everything."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "x26_tpch_q16",
+    oracle="""
+SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (5, 10, 15, 20, 25, 30)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+""",
+)
+def x26_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-count by part attributes): NOT IN
+    subquery lowered to a left-anti join (no NULLs in s_suppkey, so
+    anti ≡ NOT IN here), dimension filters with an IN-list, and a
+    count(DISTINCT) that Catalyst expands into a two-level aggregate
+    — dedup on (group, suppkey) first, then count per group.  The
+    anti join's build side (negative-balance suppliers) broadcasts."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    )
+    bad_s = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_s), li.l_suppkey == bad_s.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
