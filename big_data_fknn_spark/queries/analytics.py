@@ -1107,3 +1107,182 @@ def x26_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "x27_tpch_q7",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       extract(year FROM l.l_shipdate)::INT AS l_year,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS volume
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def x27_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral shipping volume): a 6-table chain
+    where the selective pair-of-nations predicate references BOTH
+    broadcast dims — Catalyst keeps it above the two nation joins and
+    the fact chain below stays unfiltered until then, so the dims
+    must broadcast to avoid re-shuffling lineitem.  Yearly rollup on
+    extract(year)."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            )
+        )
+    )
+
+
+@register(
+    "x28_tpch_q11",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS value_d
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, round(value_d, 6)::DOUBLE AS part_value
+FROM pv
+WHERE value_d > (SELECT sum(CAST(l_extendedprice AS DECIMAL(38,10))) * 0.002 FROM lineitem)
+""",
+)
+def x28_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (value concentration): HAVING against a GLOBAL
+    scalar subquery — every group's exact-decimal value compared to a
+    fraction of the whole table's.  Catalyst plans the scalar as a
+    one-row broadcast (a second scan, but of one aggregated row);
+    the threshold compare stays in exact decimal so the cut is
+    order-independent."""
+    li = t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("value_d")
+    )
+    total = li.agg(
+        (F.sum(F.col("l_extendedprice").cast(DEC)) * 0.002).alias("threshold")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("value_d") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round("value_d", 6).cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "x29_tpch_q15",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS total_d
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, round(r.total_d, 6)::DOUBLE AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_d = (SELECT max(total_d) FROM revenue)
+""",
+)
+def x29_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a derived revenue view used
+    TWICE — once as the join input, once inside the scalar max — the
+    classic reused-CTE plan.  Exact-decimal revenue makes `= max`
+    deterministic (a double sum could tie-break differently per
+    engine and drop/duplicate the winner)."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias(
+            "total_d"
+        )
+    )
+    mx = revenue.agg(F.max("total_d").alias("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_d") == F.col("mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_d", 6).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "x30_tpch_q17",
+    oracle="""
+SELECT round(sum(CAST(l.l_extendedprice AS DECIMAL(38,10)))::DOUBLE / 7.0, 6) AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#5'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def x30_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): a CORRELATED scalar
+    aggregate subquery (per-part average quantity) — the optimizer
+    showpiece: Catalyst decorrelates it into a per-part aggregate
+    joined back to the probe, one pass instead of one subquery per
+    row.  Quantities are small integers, so the double avg is exact
+    and the 0.2× threshold compares identically in both engines.
+    The DataFrame build spells the decorrelated form explicitly."""
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#5")
+        .select("p_partkey")
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0, 6
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
