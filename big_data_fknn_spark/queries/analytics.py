@@ -1286,3 +1286,350 @@ def x30_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+@register(
+    "x31_tpch_q2",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, min(unit_cost) AS best_cost FROM cost GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, c.unit_cost AS cost
+FROM cost c
+JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+JOIN part p ON p.p_partkey = c.l_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size = 10
+""",
+)
+def x31_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated
+    min-subquery (`cost = (SELECT min(cost) ... WHERE same part)`)
+    decorrelated into an aggregate joined back on (part, cost) —
+    returning ALL tied minimum suppliers, exactly Q2's semantics.
+    Unit cost is rounded BEFORE the min so the min/equality pair
+    operates on identical values in both engines (lineitem stands in
+    for partsupp — the driver schema has no ps_supplycost)."""
+    li = t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)).alias(
+            "unit_cost"
+        )
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    p = t(spark, sf_dir, "part").where(F.col("p_size") == 10)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == best.b_partkey)
+            & (cost.unit_cost == best.best_cost),
+        )
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.col("unit_cost").alias("cost"),
+        )
+    )
+
+
+@register(
+    "x32_tpch_q8",
+    oracle="""
+WITH vol AS (
+  SELECT extract(year FROM o.o_orderdate)::INT AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10)) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE r.r_name = 'REGION_1' AND p.p_type = 'PROMO'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)::DOUBLE
+             / sum(volume)::DOUBLE, 6) AS mkt_share
+FROM vol GROUP BY o_year
+""",
+)
+def x32_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): an 8-table join —
+    the widest in the suite — feeding a conditional-ratio aggregate
+    per order year.  All four dims broadcast; the fact chain
+    shuffles only on its join keys; numerator and denominator
+    accumulate in exact decimal and divide once as doubles."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "REGION_1")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    nat = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_reg") == F.col("r_regionkey"))
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "x33_tpch_q9",
+    oracle="""
+SELECT n.n_name AS nation, extract(year FROM o.o_orderdate)::INT AS o_year,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      - 0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(38,10))), 6)::DOUBLE AS profit
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%a%'
+GROUP BY nation, o_year
+""",
+)
+def x33_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): revenue minus a cost
+    term (0.1 × retail price × quantity standing in for
+    ps_supplycost), LIKE-filtered parts, grouped by supplier nation
+    and order year.  The profit expression is cast to decimal ONCE
+    (after the double arithmetic, which is operand-identical in both
+    engines) so the sum stays order-independent."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("%a%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(DEC)
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 6).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "x34_tpch_q12",
+    oracle="""
+SELECT l.l_returnflag AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY ship_class
+""",
+)
+def x34_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority audit): fact-fact join with
+    the date filter pushed to the lineitem scan, then priority-class
+    conditional counts per return flag (returnflag stands in for
+    shipmode).  The CASE counts combine map-side: each partition
+    emits at most 3 rows before the single shuffle."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "x35_tpch_q20",
+    oracle="""
+WITH part_sel AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'p%'
+), supplied AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS total_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part_sel)
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM supplied WHERE total_qty > 60)
+""",
+)
+def x35_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-stock suppliers): nested IN
+    subqueries — parts by name prefix, per-(supplier, part) supplied
+    quantity over a threshold, suppliers appearing in that set — each
+    lowered to a semi join.  Quantities are integer-valued doubles,
+    so the threshold compare is exact."""
+    part_sel = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("p%"))
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supplied = (
+        li.join(F.broadcast(part_sel), li.l_partkey == part_sel.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(supplied, s.s_suppkey == supplied.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
+
+
+@register(
+    "x36_tpch_q21",
+    oracle="""
+WITH flagged AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_supp AS (
+  SELECT DISTINCT l_orderkey, l_suppkey, max(late) OVER (PARTITION BY l_orderkey, l_suppkey) AS supp_late
+  FROM flagged
+), stats AS (
+  SELECT l_orderkey,
+         count(*) AS n_supp,
+         sum(CASE WHEN supp_late THEN 1 ELSE 0 END) AS n_late
+  FROM per_supp GROUP BY l_orderkey
+)
+SELECT p.l_suppkey, count(*) AS numwait
+FROM per_supp p JOIN stats st ON p.l_orderkey = st.l_orderkey
+WHERE p.supp_late AND st.n_supp > 1 AND st.n_late = 1
+GROUP BY p.l_suppkey
+""",
+)
+def x36_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    double-EXISTS query — a supplier is counted when it was late on a
+    multi-supplier order where NO OTHER supplier was late.  Spelled
+    as one per-(order, supplier) lateness rollup plus one per-order
+    stats rollup joined back — two shuffles on l_orderkey that AQE
+    can plan back-to-back without re-partitioning, versus the naive
+    EXISTS + NOT EXISTS which scans lineitem three times.  Lateness
+    = shipped >60 days after order date (the schema has no
+    commit/receipt dates)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    flagged = li.join(o, o.o_orderkey == li.l_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ).alias("late"),
+    )
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    stats = per_supp.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
+    )
+    return (
+        per_supp.join(stats, per_supp.l_orderkey == stats.st_orderkey)
+        .where(F.col("supp_late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "x37_tpch_q22",
+    oracle="""
+WITH positive AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey % 10 AS cntrycode,
+       count(*) AS numcust,
+       round(sum(CAST(c.c_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS totacctbal
+FROM customer c CROSS JOIN positive
+WHERE c.c_nationkey % 10 IN (1, 3, 5, 7)
+  AND c.c_acctbal > positive.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY cntrycode
+""",
+)
+def x37_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity prospects): three
+    classic pieces in one query — an uncorrelated scalar average
+    broadcast as the threshold, a NOT EXISTS lowered to a left-anti
+    join against orders, and a country-code rollup (nationkey % 10
+    stands in for the phone prefix).  The anti join's probe side is
+    already filtered to rich customers, so the build side is the only
+    full orders scan."""
+    c = t(spark, sf_dir, "customer").where(
+        (F.col("c_nationkey") % 10).isin(1, 3, 5, 7)
+    )
+    avg_bal = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
