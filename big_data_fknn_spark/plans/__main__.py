@@ -33,6 +33,10 @@ KEYS = (
     "j9b_sim_search_ivf",
     "x1_tpch_q3",
     "x8_cube_grouping",
+    "x32_tpch_q8",
+    "x36_tpch_q21",
+    "x22_time_rollup_multires",
+    "j35_seq_packing",
 )
 
 SF = "/root/testdata/sf0.01"

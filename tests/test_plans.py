@@ -239,3 +239,36 @@ def test_compaction_actually_compacts(spark):
     comp = glob.glob(_tmp_path("x24_compacted.parquet") + "/part-*")
     assert len(frag) == 64
     assert len(comp) == 2
+
+
+def test_q8_broadcasts_all_four_dims(spark):
+    # x32: the widest join in the suite — nation(×2)/region/part must
+    # all arrive via broadcast; the fact chain must never cartesian.
+    plan = executed_plan(q(spark, "x32_tpch_q8"))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_shares_orderkey_partitioning(spark):
+    # x36: the per-(order,supplier) rollup and the per-order stats
+    # rollup must reuse one l_orderkey-cluster exchange lineage — no
+    # third fact shuffle, and the self-join stays equi (no BNLJ on
+    # the big side).
+    plan = executed_plan(q(spark, "x36_tpch_q21"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_min_rejoin_is_equi(spark):
+    # x31: the decorrelated min must re-join on (part, cost) as an
+    # equi join; dims broadcast.
+    plan = executed_plan(q(spark, "x31_tpch_q2"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_and_broadcast_threshold(spark):
+    # x37: NOT EXISTS must lower to LeftAnti; the scalar average
+    # arrives as a broadcast, not a per-row subquery.
+    plan = executed_plan(q(spark, "x37_tpch_q22"))
+    assert "LeftAnti" in plan
