@@ -1633,3 +1633,57 @@ def x37_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "x38_triangle_count",
+    oracle="""
+WITH und AS (
+  SELECT DISTINCT least(l_orderkey % 60, l_partkey % 60) AS a,
+         greatest(l_orderkey % 60, l_partkey % 60) AS b
+  FROM lineitem
+  WHERE l_orderkey % 60 <> l_partkey % 60
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT count(*) AS n_triangles,
+       count(DISTINCT x) AS n_apex_nodes
+FROM tri
+""",
+)
+def x38_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the derived undirected graph (x13's
+    family): edges canonicalized as a<b, wedges built by joining
+    edge(a,b)⋈edge(b,c), closed by probing edge(a,c) — every triangle
+    counted exactly once because a<b<c.  This is the standard
+    distributed algorithm: two equi joins on node keys, no node ever
+    sees the whole graph.  At scale, orient edges by degree
+    (low→high) first so wedge counts stay near-linear even with
+    hub nodes."""
+    li = t(spark, sf_dir, "lineitem")
+    u, v = F.col("l_orderkey") % 60, F.col("l_partkey") % 60
+    und = (
+        li.where(u != v)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            "left_semi",
+        )
+        .select(F.col("e1.a").alias("x"))
+    )
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.countDistinct("x").alias("n_apex_nodes"),
+    )
