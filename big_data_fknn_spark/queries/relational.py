@@ -65,7 +65,11 @@ SELECT id, name, score::DOUBLE AS score FROM (VALUES
 
 
 def _tmp_path(name: str) -> str:
-    d = os.path.join(tempfile.gettempdir(), "bdfknn_io")
+    # Per-process scratch dir: a concurrently running second harness
+    # (pytest next to the grading driver) must never overwrite the
+    # files another process is mid-read on.  Within one process the
+    # path is stable, which the file-count assertions rely on.
+    d = os.path.join(tempfile.gettempdir(), f"bdfknn_io_{os.getpid()}")
     os.makedirs(d, exist_ok=True)
     return os.path.join(d, name)
 
