@@ -1687,3 +1687,55 @@ def x38_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles"),
         F.countDistinct("x").alias("n_apex_nodes"),
     )
+
+
+@register(
+    "x39_recursive_cte",
+    oracle="""
+WITH RECURSIVE kids AS (
+  SELECT p_partkey AS node, CAST(floor((p_partkey - 1) / 4) AS BIGINT) AS parent
+  FROM part WHERE p_partkey BETWEEN 1 AND 500
+), tree AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT k.node, t.depth + 1
+  FROM kids k JOIN tree t ON k.parent = t.node
+)
+SELECT depth, count(*) AS n, min(node) AS first_node, max(node) AS last_node
+FROM tree GROUP BY depth
+""",
+)
+def x39_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): transitive closure
+    over a derived 4-ary part hierarchy, reporting node counts per
+    depth.  Each recursion step is one equi join of the frontier
+    against the child table — the engine iterates until the frontier
+    empties, exactly the BOM-explosion / org-chart query class that
+    previously needed a driver-side loop (operators/graph.py remains
+    the hand-built equivalent for pre-4.x engines).  At scale the
+    child table is the big side: partition it on `parent` so each
+    frontier join is shuffle-local."""
+    kids = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_partkey").between(1, 500))
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.floor((F.col("p_partkey") - 1) / 4).alias("parent"),
+        )
+    )
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    kids.createOrReplaceTempView(f"kids_{sfx}")
+    return spark.sql(
+        f"""
+WITH RECURSIVE tree AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT k.node, t.depth + 1
+  FROM kids_{sfx} k JOIN tree t ON k.parent = t.node
+)
+SELECT depth, count(*) AS n, min(node) AS first_node, max(node) AS last_node
+FROM tree GROUP BY depth
+"""
+    )
