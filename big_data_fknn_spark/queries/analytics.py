@@ -1739,3 +1739,74 @@ SELECT depth, count(*) AS n, min(node) AS first_node, max(node) AS last_node
 FROM tree GROUP BY depth
 """
     )
+
+
+@register(
+    "x40_constraint_audit",
+    oracle="""
+SELECT 'orders_pk_unique' AS check_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_ri',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_orderkey_ri',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer_acctbal_nonnull',
+       CAST((SELECT count(*) FROM customer WHERE c_acctbal IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+""",
+)
+def x40_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit — the job every warehouse runs
+    after ingest: primary-key uniqueness (count vs distinct),
+    referential integrity both fact directions (anti-join counts),
+    null and domain-range checks.  Each check is one aggregate or
+    anti join; the five verdict rows union into one report.  At
+    100 TB the RI anti joins are the expensive ones — they shuffle
+    both sides on the key once; everything else is scan-stage.  (For
+    counters DURING a normal pass instead of a dedicated audit, see
+    x17's observe.)"""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+
+    def row(name, df_count):
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("bigint").alias("violations"),
+        )
+
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("violations")
+    )
+    ri_oc = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    ri_lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    nn = c.where(F.col("c_acctbal").isNull()).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    rng = li.where(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    return (
+        row("orders_pk_unique", pk)
+        .unionByName(row("orders_custkey_ri", ri_oc))
+        .unionByName(row("lineitem_orderkey_ri", ri_lo))
+        .unionByName(row("customer_acctbal_nonnull", nn))
+        .unionByName(row("lineitem_discount_range", rng))
+    )
