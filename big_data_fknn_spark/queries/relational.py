@@ -1312,3 +1312,89 @@ def h13_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ends_len"),
         F.size(F.sequence(F.lit(1), F.col("label") + 1)).alias("lab_seq_len"),
     )
+
+
+@register(
+    "h14_array_set_ops",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(string_split(text, ' '))[1:40] AS w,
+         list_distinct(string_split(reverse(text), ' ')) [1:40] AS z
+  FROM documents WHERE doc_id <= 300
+)
+SELECT doc_id,
+       len(list_intersect(w, z)) AS n_common,
+       len(list_distinct(list_concat(w, z))) AS n_union,
+       len(list_filter(w, x -> NOT list_contains(z, x))) AS n_only_w,
+       list_has_any(w, z) AS overlaps,
+       list_has_all(w, w[1:3]) AS has_own_head
+FROM d
+""",
+)
+def h14_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: intersect/union/except cardinalities plus
+    overlap predicates between two token sets per document.  Only
+    SIZES and booleans are emitted — Spark's array_intersect keeps
+    first-array order while DuckDB's list_intersect doesn't, so the
+    set CONTENTS are compared via their cardinalities, which are
+    order-free.  All of it is per-row expression work in the scan
+    stage."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 300)
+        .select(
+            "doc_id",
+            F.slice(F.array_distinct(F.split("text", " ")), 1, 40).alias("w"),
+            F.slice(
+                F.array_distinct(F.split(F.reverse("text"), " ")), 1, 40
+            ).alias("z"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.array_intersect("w", "z")).alias("n_common"),
+        F.size(F.array_union("w", "z")).alias("n_union"),
+        F.size(F.array_except("w", "z")).alias("n_only_w"),
+        F.arrays_overlap("w", "z").alias("overlaps"),
+        F.forall(
+            F.slice("w", 1, 3), lambda x: F.array_contains(F.col("w"), x)
+        ).alias("has_own_head"),
+    )
+
+
+@register(
+    "h15_string_fns2",
+    oracle="""
+SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS brand_pad,
+       rpad(p_type, 10, '.') AS type_pad,
+       translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+       repeat(left(p_name, 2), 3) AS name_echo,
+       reverse(p_name) AS name_rev,
+       printf('%s/%d', p_brand, p_size) AS brand_size,
+       ascii(p_name) AS first_code,
+       position('rand' IN p_brand) AS rand_pos,
+       replace(p_type, 'O', '0') AS type_leet
+FROM part WHERE p_partkey <= 300
+""",
+)
+def h15_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function tranche: pad/translate/repeat/reverse/
+    printf-format/ascii/position/replace — the formatting-and-
+    cleanup layer under every report and every text normalizer
+    (j19's canonicalizer is built from exactly these).  Pure
+    codegen projection, scan-stage."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.rpad("p_type", 10, ".").alias("type_pad"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels"),
+        F.repeat(F.substring("p_name", 1, 2), 3).alias("name_echo"),
+        F.reverse("p_name").alias("name_rev"),
+        F.printf(F.lit("%s/%d"), "p_brand", "p_size").alias("brand_size"),
+        F.ascii("p_name").alias("first_code"),
+        F.instr("p_brand", "rand").alias("rand_pos"),
+        F.replace("p_type", F.lit("O"), F.lit("0")).alias("type_leet"),
+    )
