@@ -1810,3 +1810,35 @@ def x40_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("customer_acctbal_nonnull", nn))
         .unionByName(row("lineitem_discount_range", rng))
     )
+
+
+_X41_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6) AS qty,
+       min(l_shipdate) AS first_ship
+FROM {table}
+WHERE l_quantity >= 25
+GROUP BY ALL
+"""
+
+
+@register(
+    "x41_group_by_all",
+    oracle=_X41_SQL.format(table="lineitem")
+    .replace("round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)",
+             "round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::DOUBLE"),
+)
+def x41_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the modern dialect sugar both engines now
+    share (infer grouping keys = every non-aggregate select item).
+    Like x12, the SAME SQL text (modulo the ::DOUBLE result cast)
+    runs on both engines; proof the surface speaks the current SQL
+    dialect intersection, not just classic ANSI."""
+    import uuid
+
+    v = f"lineitem_{uuid.uuid4().hex[:8]}"
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView(v)
+    return spark.sql(_X41_SQL.format(table=v)).withColumn(
+        "qty", F.col("qty").cast("double")
+    )
