@@ -430,3 +430,22 @@ def d15_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@register("d16_approx_percentile", oracle=None)  # sketch internals differ
+def d16_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch): bounded-memory
+    quantiles whose partial sketches merge map-side — the 100 TB
+    answer where x3's exact percentile would need each group's full
+    value set in one place.  Sketch internals differ per engine →
+    rows-only here; tests/test_scale_stress.py asserts the estimates
+    land within the sketch's accuracy bound of x3's exact values."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(
+            F.percentile_approx("c_acctbal", F.lit(0.5), F.lit(10000)), 6
+        ).alias("p50_approx"),
+        F.round(
+            F.percentile_approx("c_acctbal", F.lit(0.9), F.lit(10000)), 6
+        ).alias("p90_approx"),
+    )

@@ -1871,3 +1871,40 @@ def j38_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rate").alias("rate"),
         )
     )
+
+
+@register(
+    "j39_feature_hashing",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id <= 200
+)
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1 AS BIGINT) * 16
+       + CAST(strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1 AS BIGINT) AS bucket,
+       count(*) AS cnt
+FROM tok
+GROUP BY doc_id, bucket
+""",
+)
+def j39_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (HashingTF's core): tokens map straight to
+    one of 256 feature buckets through a hash — NO vocabulary build,
+    which at 100 TB is the difference between a stateless one-pass
+    featurizer and a second full scan + broadcast of a giant vocab
+    (j27 shows the vocab-ful alternative).  Collisions are accepted
+    by design.  Bucket = first two md5 hex digits, reproduced
+    digit-for-digit in SQL, so unlike MLlib's murmur3 HashingTF this
+    variant is fully value-oracled; the output is the sparse
+    (doc, bucket, count) triplet form."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hexd = lambda i: (  # noqa: E731
+        F.conv(F.substring(F.md5("w"), i, 1), 16, 10).cast("bigint")
+    )
+    return (
+        tok.select("doc_id", (hexd(1) * 16 + hexd(2)).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

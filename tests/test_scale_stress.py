@@ -113,3 +113,27 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_approx_percentile_within_bound(spark):
+    # d16's sketch estimate must land close to the exact interpolated
+    # median (x3).  accuracy=10000 → rank error ~n/10000; at sf0.01
+    # group sizes (~600) the returned value is an exact member of the
+    # group, so allow the gap between neighboring order statistics.
+    from big_data_fknn_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["c_mktsegment"]: r["p50_approx"]
+        for r in reg["d16_approx_percentile"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["c_mktsegment"]: r["p50"]
+        for r in reg["x3_percentile_exact"].fn(spark, sf).collect()
+    }
+    assert set(approx) == set(exact)
+    for seg in exact:
+        # acctbal spans [-1000, 10000]; adjacent order stats in a
+        # ~600-row group are within ~2% of the range of each other
+        assert abs(approx[seg] - exact[seg]) < 220, seg
