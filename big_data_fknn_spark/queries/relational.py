@@ -1398,3 +1398,33 @@ def h15_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_brand", "rand").alias("rand_pos"),
         F.replace("p_type", F.lit("O"), F.lit("0")).alias("type_leet"),
     )
+
+
+@register(
+    "h16_try_fns",
+    oracle="""
+SELECT p_partkey,
+       round(p_retailprice / nullif(p_size - 25, 0), 6) AS safe_ratio,
+       TRY_CAST(p_brand AS INT) AS brand_as_int,
+       TRY_CAST(substr(p_brand, 7) AS INT) AS brand_num,
+       string_split(p_name, 'a')[99] AS oob_elem
+FROM part WHERE p_partkey <= 300
+""",
+)
+def h16_try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* functions (Spark 4 runs ANSI mode by default,
+    where bad casts and div-by-zero THROW): try_divide, try_cast on
+    a non-numeric and on a parsed suffix, try_element_at out of
+    bounds — each yields NULL instead of killing a 10-hour job at
+    row 10^11.  The oracle spells the same semantics in DuckDB
+    (nullif guard; TRY_CAST; native NULL on list out-of-range)."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.round(
+            F.try_divide("p_retailprice", F.col("p_size") - 25), 6
+        ).alias("safe_ratio"),
+        F.col("p_brand").try_cast("int").alias("brand_as_int"),
+        F.substring("p_brand", 7, 10).try_cast("int").alias("brand_num"),
+        F.try_element_at(F.split("p_name", "a"), F.lit(99)).alias("oob_elem"),
+    )
