@@ -2,9 +2,10 @@
 
 Single-operator coverage (SURVEY.md §2) proves each primitive; these
 queries prove the primitives COMPOSE the way a warehouse user writes
-them: TPC-H-shaped pricing/market reports, exact percentiles, a
-salt-and-merge skew-mitigation pattern, and an event funnel.  Keys
-are x1..x6 (extensions beyond the survey inventory).
+them.  Keys x1..x41 (extensions beyond the survey inventory): all 22
+TPC-H query shapes, percentiles, skew salting, funnels, cohort/SCD2/
+gap-fill time series, graph (PageRank, triangles, recursive CTE),
+layout (Z-order, compaction), audits, and dialect proofs.
 """
 
 from __future__ import annotations
