@@ -544,3 +544,42 @@ def i11_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "i12_stream_static_join",
+    oracle="""
+WITH profile AS (
+  SELECT user_id, round(avg(value), 6) AS mean_value
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       p.mean_value,
+       (e.value > p.mean_value) AS above_mean
+FROM events e JOIN profile p ON e.user_id = p.user_id
+""",
+)
+def i12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the most common production streaming
+    pattern: each arriving event is enriched against a STATIC
+    (batch-computed) per-user profile.  The static side is planned
+    once and broadcast/hashed per micro-batch with no state store at
+    all (unlike i7b's stream-stream buffering); at 100 TB/day the
+    profile refreshes on its own batch cadence while the stream
+    only ever touches the current micro-batch.  availableNow replay
+    makes the result equal the pure-batch join, which is what the
+    oracle checks."""
+    profile = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 6).alias("mean_value"))
+    )
+    s = events_stream(spark, sf_dir)
+    enriched = s.join(profile, "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "mean_value",
+        (F.col("value") > F.col("mean_value")).alias("above_mean"),
+    )
+    return run_to_memory(enriched, "append")
