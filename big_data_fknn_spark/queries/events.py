@@ -583,3 +583,40 @@ def i12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") > F.col("mean_value")).alias("above_mean"),
     )
     return run_to_memory(enriched, "append")
+
+
+@register(
+    "x42_latest_snapshot",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       round(value, 6) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def x42_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → latest-snapshot read (the batch CDC compaction
+    every MERGE-less lake does): newest record per key via a
+    descending rank-1 window, tie-broken on event_id so replays and
+    engines agree.  WindowGroupLimit pushes the rn=1 filter below
+    the shuffle — each map task forwards ONE candidate row per key
+    it sees, so the shuffle carries O(keys × tasks) rows, not the
+    changelog.  (i8 is this same semantic maintained incrementally
+    by a stream.)"""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
