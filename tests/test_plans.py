@@ -272,3 +272,11 @@ def test_q22_anti_join_and_broadcast_threshold(spark):
     # arrives as a broadcast, not a per-row subquery.
     plan = executed_plan(q(spark, "x37_tpch_q22"))
     assert "LeftAnti" in plan
+
+
+def test_latest_snapshot_uses_window_group_limit(spark):
+    # x42: the rank-1 filter must push below the shuffle so each map
+    # task forwards one candidate row per key, not the changelog.
+    plan = executed_plan(q(spark, "x42_latest_snapshot"))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
