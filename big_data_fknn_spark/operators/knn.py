@@ -36,12 +36,24 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from big_data_fknn_spark.functions.distance import euclidean
+from big_data_fknn_spark.functions.distance import cosine_sim, euclidean, manhattan
 
-# Queries are collected + broadcast in chunks of this many rows (the
+# Queries are fetched + broadcast in chunks of this many rows (the
 # kNN-IS maxWeight/numIterations memory bound): 100k × 64 dims × 8 B
 # ≈ 50 MB per chunk — well under torrent-broadcast comfort.
 _CHUNK = 100_000
+
+# Above this many query rows the broadcast-kernel plan stops making
+# sense (the union of chunk broadcasts itself becomes gigabytes of
+# driver/executor block-manager state): fall back to the fully
+# declarative `knn_join`, which never materializes anything driver-side.
+_MAX_BROADCAST_ROWS = 4_000_000
+
+# Instrumentation for tests/test_scale_stress.py: how the last call
+# executed.  Not part of the public contract.
+_last_num_chunks = 0
+_last_peak_buffer_rows = 0
+_last_fallback = False
 
 
 def knn_join(
@@ -98,6 +110,8 @@ def knn_join_blas(
     exclude_self: bool = False,
     keep_q_cols: tuple[str, ...] = (),
     keep_c_cols: tuple[str, ...] = (),
+    chunk_rows: int | None = None,
+    max_broadcast_rows: int | None = None,
 ) -> DataFrame:
     """`knn_join` with an Arrow-batched BLAS distance kernel — same
     output contract ``(q_id, q_*, n_id, n_*, dist, rn)``, ~10× the
@@ -107,9 +121,18 @@ def knn_join_blas(
     hand-rolled in the reference as broadcast + mapPartitions +
     bounded k-arrays [R kNN_IS.scala]):
 
-    - the query side is collected and **broadcast as one numpy
-      matrix per ≤100k-row chunk** (driver→executor, the same
-      boundary Spark's own BroadcastExchange uses);
+    - the query side is **streamed to the driver one bounded chunk at
+      a time** (repartitioned so each shuffle partition ≈ ``_CHUNK``
+      rows, then ``toLocalIterator`` — one fetch job per partition,
+      never the whole set at once) and each chunk is broadcast as one
+      numpy matrix (the same driver→executor boundary Spark's own
+      BroadcastExchange uses).  This is the reference's iterative
+      test-chunk scheme (kNN-IS §3.4 maxWeight/numIterations): driver
+      peak memory is one chunk, not |Q|;
+    - above ``_MAX_BROADCAST_ROWS`` query rows even chunked broadcast
+      state is unreasonable — the call transparently falls back to
+      the fully declarative ``knn_join`` plan (same output contract,
+      zero driver materialization);
     - ``mapInPandas`` streams candidate Arrow batches; each batch
       computes the full |Q|×|batch| distance matrix with one BLAS
       matmul (‖q−c‖² = ‖q‖² + ‖c‖² − 2·Q·Cᵀ) instead of per-pair
@@ -131,26 +154,67 @@ def knn_join_blas(
     Skip the brute force entirely when an LSH/IVF pre-filter applies
     (queries/llm.py j9b).
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
+    global _last_num_chunks, _last_peak_buffer_rows, _last_fallback
+
+    chunk_rows = chunk_rows or _CHUNK
+    max_broadcast_rows = max_broadcast_rows or _MAX_BROADCAST_ROWS
     q_id, q_vec = q_cols
     c_id, c_vec = c_cols
     spark = queries.sparkSession
     sc = spark.sparkContext
 
-    q_local = queries.select(q_id, q_vec).collect()
+    # One distributed count decides the strategy; it never moves rows.
+    n_q = queries.count()
+    if n_q > max_broadcast_rows:
+        _last_fallback = True
+        _last_num_chunks = 0
+        _last_peak_buffer_rows = 0
+        col_metric = {
+            "euclidean": euclidean,
+            "manhattan": manhattan,
+            "cosine_neg": lambda a, b: -cosine_sim(a, b),
+        }[metric]
+        return knn_join(
+            queries,
+            candidates,
+            k,
+            metric=col_metric,
+            q_cols=q_cols,
+            c_cols=c_cols,
+            exclude_self=exclude_self,
+            keep_q_cols=keep_q_cols,
+            keep_c_cols=keep_c_cols,
+        )
+    _last_fallback = False
+
     cand = candidates.select(
         F.col(c_id).alias("n_id"), F.col(c_vec).alias("_c_vec")
     )
 
-    chunks = [q_local[i : i + _CHUNK] for i in range(0, len(q_local), _CHUNK)] or [[]]
+    # Bound what any single fetch can hold: hash-repartition the query
+    # side into ≈chunk_rows partitions, then pull them one at a time.
+    q_src = queries.select(F.col(q_id).alias("_q_id"), F.col(q_vec).alias("_q_vec"))
+    n_parts = max(1, math.ceil(n_q / chunk_rows))
+    if n_parts > 1:
+        q_src = q_src.repartition(n_parts, "_q_id")
+
     margin = 2 * k + 8  # ties at the k-boundary stay deterministic
     parts = []
-    for chunk in chunks:
-        qids = np.array([r[0] for r in chunk], dtype=np.int64)
-        qmat = np.array([r[1] for r in chunk], dtype=np.float64)
-        if metric == "cosine_neg":
+    buf_ids: list[int] = []
+    buf_vecs: list = []
+    _last_peak_buffer_rows = 0
+
+    def _flush() -> None:
+        qids = np.array(buf_ids, dtype=np.int64)
+        qmat = np.array(buf_vecs, dtype=np.float64)
+        buf_ids.clear()
+        buf_vecs.clear()
+        if metric == "cosine_neg" and len(qmat):
             qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
         bc = sc.broadcast((qids, qmat))
 
@@ -196,6 +260,24 @@ def knn_join_blas(
                 )
 
         parts.append(cand.mapInPandas(kernel, "q_id long, n_id long, dist double"))
+
+    # Stream the query side: toLocalIterator fetches one partition per
+    # job, so the driver's Python process holds ≤ one chunk of ids+vecs
+    # at any moment (the numpy copy handed to broadcast is dropped as
+    # soon as the chunk is flushed).
+    if n_q == 0:
+        _flush()  # empty chunk keeps the output schema stable
+    else:
+        for row in q_src.toLocalIterator(prefetchPartitions=False):
+            buf_ids.append(row[0])
+            buf_vecs.append(row[1])
+            if len(buf_ids) > _last_peak_buffer_rows:
+                _last_peak_buffer_rows = len(buf_ids)
+            if len(buf_ids) >= chunk_rows:
+                _flush()
+        if buf_ids:
+            _flush()
+    _last_num_chunks = len(parts)
 
     topk = parts[0]
     for p in parts[1:]:

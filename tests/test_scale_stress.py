@@ -69,6 +69,55 @@ def test_blas_kernel_2k_x_20k_under_budget(spark, stress_path):
     assert got == want
 
 
+def test_blas_kernel_streams_chunks_no_full_collect(spark, stress_path):
+    """The kNN-IS iterative chunk scheme: a query side ≥10× the chunk
+    size must flow through the kernel as many bounded fetches — the
+    driver's Python buffer never holds more than one chunk — and still
+    produce exactly the neighbors the declarative plan produces."""
+    from big_data_fknn_spark.operators import knn
+
+    vecs = spark.read.parquet(stress_path)
+    chunk = 1_500  # 20k queries / 1.5k chunk = 14 chunks ≥ 10×
+    out = knn_join_blas(vecs, vecs, k=3, exclude_self=True, chunk_rows=chunk)
+    assert out.count() == N_CAND * 3
+    assert knn._last_fallback is False
+    assert knn._last_num_chunks >= 10, knn._last_num_chunks
+    assert knn._last_peak_buffer_rows <= chunk, knn._last_peak_buffer_rows
+
+    # value parity on a probe subset vs numpy ground truth
+    pdf = vecs.orderBy("vec_id").toPandas()
+    M = np.vstack(pdf["emb"].to_numpy())
+    for row_q in (0, 7_777, 19_999):
+        got = sorted(
+            (r["n_id"], round(r["dist"], 9))
+            for r in out.where(F.col("q_id") == row_q).collect()
+        )
+        d = np.linalg.norm(M - M[row_q], axis=1)
+        d[row_q] = np.inf
+        idx = np.lexsort((np.arange(N_CAND), d))[:3]
+        want = sorted((int(i), round(float(d[i]), 9)) for i in idx)
+        assert got == want, row_q
+
+
+def test_blas_kernel_falls_back_declarative_above_budget(spark, stress_path):
+    """Above the broadcast-row budget the call must switch to the
+    declarative knn_join plan (zero driver materialization) with the
+    same output contract and the same neighbors."""
+    from big_data_fknn_spark.operators import knn
+
+    vecs = spark.read.parquet(stress_path)
+    probes = vecs.where(F.col("vec_id") % 100 == 0)  # 200 queries
+    blas = knn_join_blas(probes, vecs, k=4, keep_q_cols=(), keep_c_cols=())
+    assert knn._last_fallback is False
+    want = sorted(
+        (r["q_id"], r["rn"], r["n_id"]) for r in blas.collect()
+    )
+    fb = knn_join_blas(probes, vecs, k=4, max_broadcast_rows=100)
+    assert knn._last_fallback is True
+    got = sorted((r["q_id"], r["rn"], r["n_id"]) for r in fb.collect())
+    assert got == want
+
+
 def test_aqe_splits_skewed_join(spark):
     # Scale evidence: a join where one key holds ~100x the rows of
     # every other must trigger AQE's skew-join splitting (the 100 TB
