@@ -18,6 +18,7 @@ expression expands, so they inherit partial+final aggregation.
 from __future__ import annotations
 
 import os
+from uuid import uuid4
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -25,7 +26,7 @@ from pyspark.sql import functions as F
 from big_data_fknn_spark.functions.numeric import dsum
 from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.streaming import events_stream, run_to_memory
-from big_data_fknn_spark.tables import t
+from big_data_fknn_spark.tables import events_t, t
 
 # --------------------------------------------------------------- A6. source
 
@@ -41,6 +42,37 @@ def a6_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     return run_to_memory(s, "append")
+
+
+@register(
+    "e9_time_slice",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY event_type
+""",
+)
+def e9_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant time-range scan — THE dominant access pattern on an
+    event store.  The [min, max) predicate is handed to `events_t`,
+    which applies it to the RAW parquet column BEFORE the
+    normalization cast: the filter reaches the scan as a pushed
+    parquet predicate, so row-group stats (and, on a production
+    date-partitioned layout, whole partitions) prune instead of
+    scanning all history.  Plan-asserted in tests/test_plans.py —
+    without the raw-level filter the cast would hide `ts` from
+    pushdown and a 100 TB table would be read end-to-end for a
+    5-day slice."""
+    e = events_t(spark, sf_dir, ts_min="2024-01-10", ts_max="2024-01-15")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("total"),
+    )
 
 
 # ------------------------------------------------- I. event-time windowing
@@ -512,16 +544,17 @@ def x22_time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "ts").alias("m"),
         "value",
     )
-    ev.createOrReplaceTempView("x22_ev")
+    view = f"x22_ev_{uuid4().hex}"  # unique per call — concurrent-safe
+    ev.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
 SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
             WHEN grouping(d) = 0 THEN 'day'
             ELSE 'month' END AS grain,
        coalesce(h, d, m) AS bucket_ts,
        count(*) AS n,
        round(sum(CAST(value AS DECIMAL(38,10))), 6) AS total
-FROM x22_ev
+FROM {view}
 GROUP BY GROUPING SETS ((h), (d), (m))
 """
     ).withColumn("total", F.col("total").cast("double"))

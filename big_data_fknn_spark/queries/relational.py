@@ -1279,7 +1279,7 @@ SELECT vec_id,
        len(list_filter(v, x -> abs(x) < 1.0)) = len(v) AS all_small,
        round(list_sort(v)[1], 6) AS v_min,
        round(list_sort(v)[len(v)], 6) AS v_max,
-       list_position(list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END), 1) AS first_pos_idx,
+       coalesce(list_position(list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END), 1), 0) AS first_pos_idx,
        len(flatten([v[1:4], v[(len(v)-2):len(v)]])) AS ends_len,
        len(generate_series(1, label + 1)) AS lab_seq_len
 FROM e
@@ -1302,6 +1302,8 @@ def h13_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall(v, lambda x: F.abs(x) < 1.0).alias("all_small"),
         F.round(F.array_min(v), 6).alias("v_min"),
         F.round(F.array_max(v), 6).alias("v_max"),
+        # Spark encodes "no match" as 0; DuckDB list_position yields
+        # NULL — the oracle coalesces to 0 so both engines agree.
         F.array_position(
             F.transform(v, lambda x: F.when(x > 0, 1).otherwise(0)), 1
         ).alias("first_pos_idx"),
@@ -1319,8 +1321,8 @@ def h13_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT doc_id,
-         list_distinct(string_split(text, ' '))[1:40] AS w,
-         list_distinct(string_split(reverse(text), ' ')) [1:40] AS z
+         list_sort(list_distinct(string_split(text, ' ')))[1:40] AS w,
+         list_sort(list_distinct(string_split(reverse(text), ' ')))[1:40] AS z
   FROM documents WHERE doc_id <= 300
 )
 SELECT doc_id,
@@ -1345,9 +1347,16 @@ def h14_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") <= 300)
         .select(
             "doc_id",
-            F.slice(F.array_distinct(F.split("text", " ")), 1, 40).alias("w"),
+            # sort before slicing: Spark keeps first-occurrence order
+            # after distinct, DuckDB doesn't — a sorted prefix is the
+            # only 40-element truncation both engines agree on
             F.slice(
-                F.array_distinct(F.split(F.reverse("text"), " ")), 1, 40
+                F.array_sort(F.array_distinct(F.split("text", " "))), 1, 40
+            ).alias("w"),
+            F.slice(
+                F.array_sort(F.array_distinct(F.split(F.reverse("text"), " "))),
+                1,
+                40,
             ).alias("z"),
         )
     )

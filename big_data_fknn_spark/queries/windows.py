@@ -288,24 +288,26 @@ SELECT event_id, user_id,
        count(*) OVER w AS n_1h,
        round(sum(CAST(value AS DECIMAL(38,10))) OVER w, 6)::DOUBLE AS sum_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
 )
 def e8_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over event TIME (trailing 1 hour per user) — the
     sliding aggregate without exploding rows into buckets (contrast
     i2's hop windows): each row's frame is defined by the value of
-    its epoch-seconds order key, and rows with equal timestamps are
-    peers sharing one frame, which makes the result deterministic
-    without a tiebreaker.  One shuffle on user_id, sort within, one
-    pass — at 100 TB this is the per-entity rolling feature builder
-    (rate limits, trailing spend, burst detection)."""
+    its epoch-MICROsecond order key (full timestamp precision — a
+    whole-second key would silently widen the frame for sub-second
+    data), and rows with equal timestamps are peers sharing one
+    frame, which makes the result deterministic without a
+    tiebreaker.  One shuffle on user_id, sort within, one pass — at
+    100 TB this is the per-entity rolling feature builder (rate
+    limits, trailing spend, burst detection)."""
     e = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
         "event_id",

@@ -28,3 +28,8 @@ def test_query(spark, con, key):
         assert df.count() >= 0  # rows-only: runs and has a stable schema
     else:
         compare(df, con, d.oracle, key=key)
+        if "tpch" in key:
+            # a hash match on zero rows is vacuous — every TPC-H shape
+            # must actually select data at sf0.01 (caught x32's
+            # nonexistent region literal silently passing)
+            assert df.count() > 0, f"{key}: TPC-H query returned no rows"
