@@ -1177,26 +1177,33 @@ WITH pv AS (
 )
 SELECT l_partkey, round(value_d, 6)::DOUBLE AS part_value
 FROM pv
-WHERE value_d > (SELECT sum(CAST(l_extendedprice AS DECIMAL(38,10))) * 0.002 FROM lineitem)
+WHERE value_d::DOUBLE > (SELECT sum(value_d)::DOUBLE * 1.5 / count(*) FROM pv)
 """,
 )
 def x28_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (value concentration): HAVING against a GLOBAL
-    scalar subquery — every group's exact-decimal value compared to a
-    fraction of the whole table's.  Catalyst plans the scalar as a
-    one-row broadcast (a second scan, but of one aggregated row);
-    the threshold compare stays in exact decimal so the cut is
-    order-independent."""
+    scalar subquery — every group's value compared to a multiple of
+    the MEAN group value (TPC-H's own 0.0001/SF fraction is
+    scale-dependent; 1.5× the mean is the scale-free equivalent and
+    stays non-empty at every SF — the fixed 0.002 fraction this
+    replaced selected zero rows past sf0.001).  Catalyst plans the
+    scalar as a one-row broadcast (a second scan, but of one
+    aggregated row).  Determinism: group values are exact decimal
+    sums; the threshold is derived from the same decimal total with
+    identical double arithmetic on both engines, and boundary
+    comparisons promote the identical decimal to double."""
     li = t(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast(DEC)).alias("value_d")
     )
-    total = li.agg(
-        (F.sum(F.col("l_extendedprice").cast(DEC)) * 0.002).alias("threshold")
+    total = pv.agg(
+        (F.sum("value_d").cast("double") * 1.5 / F.count(F.lit(1))).alias(
+            "threshold"
+        )
     )
     return (
         pv.crossJoin(F.broadcast(total))
-        .where(F.col("value_d") > F.col("threshold"))
+        .where(F.col("value_d").cast("double") > F.col("threshold"))
         .select(
             "l_partkey",
             F.round("value_d", 6).cast("double").alias("part_value"),
@@ -1362,7 +1369,7 @@ WITH vol AS (
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
   JOIN part p ON p.p_partkey = l.l_partkey
-  WHERE r.r_name = 'REGION_1' AND p.p_type = 'PROMO'
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
 )
 SELECT o_year,
        round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)::DOUBLE
@@ -1387,7 +1394,7 @@ def x32_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
-    r = t(spark, sf_dir, "region").where(F.col("r_name") == "REGION_1")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     nat = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
         F.lit(0).cast(DEC)
@@ -1490,7 +1497,7 @@ def x34_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x35_tpch_q20",
     oracle="""
 WITH part_sel AS (
-  SELECT p_partkey FROM part WHERE p_name LIKE 'p%'
+  SELECT p_partkey FROM part WHERE p_name LIKE 's%'
 ), supplied AS (
   SELECT l_suppkey, l_partkey, sum(l_quantity) AS total_qty
   FROM lineitem
@@ -1508,10 +1515,12 @@ def x35_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     subqueries — parts by name prefix, per-(supplier, part) supplied
     quantity over a threshold, suppliers appearing in that set — each
     lowered to a semi join.  Quantities are integer-valued doubles,
-    so the threshold compare is exact."""
+    so the threshold compare is exact.  ('s%' matches this
+    generator's 'small …' part names — a 'p%' prefix selected zero
+    parts and made the whole query vacuously empty.)"""
     part_sel = (
         t(spark, sf_dir, "part")
-        .where(F.col("p_name").like("p%"))
+        .where(F.col("p_name").like("s%"))
         .select("p_partkey")
     )
     li = t(spark, sf_dir, "lineitem")
@@ -1603,7 +1612,8 @@ SELECT c.c_nationkey % 10 AS cntrycode,
 FROM customer c CROSS JOIN positive
 WHERE c.c_nationkey % 10 IN (1, 3, 5, 7)
   AND c.c_acctbal > positive.avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
 GROUP BY cntrycode
 """,
 )
@@ -1611,10 +1621,14 @@ def x37_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global-sales-opportunity prospects): three
     classic pieces in one query — an uncorrelated scalar average
     broadcast as the threshold, a NOT EXISTS lowered to a left-anti
-    join against orders, and a country-code rollup (nationkey % 10
-    stands in for the phone prefix).  The anti join's probe side is
-    already filtered to rich customers, so the build side is the only
-    full orders scan."""
+    join against (filtered) orders, and a country-code rollup
+    (nationkey % 10 stands in for the phone prefix).  The anti join
+    probes customers with no URGENT order — this generator gives
+    every customer at least one order, so Q22's literal
+    no-order-at-all predicate selects zero rows at every SF; the
+    priority filter keeps the anti-join shape AND a non-empty
+    result.  The probe side is already filtered to rich customers,
+    so the build side is the only orders scan."""
     c = t(spark, sf_dir, "customer").where(
         (F.col("c_nationkey") % 10).isin(1, 3, 5, 7)
     )
@@ -1623,7 +1637,11 @@ def x37_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_acctbal") > 0)
         .agg(F.avg("c_acctbal").alias("avg_bal"))
     )
-    o = t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
