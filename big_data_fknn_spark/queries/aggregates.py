@@ -278,6 +278,115 @@ def d10_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d17_auc",
+    oracle=f"""
+WITH {_KNN_PRED_CTES},
+classes AS (SELECT DISTINCT label AS cls FROM emb),
+tq AS (SELECT DISTINCT q, label FROM votes),
+dense AS (
+  SELECT t.q, t.label, c.cls, coalesce(v.cnt, 0) AS score
+  FROM tq t CROSS JOIN classes c
+  LEFT JOIN votes v ON v.q = t.q AND v.cls = c.cls
+),
+ranked AS (
+  SELECT cls, (label = cls) AS pos,
+         rank() OVER (PARTITION BY cls ORDER BY score)
+           + (count(*) OVER (PARTITION BY cls, score) - 1) / 2.0 AS avg_rank
+  FROM dense
+),
+stats AS (
+  SELECT cls,
+         sum(CASE WHEN pos THEN avg_rank ELSE 0 END) AS s_pos,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS n_neg
+  FROM ranked GROUP BY cls
+),
+per AS (
+  SELECT cls::INT AS cls,
+         round((s_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+  FROM stats
+)
+SELECT cls, auc FROM per
+UNION ALL
+SELECT -1 AS cls,
+       round(sum(CAST(auc AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS auc
+FROM per
+""",
+)
+def d17_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest AUC over the crisp-kNN vote scores — the
+    reference's second headline metric (runFuzzyKNN emits accuracy
+    AND AUC via BinaryClassificationMetrics, [R runFuzzyKNN.scala];
+    SURVEY.md §2 d10).  Per class c: score(test point) = number of
+    its k neighbors voting c (an integer 0..k — ranking on raw ints
+    sidesteps float-tie hazards entirely), positives = points whose
+    true label is c, and AUC is the tie-aware Mann-Whitney statistic
+
+        AUC_c = (Σ avg_rank(pos) − P(P+1)/2) / (P·N)
+
+    which is exactly what BinaryClassificationMetrics' threshold
+    sweep integrates to under tied scores.  The cls = -1 row is the
+    macro average.  Determinism: ranks are ints, avg_rank is a
+    half-integer (sums are exact in IEEE doubles at any partition
+    order), so both engines produce identical bits before round(6).
+
+    Scale: one kNN pass (the flagship kernel), one dense |test|×|C|
+    expansion against a broadcast class dim, one window per class
+    over integer keys, one tiny aggregate — no driver collect.
+    """
+    from big_data_fknn_spark.operators.knn import knn_join_blas
+    from big_data_fknn_spark.tables import embeddings_d, train_test_split
+
+    train, test = train_test_split(spark, sf_dir)
+    knn = knn_join_blas(
+        test, train, k=5, keep_q_cols=("label",), keep_c_cols=("label",)
+    )
+    votes = knn.groupBy(
+        F.col("q_id").alias("q"),
+        F.col("q_label").alias("label"),
+        F.col("n_label").alias("cls"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    classes = (
+        embeddings_d(spark, sf_dir).select(F.col("label").alias("cls")).distinct()
+    )
+    tq = votes.select("q", "label").distinct()
+    dense = (
+        tq.crossJoin(F.broadcast(classes))
+        .join(votes.select("q", "cls", "cnt"), ["q", "cls"], "left")
+        .select("q", "label", "cls", F.coalesce("cnt", F.lit(0)).alias("score"))
+    )
+    w_rank = Window.partitionBy("cls").orderBy("score")
+    w_tie = Window.partitionBy("cls", "score")
+    ranked = dense.select(
+        "cls",
+        (F.col("label") == F.col("cls")).alias("pos"),
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    stats = ranked.groupBy("cls").agg(
+        F.sum(F.when(F.col("pos"), F.col("avg_rank")).otherwise(0.0)).alias("s_pos"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("n_neg"),
+    )
+    per = stats.select(
+        F.col("cls").cast("int").alias("cls"),
+        F.round(
+            (F.col("s_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+    macro = per.agg(
+        F.round(F.sum(F.col("auc").cast(DEC)).cast("double") / F.count(F.lit(1)), 6).alias(
+            "auc"
+        )
+    ).select(F.lit(-1).cast("int").alias("cls"), "auc")
+    return per.unionByName(macro)
+
+
+@register(
     "d11_histogram",
     oracle="""
 SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
