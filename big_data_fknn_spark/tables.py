@@ -36,7 +36,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_t(
+    spark: SparkSession,
+    sf_dir: str,
+    ts_min: str | None = None,
+    ts_max: str | None = None,
+) -> DataFrame:
     """events with `ts` normalized to a session-TZ TIMESTAMP.
 
     The generator has shipped `ts` as both TIMESTAMP(NANOS) and
@@ -50,14 +55,36 @@ def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
       session.py) so every downstream window/oracle sees one type.
 
     Scale note: a cast on `ts` hides it from parquet predicate
-    pushdown; at 100 TB the table would be date-partitioned at rest
-    so pruning happens on the partition column instead.
+    pushdown, so time-slice predicates must be applied to the RAW
+    column before the cast — pass ``ts_min``/``ts_max`` (ISO-8601
+    UTC strings, half-open [min, max)) and the filter is translated
+    to the raw type (ns-long or TIMESTAMP_NTZ) where parquet
+    row-group stats can prune it (plan-asserted in
+    tests/test_plans.py).  At 100 TB the table would additionally be
+    date-partitioned at rest so whole files prune first.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(raw.schema["ts"].dataType, LongType):
+        if ts_min is not None:
+            raw = raw.where(F.col("ts") >= _iso_to_ns(ts_min))
+        if ts_max is not None:
+            raw = raw.where(F.col("ts") < _iso_to_ns(ts_max))
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_min is not None:
+        raw = raw.where(F.col("ts") >= F.lit(ts_min).cast("timestamp_ntz"))
+    if ts_max is not None:
+        raw = raw.where(F.col("ts") < F.lit(ts_max).cast("timestamp_ntz"))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _iso_to_ns(iso: str) -> int:
+    """ISO-8601 UTC wall-clock string → epoch nanoseconds (for the
+    legacy nanos-as-long raw representation)."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1_000
 
 
 def embeddings_d(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -274,6 +274,16 @@ def test_q22_anti_join_and_broadcast_threshold(spark):
     assert "LeftAnti" in plan
 
 
+def test_time_slice_pushes_ts_to_scan(spark):
+    # e9: the [min, max) time slice must be applied to the RAW ts
+    # column below the normalization cast, arriving at the parquet
+    # scan as pushed filters — the row-group-pruning contract for
+    # every time-sliced read of the event store.
+    df = q(spark, "e9_time_slice")
+    pf = " ".join(pushed_filters(df))
+    assert "ts" in pf and ("GreaterThanOrEqual" in pf or "LessThan" in pf), pf
+
+
 def test_latest_snapshot_uses_window_group_limit(spark):
     # x42: the rank-1 filter must push below the shuffle so each map
     # task forwards one candidate row per key, not the changelog.
