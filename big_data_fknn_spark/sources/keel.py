@@ -24,7 +24,11 @@ ranges are kept for j5-style normalization.
 
 from __future__ import annotations
 
+import glob
+import os
 import re
+import shutil
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -133,9 +137,13 @@ def write_keel(
     ``(features array<double>, label)`` DataFrame.
 
     Floats are rendered with repr-precision (17 significant digits)
-    so a read_keel round trip is bit-exact.  Used by tests and the
-    a7 round-trip query; at scale one would write a partitioned
-    directory instead of coalesce(1)."""
+    so a read_keel round trip is bit-exact.  The data section is
+    written DISTRIBUTED (`df.write.text`, one part file per
+    partition — executors do all the formatting and IO); the driver
+    only concatenates the finished part files byte-for-byte into the
+    single KEEL data file, so no row ever funnels through driver
+    memory.  At scale you'd skip the concat and ship the partitioned
+    directory itself."""
     first = df.select(F.size("features").alias("n")).first()
     nfeat = int(first["n"]) if first else 0
     stats = df.select(
@@ -172,7 +180,13 @@ def write_keel(
             F.col("label").cast("bigint").cast("string"),
         ).alias("line")
     )
-    with open(data_path, "w") as fh:
-        fh.write("@data\n")
-        for r in out.toLocalIterator():
-            fh.write(r["line"] + "\n")
+    tmp_dir = tempfile.mkdtemp(prefix="keel_data_parts_")
+    try:
+        out.write.mode("overwrite").text(tmp_dir)
+        with open(data_path, "wb") as fh:
+            fh.write(b"@data\n")
+            for part in sorted(glob.glob(os.path.join(tmp_dir, "part-*"))):
+                with open(part, "rb") as pf:
+                    shutil.copyfileobj(pf, fh)
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
