@@ -30,7 +30,11 @@ from big_data_fknn_spark.session import get_spark  # noqa: E402
 
 # One heavy representative per family: scan+agg, big join, window
 # top-k, event windowing, the reference's two algorithms, near-dup
-# LSH, similarity search (brute + IVF), tf-idf.
+# LSH, similarity search (brute + IVF), tf-idf, plus two genuinely
+# shuffle-heavy composites (the 8-table TPC-H Q8 join chain and the
+# full dedup pipeline shingle→cluster→survivor) so regressions in
+# the join/dedup stack show up round-over-round, not just the kNN
+# kernel.
 HEADLINE = (
     "d1_hashagg",
     "c5_sort_merge",
@@ -42,6 +46,8 @@ HEADLINE = (
     "j9_sim_search",
     "j9b_sim_search_ivf",
     "j10_text_tfidf",
+    "x32_tpch_q8",
+    "j31_dedup_survivors",
 )
 
 
@@ -60,13 +66,17 @@ def main() -> None:
     ).save()
 
     # steady-state: best of two executions per query (first run pays
-    # one-off plan compilation / codegen; production queries run hot)
+    # one-off plan compilation / codegen; production queries run hot).
+    # The timer wraps plan CONSTRUCTION as well as execution: some
+    # operators do real cluster work at build time (the kNN kernel's
+    # chunk fetches, connected-components' localCheckpoint rounds),
+    # and excluding it would under-report them.
     timings: dict[str, float] = {}
     for key in HEADLINE:
         runs = []
         for _ in range(2):
-            df = registry[key].fn(spark, sf_dir)
             t0 = time.perf_counter()
+            df = registry[key].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[key] = round(min(runs), 3)

@@ -261,12 +261,21 @@ def knn_join_blas(
 
         parts.append(cand.mapInPandas(kernel, "q_id long, n_id long, dist double"))
 
-    # Stream the query side: toLocalIterator fetches one partition per
-    # job, so the driver's Python process holds ≤ one chunk of ids+vecs
-    # at any moment (the numpy copy handed to broadcast is dropped as
-    # soon as the chunk is flushed).
+    # Stream the query side.  Single-chunk case (n_q ≤ chunk_rows —
+    # the memory bound holds by construction): one fetch job, no
+    # per-partition iteration latency.  Multi-chunk case:
+    # toLocalIterator fetches one partition per job, so the driver's
+    # Python process holds ≤ one chunk of ids+vecs at any moment (the
+    # numpy copy handed to broadcast is dropped as soon as the chunk
+    # is flushed).
     if n_q == 0:
         _flush()  # empty chunk keeps the output schema stable
+    elif n_parts == 1:
+        for row in q_src.collect():  # bounded ≤ chunk_rows by the count
+            buf_ids.append(row[0])
+            buf_vecs.append(row[1])
+        _last_peak_buffer_rows = len(buf_ids)
+        _flush()
     else:
         for row in q_src.toLocalIterator(prefetchPartitions=False):
             buf_ids.append(row[0])

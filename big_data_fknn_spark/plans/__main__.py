@@ -37,6 +37,10 @@ KEYS = (
     "x36_tpch_q21",
     "x22_time_rollup_multires",
     "j35_seq_packing",
+    "e9_time_slice",
+    "d17_auc",
+    "j8d_embed_neardup",
+    "j31_dedup_survivors",
 )
 
 SF = "/root/testdata/sf0.01"
