@@ -558,3 +558,46 @@ def d16_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("c_acctbal", F.lit(0.9), F.lit(10000)), 6
         ).alias("p90_approx"),
     )
+
+
+@register(
+    "d18_entropy",
+    oracle="""
+WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, sum(n) AS tot, count(*) AS n_langs FROM c GROUP BY 1)
+SELECT c.source,
+       CAST(max(t.tot) AS BIGINT) AS n_docs,
+       max(t.n_langs) AS n_langs,
+       round(-sum((c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot)), 6) AS entropy,
+       round(1.0 - sum((c.n * 1.0 / t.tot) * (c.n * 1.0 / t.tot)), 6) AS gini
+FROM c JOIN tot t ON c.source = t.source
+GROUP BY c.source
+""",
+)
+def d18_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + Gini impurity of each source's language mix —
+    the diversity diagnostics a corpus-curation pass reports next to
+    d1's plain counts (and the split-quality criteria of every
+    decision-tree learner).  Two chained aggregations: per-(source,
+    lang) counts (partial+final, map-side combined), then per-source
+    entropy over at most |langs| rows per group — the second shuffle
+    carries one row per (source, lang), never documents.  Both
+    engines evaluate the identical -SUM p·ln p over exact integer
+    ratios → 6dp round is far above float drift."""
+    c = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source")
+    p = F.col("n") * 1.0 / F.sum("n").over(w)
+    return (
+        c.withColumn("p", p)
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+            F.round(F.lit(1.0) - F.sum(F.col("p") * F.col("p")), 6).alias("gini"),
+        )
+    )

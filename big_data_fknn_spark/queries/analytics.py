@@ -1861,3 +1861,65 @@ def x41_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_X41_SQL.format(table=v)).withColumn(
         "qty", F.col("qty").cast("double")
     )
+
+
+@register(
+    "x43_incremental_agg",
+    oracle="""
+SELECT date_trunc('month', o_orderdate) AS mon,
+       o_orderstatus AS status,
+       count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a monthly revenue rollup is
+    kept as BASE (history, o_orderdate < 2000-01-01) and refreshed by
+    merging only the DELTA batch (the rows at/after the cutoff) —
+    base FULL OUTER JOIN delta on the group key, counts and decimal
+    sums coalesced and added.  The oracle recomputes the rollup from
+    scratch; hash-equality proves the merge law holds (count and
+    decimal-sum are commutative monoids, so merged == recomputed
+    bit-for-bit — double sums would NOT give this guarantee, see
+    functions/numeric.py).
+
+    This is the 100 TB pattern that keeps dashboards O(|delta|):
+    history is never rescanned, the delta aggregates map-side to one
+    row per touched (month, status), and the merge join's left side
+    is the stored rollup — tiny (groups, not rows), broadcastable.
+    i8/x42 are the streaming/CDC twins of the same idea."""
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    o = t(spark, sf_dir, "orders")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+            F.col("o_orderstatus").alias("status"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+        )
+
+    base = rollup(o.where(F.col("o_orderdate") < cutoff))
+    delta = rollup(o.where(F.col("o_orderdate") >= cutoff))
+    merged = base.alias("b").join(
+        delta.alias("d"), ["mon", "status"], "full_outer"
+    )
+    zero = F.lit(0).cast(DEC)
+    return merged.select(
+        "mon",
+        "status",
+        (
+            F.coalesce(F.col("b.n_orders"), F.lit(0))
+            + F.coalesce(F.col("d.n_orders"), F.lit(0))
+        ).alias("n_orders"),
+        F.round(
+            F.coalesce(F.col("b.rev_dec"), zero)
+            + F.coalesce(F.col("d.rev_dec"), zero),
+            6,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -2048,3 +2048,163 @@ def j39_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "j42_naive_bayes",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text <> ''
+),
+tr_doc AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 <> 0),
+tr_tok AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+classes AS (
+  SELECT lang AS cls, ln(count(*) * 1.0 / (SELECT count(*) FROM tr_doc)) AS prior
+  FROM tr_doc GROUP BY lang
+),
+vocab AS (SELECT DISTINCT w FROM tr_tok),
+vsize AS (SELECT count(*) AS v FROM vocab),
+tot AS (SELECT lang AS cls, count(*) AS tot_c FROM tr_tok GROUP BY lang),
+cnt AS (SELECT lang AS cls, w, count(*) AS c FROM tr_tok GROUP BY lang, w),
+lik AS (
+  SELECT vb.w, t.cls,
+         ln((coalesce(c.c, 0) + 1.0) / (t.tot_c + vs.v)) AS l
+  FROM vocab vb CROSS JOIN tot t CROSS JOIN vsize vs
+  LEFT JOIN cnt c ON c.w = vb.w AND c.cls = t.cls
+),
+dflt AS (
+  SELECT t.cls, ln(1.0 / (t.tot_c + vs.v)) AS l0 FROM tot t CROSS JOIN vsize vs
+),
+te_doc AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0),
+te_tok AS (SELECT doc_id, w FROM tok WHERE doc_id % 5 = 0),
+seen AS (
+  SELECT tt.doc_id, l.cls, sum(l.l) AS s
+  FROM te_tok tt JOIN lik l ON l.w = tt.w
+  GROUP BY tt.doc_id, l.cls
+),
+oov AS (
+  SELECT tt.doc_id, count(*) AS n_oov
+  FROM te_tok tt ANTI JOIN vocab vb ON vb.w = tt.w
+  GROUP BY tt.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang, c.cls,
+         c.prior + coalesce(s.s, 0) + coalesce(o.n_oov, 0) * f.l0 AS score
+  FROM te_doc d
+  CROSS JOIN classes c
+  JOIN dflt f ON f.cls = c.cls
+  LEFT JOIN seen s ON s.doc_id = d.doc_id AND s.cls = c.cls
+  LEFT JOIN oov o ON o.doc_id = d.doc_id
+),
+pick AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY round(score, 6) DESC, cls
+  ) AS r
+  FROM scored
+)
+SELECT doc_id, lang, cls AS pred, round(score, 4) AS logscore
+FROM pick WHERE r = 1
+""",
+)
+def j42_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained and applied in
+    one declarative plan — the canonical shared-nothing classifier
+    (MLlib NaiveBayes's exact math, spelled as aggregates so every
+    bit is DuckDB-oracle-able, unlike the engine-internal MLlib fit).
+
+    Train (doc_id % 5 != 0): per-class priors, Laplace-smoothed
+    token log-likelihoods ln((c+1)/(tot_c+V)) over the (vocab x
+    class) grid.  Score (held-out docs): prior + SUM seen-token
+    log-liks + n_oov * ln(1/(tot_c+V)); argmax with 6dp-rounded
+    scores, ties to the lexicographically smallest class — identical
+    rank order in both engines (float drift ~1e-13 against gaps of
+    O(0.01)).
+
+    Scale shape: the model IS two tiny aggregates (V x k likelihoods,
+    k priors) — broadcast back onto the exploded token stream, which
+    itself shuffles once on (doc, class).  Training cost is one scan
+    of the corpus regardless of k; scoring is map-side except the
+    final per-doc argmax.  The grid join is the same broadcast-dim
+    pattern as every TPC-H shape here."""
+    d = t(spark, sf_dir, "documents").where(F.col("text") != "")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    tr_doc = d.where(F.col("doc_id") % 5 != 0).select("doc_id", "lang")
+    tr_tok = tok.where(F.col("doc_id") % 5 != 0)
+
+    n_train = tr_doc.agg(F.count(F.lit(1)).alias("n"))
+    classes = (
+        tr_doc.groupBy(F.col("lang").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n_c"))
+        .crossJoin(F.broadcast(n_train))
+        .select("cls", F.log(F.col("n_c") * 1.0 / F.col("n")).alias("prior"))
+    )
+    vocab = tr_tok.select("w").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    tot = tr_tok.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("tot_c")
+    )
+    cnt = tr_tok.groupBy(F.col("lang").alias("cls"), "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lik = (
+        vocab.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vsize))
+        .join(cnt, ["w", "cls"], "left")
+        .select(
+            "w",
+            "cls",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("tot_c") + F.col("v"))
+            ).alias("l"),
+        )
+    )
+    dflt = (
+        tot.crossJoin(F.broadcast(vsize))
+        .select("cls", F.log(1.0 / (F.col("tot_c") + F.col("v"))).alias("l0"))
+    )
+
+    te_doc = d.where(F.col("doc_id") % 5 == 0).select("doc_id", "lang")
+    te_tok = tok.where(F.col("doc_id") % 5 == 0).select("doc_id", "w")
+    seen = (
+        te_tok.join(F.broadcast(lik), "w")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum("l").alias("s"))
+    )
+    oov = (
+        te_tok.join(F.broadcast(vocab), "w", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    scored = (
+        te_doc.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(dflt), "cls")
+        .join(seen, ["doc_id", "cls"], "left")
+        .join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "cls",
+            (
+                F.col("prior")
+                + F.coalesce(F.col("s"), F.lit(0.0))
+                + F.coalesce(F.col("n_oov"), F.lit(0)) * F.col("l0")
+            ).alias("score"),
+        )
+    )
+    pick = Window.partitionBy("doc_id").orderBy(
+        F.round("score", 6).desc(), F.col("cls").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(pick))
+        .where(F.col("r") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cls").alias("pred"),
+            F.round("score", 4).alias("logscore"),
+        )
+    )

@@ -417,6 +417,137 @@ def j29_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a2.select("vec_id", "cid")
 
 
+@register(
+    "j41_knn_regression",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, embedding[2:64]::DOUBLE[] AS x, embedding[1]::DOUBLE AS y
+  FROM embeddings
+),
+train AS (SELECT * FROM emb WHERE vec_id % 5 <> 0),
+test  AS (SELECT * FROM emb WHERE vec_id % 5 = 0),
+pairs AS (
+  SELECT t.vec_id AS q, t.y AS y_actual, r.vec_id AS n, r.y AS n_y,
+         list_distance(t.x, r.x) AS d
+  FROM test t CROSS JOIN train r
+),
+knn AS (
+  SELECT *, 1.0 / greatest(d * d, 1e-12) AS w FROM (
+    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d, n) AS rn FROM pairs
+  ) WHERE rn <= {K}
+)
+SELECT q AS vec_id,
+       round(y_actual, 6)              AS y_actual,
+       round(avg(n_y), 6)              AS pred_mean,
+       round(sum(w * n_y) / sum(w), 6) AS pred_idw
+FROM knn GROUP BY q, y_actual
+""",
+)
+def j41_knn_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN regression — predict a masked feature (dim 1) of each test
+    vector from its k nearest train neighbors over the remaining 63
+    dims.  Two estimators: plain neighbor mean and inverse-distance
+    weighting (w = 1/d², the Keller stage-2 weight family with m=2) —
+    the regression twin of the reference's classifier ([P kNN-IS §2]
+    notes the same skeleton serves regression by swapping the vote
+    for an average).
+
+    Same physical shape as j1: broadcast-chunked BLAS kernel streams
+    the train side, WindowGroupLimit-style partial top-k, one
+    (q_id)-keyed agg.  Nothing new moves at 100 TB."""
+    emb = embeddings_d(spark, sf_dir).select(
+        "vec_id",
+        F.slice("emb", 2, 63).alias("x"),
+        F.element_at("emb", 1).alias("y"),
+    )
+    train = emb.where(F.col("vec_id") % 5 != 0)
+    test = emb.where(F.col("vec_id") % 5 == 0)
+    knn = knn_join_blas(
+        test,
+        train,
+        k=K,
+        q_cols=("vec_id", "x"),
+        c_cols=("vec_id", "x"),
+        keep_q_cols=("y",),
+        keep_c_cols=("y",),
+    )
+    w = 1.0 / F.greatest(F.col("dist") * F.col("dist"), F.lit(1e-12))
+    return (
+        knn.groupBy(
+            F.col("q_id").alias("vec_id"), F.round("q_y", 6).alias("y_actual")
+        )
+        .agg(
+            F.round(F.avg("n_y"), 6).alias("pred_mean"),
+            F.round(F.sum(w * F.col("n_y")) / F.sum(w), 6).alias("pred_idw"),
+        )
+    )
+
+
+@register(
+    "j43_enn_wilson",
+    oracle=f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+p AS (
+  SELECT a.vec_id AS q, a.label AS label, b.vec_id AS n, b.label AS n_label,
+         list_distance(a.emb, b.emb) AS d
+  FROM emb a CROSS JOIN emb b WHERE a.vec_id <> b.vec_id
+),
+k AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d, n) AS rn FROM p
+  ) WHERE rn <= {K}
+),
+votes AS (SELECT q, label, n_label AS cls, count(*) AS cnt FROM k GROUP BY 1, 2, 3),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY cnt DESC, cls) AS r FROM votes
+)
+SELECT q AS vec_id, label, cls AS pred,
+       CAST(label = cls AS INT) AS kept
+FROM pick WHERE r = 1
+""",
+)
+def j43_enn_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson Edited Nearest Neighbor instance selection: every point
+    is classified by its k nearest OTHER points (leave-one-out, the
+    j2 theta-join shape); points the vote misclassifies are marked
+    for removal (kept=0).  This is the reference lineage's data-
+    preprocessing companion (the Granada group pairs kNN-IS with
+    distributed instance selection — Triguero et al., *MRPR / evolu-
+    tionary instance selection for big data*); ENN is its simplest
+    deterministic member, so it is fully value-oracled.
+
+    Scale: identical dataflow to j1 with queries == candidates —
+    chunked broadcast of the query side, candidates never shuffle
+    before the kernel, k rows per point leave each executor.  The
+    edited corpus is the kept=1 slice; downstream kNN over it is
+    strictly cheaper."""
+    emb = embeddings_d(spark, sf_dir)
+    knn = knn_join_blas(
+        emb,
+        emb,
+        k=K,
+        exclude_self=True,
+        keep_q_cols=("label",),
+        keep_c_cols=("label",),
+    )
+    votes = knn.groupBy(
+        F.col("q_id").alias("vec_id"),
+        F.col("q_label").alias("label"),
+        F.col("n_label").alias("cls"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    pick = Window.partitionBy("vec_id").orderBy(F.col("cnt").desc(), F.col("cls").asc())
+    return (
+        votes.withColumn("r", F.row_number().over(pick))
+        .where(F.col("r") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cls").alias("pred"),
+            (F.col("label") == F.col("cls")).cast("int").alias("kept"),
+        )
+    )
+
+
 @register("j36_mllib_pipeline", oracle=None)  # iterative LBFGS → rows-only
 def j36_mllib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's north star verbatim: an MLlib *Pipeline* over
