@@ -560,16 +560,35 @@ GROUP BY GROUPING SETS ((h), (d), (m))
     ).withColumn("total", F.col("total").cast("double"))
 
 
-@register("i11_stream_session_live", oracle=None)
+@register(
+    "i11_stream_session_live",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM numbered GROUP BY user_id, sid
+""",
+)
 def i11_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE-streaming session window: the live twin of i3 — replayed
     events, 10-minute watermark, per-user 30-minute-gap sessions.
     Session state merges windows as events arrive and finalizes when
     the watermark passes a session's close; complete mode makes the
-    single availableNow replay emit every session so tests can assert
-    it equals the batch i3 result exactly.  At scale the state store
-    holds only open sessions (bounded by active users × gap), not
-    history."""
+    single availableNow replay emit every session, so the result
+    equals the batch i3 gaps-and-islands rollup exactly — the same
+    SQL IS the full value oracle (upgraded from rows-only once the
+    replay-equality held across scale factors).  At scale the state
+    store holds only open sessions (bounded by active users × gap),
+    not history."""
     s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = (
         s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -653,3 +672,36 @@ def x42_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("last_value"),
         )
     )
+
+
+@register(
+    "i13_stream_tumbling_live",
+    oracle="""
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def i13_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming tumbling window — the live twin of i1, and
+    (unlike i11's data-dependent sessions) FULLY value-oracled:
+    1-hour windows align to epoch hours whatever the arrival order,
+    so the availableNow replay must equal the batch rollup
+    bit-for-bit, decimal sums included.  Watermark 10 minutes bounds
+    state exactly as production would (windows finalize and leave the
+    store once the watermark passes); complete mode makes the single
+    replay surface every window for the oracle.  The streaming agg is
+    the same partial+final HashAggregate as i1 per micro-batch, plus
+    a state-store merge keyed by (window, event_type) — O(open
+    windows × types), never history."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "total_value")
+    )
+    return run_to_memory(agg, "complete")

@@ -290,3 +290,37 @@ def test_latest_snapshot_uses_window_group_limit(spark):
     plan = executed_plan(q(spark, "x42_latest_snapshot"))
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_naive_bayes_model_is_broadcast(spark):
+    # j42: the fitted model (likelihood grid + priors + defaults) must
+    # reach the scoring stream via broadcast joins — never a shuffle
+    # of the token stream against the model side.
+    plan = executed_plan(q(spark, "j42_naive_bayes"))
+    assert plan.count("BroadcastHashJoin") >= 2, "model joins must broadcast"
+    assert "CartesianProduct" not in plan, "no unbroadcast cross product"
+
+
+def test_incremental_merge_never_rescans_history(spark):
+    # x43: exactly two parquet scans (base slice + delta slice) with
+    # the cutoff predicate pushed into each — the merge itself joins
+    # two aggregated rollups, not raw history.
+    df = q(spark, "x43_incremental_agg")
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 2
+    pushed = pushed_filters(df)
+    assert any("o_orderdate" in f for f in pushed), (
+        f"cutoff must reach the scans, got {pushed}"
+    )
+
+
+def test_entropy_second_shuffle_carries_groups_only(spark):
+    # d18: two chained aggs — the per-(source,lang) partial+final agg,
+    # then the per-source entropy over group rows.  The plan must
+    # show partial aggregation (map-side combine) on the first.
+    plan = executed_plan(q(spark, "d18_entropy"))
+    assert plan.count("HashAggregate") >= 2, "chained aggs must both hash-agg"
+
+
+def test_knn_regression_uses_kernel(spark):
+    assert has_operator(q(spark, "j41_knn_regression"), "MapInPandas")
