@@ -50,19 +50,23 @@ def connected_components(
         msgs = sym.join(labels.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"), "lab"
         )
-        new = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
+        # One materialization per round: the min-label agg JOINED back
+        # to the previous labels, so the convergence count below reads
+        # checkpointed rows instead of re-running a second join job.
+        # (msgs only mention nodes already labeled → inner join is
+        # cardinality-preserving.)
+        merged = (
+            labels.withColumnRenamed("lab", "old")
+            .join(
+                labels.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("lab").alias("lab")),
+                "node",
+            )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new
+        changed = merged.where(F.col("lab") != F.col("old")).count()
+        labels = merged.select("node", "lab")
         if changed == 0:
             break
 
