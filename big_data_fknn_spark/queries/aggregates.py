@@ -601,3 +601,34 @@ def d18_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) - F.sum(F.col("p") * F.col("p")), 6).alias("gini"),
         )
     )
+
+
+@register("d19_sketch_merge", oracle=None)  # sketch internals are engine-specific
+def d19_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL) —
+    the property that makes approximate aggregation work at 100 TB:
+    build one sketch PER DAY per event type, union the day sketches,
+    and estimate — against the estimate from a single direct pass.
+    Mergeability means daily sketches can be stored (bytes per day),
+    rolled up across any date range without rescanning events, and
+    re-aggregated along any dimension — the sketch is the datastore,
+    the rescan never happens.  tests/test_scale_stress.py asserts
+    est_merged == est_direct exactly (the union of partials IS the
+    algorithm's own merge, not an approximation of it) and both land
+    within the sketch's published error of the exact count."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    merged = (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"))
+    )
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type", "est_merged", "est_direct", "exact"
+    )

@@ -10,7 +10,7 @@ layout (Z-order, compaction), audits, and dialect proofs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_fknn_spark.functions.numeric import DEC, dsum
@@ -1922,4 +1922,139 @@ def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("revenue"),
+    )
+
+
+@register(
+    "x44_salted_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_orders,
+       round(sum(CAST(o.o_totalprice AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def x44_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation JOIN (the join twin of x4's salted agg): the
+    fact side salts its key with salt = o_orderkey % 8 and the dim
+    side is replicated once per salt value, so the equi-join runs on
+    (custkey, salt) — a single hot customer's rows spread over 8
+    reducers instead of melting one.  The oracle is the PLAIN join:
+    salting must be invisible in the result (every fact row still
+    meets exactly one dim copy).
+
+    At 100 TB this is the manual fallback when AQE's skew-join split
+    can't help (e.g. the skew is in the build side of a shuffled hash
+    join, or stats hide it): replication factor × dim size is the
+    explicit price, paid only on the small side.  AQE remains the
+    first answer; this key proves the engine expresses the classic
+    fix declaratively, result-identically."""
+    n_salt = 8
+    o = t(spark, sf_dir, "orders").withColumn(
+        "salt", (F.col("o_orderkey") % n_salt).cast("int")
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .crossJoin(
+            F.broadcast(
+                spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+            )
+        )
+    )
+    # hint the SHUFFLED path: a broadcast join never shuffles the
+    # fact side, which is exactly the regime where salting is moot —
+    # the demo must exercise the (key, salt) exchange it exists for
+    return (
+        o.join(
+            c.hint("shuffle_hash"),
+            (o.o_custkey == c.c_custkey) & (o.salt == c.salt),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "x45_bloom_prefilter",
+    oracle="""
+WITH purchasers AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 300
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e SEMI JOIN purchasers p ON e.user_id = p.user_id
+GROUP BY e.event_type
+""",
+)
+def x45_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, spelled out: the high-value
+    purchaser set is folded into a 1024-bit bloom bitmap (16 int64 lanes,
+    bit_or aggregate; two md5-derived hash positions per key), the
+    bitmap — ~128 BYTES, not the key set — broadcasts onto the fact
+    scan as a map lookup + bitwise AND prefilter, and only the
+    survivors (members + false positives) reach the exact left-semi
+    join that makes the result equal the plain semi join, which is
+    the oracle.
+
+    This is the runtime-filter pattern (Spark's own InjectRuntimeFilter
+    / bloom_filter_agg) made explicit and engine-portable: at 100 TB
+    the prefilter drops non-matching fact rows IN THE SCAN STAGE at
+    the cost of shipping a bitmap, so the shuffle into the semi join
+    carries survivors only.  False positives cost nothing but wasted
+    verify work; false negatives are impossible (both hash positions
+    of a member are always set)."""
+    m_bits, lanes = 1024, 16
+    e = t(spark, sf_dir, "events")
+    keys = (
+        e.where((F.col("event_type") == "purchase") & (F.col("value") > 300))
+        .select("user_id")
+        .distinct()
+    )  # "whale" purchasers — ~3% of users at every SF, so the bloom
+    #    prunes ~97% of fact rows in the scan stage
+
+    def hpos(i: int) -> Column:  # md5 hex window → position in [0, m)
+        return (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), i, 8), 16, 10)
+            .cast("bigint")
+            % m_bits
+        )
+
+    pos = keys.select(
+        F.explode(F.array(hpos(1), hpos(9))).alias("p")
+    ).select(
+        (F.col("p") / 64).cast("int").alias("lane"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+    )
+    bitmap = pos.groupBy("lane").agg(F.bit_or("b").alias("bits"))
+    bloom = bitmap.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("lane", "bits")))
+        ).alias("bloom")
+    )  # one row: lane → int64 lane value
+
+    fact = (
+        e.withColumn("h1", hpos(1))
+        .withColumn("h2", hpos(9))
+        .crossJoin(F.broadcast(bloom))
+    )
+
+    def hit(h: str) -> Column:
+        lane = (F.col(h) / 64).cast("int")
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({h} % 64 AS INT))")
+        return F.coalesce(
+            F.element_at(F.col("bloom"), lane).bitwiseAND(bit) != 0, F.lit(False)
+        )
+
+    survivors = fact.where(hit("h1") & hit("h2")).drop("bloom", "h1", "h2")
+    exact = survivors.join(F.broadcast(keys), "user_id", "left_semi")
+    return exact.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
     )

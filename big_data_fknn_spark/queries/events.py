@@ -705,3 +705,40 @@ def i13_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("bucket"), "event_type", "n", "total_value")
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "i14_stream_sliding_live",
+    oracle="""
+WITH base AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b, value
+  FROM events
+), expanded AS (
+  SELECT b - (k.k * INTERVAL 15 MINUTE) AS win_start, value
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT win_start, count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
+FROM expanded GROUP BY win_start
+""",
+)
+def i14_stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming sliding window (1 h length / 15 min slide) — the
+    live twin of i2, fully value-oracled like i13: slide boundaries
+    are epoch-aligned, so every event lands in the same 4 windows
+    whatever order the replay delivers it, and the availableNow
+    result must equal the batch expansion bit-for-bit.  Watermark
+    10 min bounds state to open windows × 4 overlap; each micro-batch
+    updates at most (batch span / slide + 4) window rows per key.
+    The state-store merge is the only difference from i2's plan —
+    identical partial+final agg otherwise."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+    )
+    return run_to_memory(agg, "complete")

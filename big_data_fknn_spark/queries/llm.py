@@ -2208,3 +2208,63 @@ def j42_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 4).alias("logscore"),
         )
     )
+
+
+@register(
+    "j44_vocab_build",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text <> ''
+),
+counts AS (SELECT w AS token, count(*) AS cnt FROM tok GROUP BY w),
+ranked AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS token_id
+  FROM counts
+),
+tot AS (SELECT sum(cnt) AS n FROM counts)
+SELECT r.token_id, r.token, r.cnt,
+       round(sum(r.cnt) OVER (ORDER BY r.token_id
+                              ROWS UNBOUNDED PRECEDING) * 1.0 / t.n, 6)
+         AS coverage
+FROM ranked r CROSS JOIN tot t
+""",
+)
+def j44_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary build — the tokenizer-training
+    primitive: count every token once over the corpus, assign
+    contiguous ids by (count DESC, token ASC) so the mapping is
+    deterministic across engines and runs, and report cumulative
+    corpus coverage per rank (the curve that decides vocab size:
+    "the top-N tokens cover X% of all occurrences").
+
+    Scale shape: the corpus-wide token count is one partial+final
+    hash agg (map-side combine does nearly all the work — shuffle
+    rows = |vocab| × tasks, never token occurrences).  Ranking and
+    the running coverage sum run over |vocab| ROWS ONLY — a global
+    window over the vocabulary is fine precisely because vocabularies
+    are bounded (10⁵-ish) while corpora are not; nothing
+    corpus-sized crosses a single partition.  j39 is the opposite
+    trade (hash, no vocab); j27/j32 consume this table's shape."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text") != "")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("n"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    w_cum = Window.orderBy("token_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.withColumn("token_id", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token_id",
+            "token",
+            "cnt",
+            F.round(F.sum("cnt").over(w_cum) * 1.0 / F.col("n"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

@@ -621,3 +621,52 @@ def j37_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
+
+
+@register(
+    "j45_linreg_ols",
+    oracle="""
+WITH d AS (
+  SELECT lang,
+         len(string_split(text, ' '))::DOUBLE AS x,
+         n_chars::DOUBLE AS y
+  FROM documents WHERE text <> ''
+)
+SELECT lang,
+       count(*) AS n,
+       round(covar_pop(x, y) / var_pop(x), 6) AS slope,
+       round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6) AS intercept,
+       round(corr(x, y) * corr(x, y), 6) AS r2
+FROM d GROUP BY lang
+""",
+)
+def j45_linreg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares regression per group (n_chars ~
+    token count, one model per language): slope = cov(x,y)/var(x),
+    intercept from the means, R² = corr² — the normal equations for
+    one feature, solved entirely inside a hash aggregate.  Unlike
+    the iterative j36 pipeline this is EXACT in one pass: the
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are constant-
+    size merge state, partial+final combined like every agg here —
+    the same reason d12's moments scale.  At 100 TB: model fitting
+    as a 6-number-per-group reduction, zero iterations, zero driver
+    state; the k-feature generalization is a k²-entry Gram matrix
+    per group, still constant-size state."""
+    from big_data_fknn_spark.tables import t as _t
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text") != "")
+        .select(
+            "lang",
+            F.size(F.split("text", " ")).cast("double").alias("x"),
+            F.col("n_chars").cast("double").alias("y"),
+        )
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        F.round(F.corr("x", "y") * F.corr("x", "y"), 6).alias("r2"),
+    )

@@ -1437,3 +1437,51 @@ def h16_try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_brand", 7, 10).try_cast("int").alias("brand_num"),
         F.try_element_at(F.split("p_name", "a"), F.lit(99)).alias("oob_elem"),
     )
+
+
+@register(
+    "a14_text_log_roundtrip",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(round(value, 3) * 1000, 0) AS BIGINT)) AS BIGINT) AS value_millis
+FROM events GROUP BY event_type
+""",
+)
+def a14_text_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured-text round trip — the log-file reality: events are
+    FORMATTED into syslog-ish lines (`<epoch_us> <type> user=<id>
+    value=<v>`) and written with the distributed text sink (one file
+    per partition, no driver funnel), then re-read as raw lines and
+    parsed back with regexp_extract into typed columns.  The
+    aggregate matching the parquet-sourced oracle proves parse ∘
+    format = identity on every field the lines carry.
+
+    value survives via a fixed 3-decimal format and an integer-millis
+    aggregate (text round trips of binary doubles are NOT identity —
+    that's the point of columnar formats; the key demonstrates the
+    ingest-legacy-logs path, a8/a12 show the formats you'd migrate
+    to).  Scale: format is scan-stage codegen; parse is one regexp
+    pass per line — the classic schema-on-read ELT step."""
+    out = _tmp_path("a14_events_log")
+    line = F.format_string(
+        "%d %s user=%d value=%.3f",
+        F.unix_micros("ts"),
+        "event_type",
+        "user_id",
+        "value",
+    )
+    t(spark, sf_dir, "events").select(line.alias("value")).write.mode(
+        "overwrite"
+    ).text(out)
+    back = spark.read.text(out)
+    rx = r"^(\d+) (\w+) user=(\d+) value=(-?\d+\.\d{3})$"
+    parsed = back.select(
+        F.regexp_extract("value", rx, 2).alias("event_type"),
+        F.regexp_extract("value", rx, 4).cast("double").alias("v"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.round(F.col("v"), 3) * 1000, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("value_millis"),
+    )

@@ -324,3 +324,26 @@ def test_entropy_second_shuffle_carries_groups_only(spark):
 
 def test_knn_regression_uses_kernel(spark):
     assert has_operator(q(spark, "j41_knn_regression"), "MapInPandas")
+
+
+def test_salted_join_shuffles_on_composite_key(spark):
+    # x44: the join must be a SHUFFLED join keyed on (custkey, salt) —
+    # a broadcast join would never shuffle the fact side, making the
+    # salt decorative.
+    plan = executed_plan(q(spark, "x44_salted_join"))
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    import re
+
+    join_line = next(
+        l for l in plan.splitlines()
+        if "ShuffledHashJoin" in l or "SortMergeJoin" in l
+    )
+    assert "salt" in join_line, f"join must key on salt: {join_line}"
+
+
+def test_bloom_prefilter_broadcasts_bitmap_and_semi_joins(spark):
+    # x45: the 1-row bloom bitmap reaches the fact scan by broadcast,
+    # and the exact verify is a left-semi join (no full join blowup).
+    plan = executed_plan(q(spark, "x45_bloom_prefilter"))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bitmap crossJoin
+    assert "LeftSemi" in plan, "exact verify must be a semi join"

@@ -186,3 +186,20 @@ def test_approx_percentile_within_bound(spark):
         # acctbal spans [-1000, 10000]; adjacent order stats in a
         # ~600-row group are within ~2% of the range of each other
         assert abs(approx[seg] - exact[seg]) < 220, seg
+
+
+def test_sketch_merge_equals_direct(spark):
+    """d19: unioning per-day HLL sketches must give the SAME estimate
+    as one direct pass (mergeability is exact, not approximate), and
+    both must sit within the sketch's error bound of the exact count."""
+    from big_data_fknn_spark.queries import load_all
+
+    rows = (
+        load_all()["d19_sketch_merge"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.est_merged == r.est_direct, r
+        assert abs(r.est_direct - r.exact) <= max(3, 0.05 * r.exact), r
