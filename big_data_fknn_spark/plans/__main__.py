@@ -41,6 +41,10 @@ KEYS = (
     "d17_auc",
     "j8d_embed_neardup",
     "j31_dedup_survivors",
+    "x44_salted_join",
+    "x45_bloom_prefilter",
+    "j42_naive_bayes",
+    "x43_incremental_agg",
 )
 
 SF = "/root/testdata/sf0.01"

@@ -2009,7 +2009,16 @@ def x45_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cost of shipping a bitmap, so the shuffle into the semi join
     carries survivors only.  False positives cost nothing but wasted
     verify work; false negatives are impossible (both hash positions
-    of a member are always set)."""
+    of a member are always set).
+
+    Note on the observed plan: because prefilter ∘ verify ≡ verify,
+    Catalyst is free to reorder, and at this SF (key set trivially
+    broadcastable) it runs the exact semi join below the bloom check.
+    That freedom is the point of declaring both steps: the bitmap
+    path earns its keep exactly when the key set is too large to
+    broadcast — then the ~128-byte bitmap is the only thing that can
+    reach the scan stage, and the ordering follows from cost, not
+    from this code."""
     m_bits, lanes = 1024, 16
     e = t(spark, sf_dir, "events")
     keys = (
@@ -2058,3 +2067,61 @@ def x45_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "x46_runtime_filter",
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       count(*) AS n_items,
+       round(sum(CAST(l.l_extendedprice AS DECIMAL(38,10))), 6)::DOUBLE AS gross
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+)
+def x46_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-NATIVE runtime filtering (InjectRuntimeFilter) — the
+    built-in sibling of x45's hand-rolled bloom: when a shuffle join
+    has a selective creation side (urgent orders), Catalyst plants a
+    bloom-filter aggregate on it and rewrites the fact side's scan to
+    `might_contain(xxhash64(l_orderkey))` — visible in the plan and
+    asserted in tests/test_plans.py.  The fact table drops
+    non-qualifying rows at the scan, BEFORE paying the shuffle.
+
+    Local-mode knobs, set ONLY during plan materialization and then
+    restored: application-side size threshold 0 (defaults to 10 GB —
+    at 100 TB the real scan qualifies on its own) and broadcast
+    disabled (a broadcastable dim needs no runtime filter — the
+    optimization exists for the shuffle regime).  The physical plan
+    is forced inside that window and cached on the returned
+    DataFrame, so execution runs the filtered plan while the session
+    configs are long restored — confs never leak to other queries."""
+    knobs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        li = t(spark, sf_dir, "lineitem")
+        o = t(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum("l_extendedprice").alias("gross"),
+            )
+        )
+        # Materialize the physical plan NOW, while the knobs are set:
+        # Dataset caches its QueryExecution, so later actions on this
+        # exact DataFrame execute the bloom-filtered plan.
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

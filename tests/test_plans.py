@@ -347,3 +347,13 @@ def test_bloom_prefilter_broadcasts_bitmap_and_semi_joins(spark):
     plan = executed_plan(q(spark, "x45_bloom_prefilter"))
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bitmap crossJoin
     assert "LeftSemi" in plan, "exact verify must be a semi join"
+
+
+def test_runtime_filter_injects_bloom(spark):
+    # x46: Catalyst must plant might_contain(xxhash64(l_orderkey)) on
+    # the fact scan (InjectRuntimeFilter), and the join must be the
+    # shuffle kind (the regime runtime filters exist for).
+    df = q(spark, "x46_runtime_filter")
+    plan = executed_plan(df)
+    assert "might_contain" in plan, "runtime bloom filter must inject"
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

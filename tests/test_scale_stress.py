@@ -203,3 +203,36 @@ def test_sketch_merge_equals_direct(spark):
     for r in rows:
         assert r.est_merged == r.est_direct, r
         assert abs(r.est_direct - r.exact) <= max(3, 0.05 * r.exact), r
+
+
+def test_float_sensitive_new_keys_partition_invariant(spark):
+    """The round-2 float-bearing keys (NB log-score argmax, OLS
+    moments, kNN regression means, entropy) must hash identically
+    under 2 and 32 shuffle partitions — same determinism sweep the
+    driver probe runs on j3/d1/i1/j8."""
+    import hashlib
+
+    from big_data_fknn_spark.queries import load_all
+
+    defs = load_all()
+    keys = ("j41_knn_regression", "j42_naive_bayes", "j45_linreg_ols", "d18_entropy")
+
+    def h(key):
+        pdf = defs[key].fn(spark, "/root/testdata/sf0.01").toPandas()
+        cols = sorted(pdf.columns)
+        rows = sorted(
+            ",".join(str(v) for v in r) for r in pdf[cols].itertuples(index=False)
+        )
+        return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        out = {}
+        for parts in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for k in keys:
+                out.setdefault(k, []).append(h(k))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for k, hs in out.items():
+        assert len(set(hs)) == 1, f"{k} nondeterministic across partitionings"
