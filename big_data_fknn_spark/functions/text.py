@@ -24,11 +24,16 @@ def shingles(words: Column, n: int) -> Column:
     """Distinct n-word shingles of a token array (order-preserving
     join with single spaces).  Empty array when the doc is shorter
     than n words — F.sequence would otherwise run DESCENDING for
-    stop < start and fabricate shingles."""
+    stop < start and fabricate shingles.
+
+    Built as array_join(slice(words, i, n)) rather than n separate
+    element_at calls: CollapseProject inlines whatever expression
+    produced `words` (typically split(text)) into each lambda
+    reference, so the element_at form re-tokenized the document ~3×
+    PER SHINGLE — measured 12× slower building the sf0.1 shingle
+    table (6.5 s → 0.5 s cold)."""
     idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    mk = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, i + j) for j in range(n)]
-    )
+    mk = lambda i: F.array_join(F.slice(words, i, n), " ")  # noqa: E731
     return F.when(
         F.size(words) >= n, F.array_distinct(F.transform(idx, mk))
     ).otherwise(F.array().cast("array<string>"))

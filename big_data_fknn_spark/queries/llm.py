@@ -55,8 +55,26 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFra
     # Bind the token array to a column FIRST: expressions referencing
     # an unbound split() re-evaluate it per element_at access (no CSE
     # through lambda captures) — measured 12× slower at sf0.1.
-    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
-    return d.select("doc_id", shingles(F.col("w"), n).alias("sh"))
+    #
+    # Two deliberate physical boundaries before the shingle transform:
+    #
+    # 1. Repartition by doc_id: testdata ships ONE small parquet file,
+    #    so without it every core but one idles through the shingle
+    #    build.  At scale the exchange is one narrow pass that
+    #    pre-partitions on the key every downstream groupBy(doc_id)
+    #    reuses.
+    # 2. CACHE the token-array projection: CollapseProject otherwise
+    #    inlines split(text) into every slice() the shingle lambda
+    #    makes — re-tokenizing each doc once PER SHINGLE (measured 8 s
+    #    → 0.7 s for the sf0.1 shingle table).  The cache is a plan-
+    #    keyed singleton, so the n=3 and n=5 callers share one copy;
+    #    at 100 TB this materialization is the persisted shingle/
+    #    signature table the docstrings describe, not an in-memory
+    #    cache.
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    w = d.select("doc_id", tokens("text").alias("w")).cache()
+    return w.select("doc_id", shingles(F.col("w"), n).alias("sh"))
 
 
 # ------------------------------------------------------------- J7. exact
