@@ -475,6 +475,7 @@ def j40_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", (F.col("p0") + 1).alias("i"), "x"
     )
     bits = spark.range(1, _SRP_BITS + 1).select(F.col("id").alias("b"))
+    dims = spark.range(1, 65).select(F.col("id").alias("i"))
     sign = F.when(
         F.conv(
             F.substring(F.md5(F.concat_ws("_", F.col("i"), F.col("b"))), 1, 1),
@@ -485,8 +486,15 @@ def j40_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0,
         1,
     ).otherwise(-1)
-    cells = pos.crossJoin(F.broadcast(bits)).select(
-        "vec_id", "b", (F.col("x") * sign).cast(DEC).alias("term")
+    # The hyperplane matrix is a CONSTANT dims×bits table (64×32 =
+    # 2048 md5 parities) — materialize it once and broadcast-join it
+    # onto the exploded vectors, instead of hashing md5 per
+    # (row, dim, bit) cell (|corpus|·64·32 hashes; measured ~2× the
+    # whole query at sf0.1).  This is also the honest scale shape:
+    # the model (hyperplanes) ships to the data, tiny and constant.
+    signs = dims.crossJoin(bits).select("i", "b", sign.alias("sgn"))
+    cells = pos.join(F.broadcast(signs), "i").select(
+        "vec_id", "b", (F.col("x") * F.col("sgn")).cast(DEC).alias("term")
     )
     sig = cells.groupBy("vec_id", "b").agg(
         (F.sum("term") > 0).cast("int").alias("bit")
@@ -1477,10 +1485,16 @@ def j26_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise <0.2 — SURVEY §testdata), so the ~1-ulp expression-vs-
     oracle drift can't flip a pair.
     """
-    from big_data_fknn_spark.functions.distance import cosine_sim
+    from big_data_fknn_spark.functions.distance import dot, l2_norm
 
+    # Normalize ONCE per vector (n rows), so the per-pair predicate is
+    # a single dot product instead of dot + two norms — the pair side
+    # is the n·c term, the normalization is the n term; same float
+    # story (τ=0.4 sits ≥0.1 from every data cosine, drift ~1e-15).
     e = embeddings_d(spark, sf_dir).select(
-        "vec_id", F.col("emb").alias("v"), "label"
+        "vec_id",
+        F.transform("emb", lambda x: x / l2_norm(F.col("emb"))).alias("v"),
+        "label",
     )
     a, b = e.alias("a"), e.alias("b")
     dup = (
@@ -1489,7 +1503,7 @@ def j26_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.label") == F.col("b.label"))
             & (F.col("b.vec_id") < F.col("a.vec_id")),
         )
-        .where(cosine_sim(F.col("a.v"), F.col("b.v")) >= 0.4)
+        .where(dot(F.col("a.v"), F.col("b.v")) >= 0.4)
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("hit", F.lit(1))
