@@ -107,6 +107,32 @@ class KNNISClassifier:
         ).first()
         return float(row["acc"])
 
+    def auc(self) -> DataFrame:
+        """(cls, auc) one-vs-rest tie-aware AUC over the vote scores,
+        plus the macro average as cls = -1 — the reference driver's
+        second headline metric ([R runFuzzyKNN.scala] via
+        BinaryClassificationMetrics; operators/metrics.py)."""
+        from big_data_fknn_spark.operators.metrics import (
+            dense_vote_scores,
+            ovr_auc,
+        )
+
+        knn = knn_join_blas(
+            self.test,
+            self.train,
+            k=self.k,
+            metric=self.metric,
+            keep_q_cols=("label",),
+            keep_c_cols=("label",),
+        )
+        votes = knn.groupBy(
+            F.col("q_id").alias("q"),
+            F.col("q_label").alias("label"),
+            F.col("n_label").alias("cls"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        classes = self.train.select(F.col("label").alias("cls")).distinct()
+        return ovr_auc(dense_vote_scores(votes, classes))
+
 
 @dataclass
 class FuzzyKNNClassifier:

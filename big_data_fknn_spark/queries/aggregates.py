@@ -349,41 +349,9 @@ def d17_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = (
         embeddings_d(spark, sf_dir).select(F.col("label").alias("cls")).distinct()
     )
-    tq = votes.select("q", "label").distinct()
-    dense = (
-        tq.crossJoin(F.broadcast(classes))
-        .join(votes.select("q", "cls", "cnt"), ["q", "cls"], "left")
-        .select("q", "label", "cls", F.coalesce("cnt", F.lit(0)).alias("score"))
-    )
-    w_rank = Window.partitionBy("cls").orderBy("score")
-    w_tie = Window.partitionBy("cls", "score")
-    ranked = dense.select(
-        "cls",
-        (F.col("label") == F.col("cls")).alias("pos"),
-        (
-            F.rank().over(w_rank)
-            + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
-        ).alias("avg_rank"),
-    )
-    stats = ranked.groupBy("cls").agg(
-        F.sum(F.when(F.col("pos"), F.col("avg_rank")).otherwise(0.0)).alias("s_pos"),
-        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
-        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("n_neg"),
-    )
-    per = stats.select(
-        F.col("cls").cast("int").alias("cls"),
-        F.round(
-            (F.col("s_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos") * F.col("n_neg")),
-            6,
-        ).alias("auc"),
-    )
-    macro = per.agg(
-        F.round(F.sum(F.col("auc").cast(DEC)).cast("double") / F.count(F.lit(1)), 6).alias(
-            "auc"
-        )
-    ).select(F.lit(-1).cast("int").alias("cls"), "auc")
-    return per.unionByName(macro)
+    from big_data_fknn_spark.operators.metrics import dense_vote_scores, ovr_auc
+
+    return ovr_auc(dense_vote_scores(votes, classes))
 
 
 @register(

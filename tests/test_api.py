@@ -64,3 +64,23 @@ def test_confusion_and_accuracy_consistent(spark):
     right = sum(r["n"] for r in cm if r["label"] == r["pred"])
     assert total == test.count()
     assert abs(clf.accuracy() - right / total) < 1e-12
+
+
+def test_knnis_auc_matches_d17(spark):
+    """The API's auc() is the same computation d17_auc oracles — both
+    come from operators/metrics.ovr_auc over k=5 vote scores."""
+    from big_data_fknn_spark.api import KNNISClassifier
+    from big_data_fknn_spark.queries import load_all
+    from big_data_fknn_spark.tables import train_test_split
+
+    sf = "/root/testdata/sf0.01"
+    train, test = train_test_split(spark, sf)
+    api_rows = {
+        r.cls: r.auc
+        for r in KNNISClassifier.setup(train, test, k=5).auc().collect()
+    }
+    d17_rows = {
+        r.cls: r.auc for r in load_all()["d17_auc"].fn(spark, sf).collect()
+    }
+    assert api_rows == d17_rows
+    assert -1 in api_rows and 0.0 < api_rows[-1] <= 1.0
