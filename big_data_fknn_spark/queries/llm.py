@@ -2300,3 +2300,89 @@ def j44_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "x47_training_export",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS w
+  FROM documents WHERE text <> ''
+),
+admitted AS (
+  SELECT doc_id, lang, text, len(w) AS n_tok
+  FROM base
+  WHERE len(w) >= 20
+    AND (SELECT max(c) FROM (
+           SELECT count(*) AS c FROM unnest(w) AS t(tok) GROUP BY tok
+         )) * 1.0 / len(w) <= 0.30
+),
+canon AS (
+  SELECT doc_id, lang, n_tok,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g'))) AS h
+  FROM admitted
+),
+survivors AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM canon
+  ) WHERE rn = 1
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum((n_tok + 47) // 48) AS BIGINT) AS n_chunks
+FROM survivors GROUP BY lang
+""",
+)
+def x47_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped-corpus capstone: one declarative plan running the
+    whole training-data export — (1) ADMISSION: ≥20 tokens and
+    top-token mass ≤ 0.30 (the j28/j23 gates); (2) DEDUP on the j19
+    canonical form (lowercase → strip → collapse → md5), smallest
+    doc_id survives per hash (j7's WindowGroupLimit shape); (3)
+    CHUNK accounting at the j22 geometry (64-token windows, stride
+    48 → ⌈n/48⌉ chunks per doc); per-language totals out.
+
+    One scan feeds everything: admission and canonicalization are
+    scan-stage expressions, dedup is the single content-hash shuffle
+    (WindowGroupLimit forwards one candidate per hash per task), and
+    the rollup reuses rows already in flight.  At 100 TB this is the
+    nightly job the individual operators exist for — and the whole
+    composition stays oracle-checkable end to end, which is the
+    repo's core claim: compositions inherit correctness when every
+    stage is deterministic."""
+    d = t(spark, sf_dir, "documents").where(F.col("text") != "")
+    w = F.split("text", " ")
+    base = d.select("doc_id", "lang", "text", w.alias("w"), F.size(w).alias("n_tok"))
+    top_mass = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("w"),
+                lambda tok: F.size(F.filter("w", lambda x: x == tok)),
+            )
+        )
+        * 1.0
+        / F.col("n_tok")
+    )
+    admitted = base.where(
+        (F.col("n_tok") >= 20) & (top_mass <= 0.30)
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    canon = admitted.select("doc_id", "lang", "n_tok", F.md5(norm).alias("h"))
+    surv_w = Window.partitionBy("h").orderBy("doc_id")
+    survivors = (
+        canon.withColumn("rn", F.row_number().over(surv_w))
+        .where(F.col("rn") == 1)
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum(F.floor((F.col("n_tok") + 47) / 48)).cast("bigint").alias("n_chunks"),
+    )

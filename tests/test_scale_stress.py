@@ -236,3 +236,71 @@ def test_float_sensitive_new_keys_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", before)
     for k, hs in out.items():
         assert len(set(hs)) == 1, f"{k} nondeterministic across partitionings"
+
+
+def test_minhash_pipeline_50k_docs_stays_bucketed(spark):
+    """Text-dedup scale check (the j8 shape at 10× sf0.1): 50k synthetic
+    docs with 500 planted near-dup pairs.  Asserts (a) the LSH
+    candidate set stays ~planted-pair-sized — the bucket join must
+    never degenerate toward |docs|²; (b) every planted pair is
+    caught (banding P(miss) ≈ 1e-4 per pair at jac ≈ 0.9); (c) the
+    whole pipeline clears a wall-clock budget."""
+    import os
+    import random
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_fknn_spark.functions.text import shingles
+    from big_data_fknn_spark.queries.llm import _BAND_R, _NH, _minhash_exprs_spark
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(5000)]
+    rows = []
+    for i in range(49_000):
+        rows.append((i, " ".join(rng.choice(words) for _ in range(60))))
+    # 500 near-dup pairs: copy with one word changed (~jac 0.9)
+    for j in range(500):
+        base = rows[j][1].split(" ")
+        base[30] = "zz_mut"
+        rows.append((49_000 + j, " ".join(base)))
+    d = tempfile.mkdtemp(prefix="dedup_stress_")
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(8).write.parquet(
+        os.path.join(d, "docs")
+    )
+
+    t0 = time.perf_counter()
+    docs = spark.read.parquet(os.path.join(d, "docs"))
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    tok = w.select("doc_id", F.explode(shingles(F.col("w"), 3)).alias("s")).cache()
+    mh = tok.groupBy("doc_id").agg(*_minhash_exprs_spark())
+    band_arr = F.array(
+        *[
+            F.concat(F.col(f"h{_BAND_R * b}"), F.col(f"h{_BAND_R * b + 1}"))
+            for b in range(_NH // _BAND_R)
+        ]
+    )
+    bands = mh.select("doc_id", F.posexplode(band_arr).alias("band", "key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    n_cand = cand.count()
+    elapsed = time.perf_counter() - t0
+    # (a) bucketed, not quadratic: candidates within a small multiple
+    # of the planted pairs (random 60-of-5000-word docs don't collide)
+    assert n_cand < 5_000, f"candidate blowup: {n_cand}"
+    # (b) recall: every planted (j, 49000+j) pair must be a candidate
+    planted = cand.where(F.col("j") - F.col("i") == 49_000).count()
+    assert planted == 500, f"missed planted pairs: {500 - planted}"
+    # (c) 49.5k docs end-to-end under a generous local budget
+    assert elapsed < 120, f"minhash pipeline took {elapsed:.0f}s"
+    tok.unpersist()
