@@ -2125,3 +2125,60 @@ def x46_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+@register(
+    "x48_exchange_reuse",
+    oracle="""
+WITH r AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey AS cust,
+         round(sum(CAST(o.o_totalprice AS DECIMAL(38,10))), 6)::DOUBLE AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+m AS (SELECT segment, max(rev) AS top_rev FROM r GROUP BY segment)
+SELECT r.segment, count(*) AS n_cust,
+       round(max(r.rev / m.top_rev), 6) AS top_share_check,
+       CAST(sum(CASE WHEN r.rev = m.top_rev THEN 1 ELSE 0 END) AS BIGINT) AS n_top
+FROM r JOIN m ON r.segment = m.segment
+GROUP BY r.segment
+""",
+)
+def x48_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange reuse: the per-(segment, customer) revenue rollup `r`
+    feeds BOTH sides of the final join (directly, and through the
+    per-segment max) — the planner recognizes the identical subplan
+    and wires a ReusedExchange into the second consumer instead of
+    shuffling the rollup twice (plan-asserted with the static
+    planner; under AQE the same dedup happens at shuffle-stage
+    materialization keyed on the canonicalized plan).  At 100 TB
+    that is a full extra pass over the rollup saved, for free,
+    because the plan is declared rather than hand-piped.  Decimal
+    revenue makes `rev = top_rev` an exact tie test in both
+    engines."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    m = r.groupBy("segment").agg(F.max("rev").alias("top_rev"))
+    return (
+        r.join(m, "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.max(F.col("rev") / F.col("top_rev")), 6).alias(
+                "top_share_check"
+            ),
+            F.sum(
+                F.when(F.col("rev") == F.col("top_rev"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_top"),
+        )
+    )

@@ -357,3 +357,15 @@ def test_runtime_filter_injects_bloom(spark):
     plan = executed_plan(df)
     assert "might_contain" in plan, "runtime bloom filter must inject"
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_exchange_reuse_dedups_rollup_shuffle(spark):
+    # x48: the rollup subplan feeds two consumers; the static planner
+    # must emit ReusedExchange for the second (AQE performs the same
+    # dedup at stage materialization, but renders it differently).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = executed_plan(q(spark, "x48_exchange_reuse"))
+        assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
