@@ -14,6 +14,7 @@ cluster; these tests pin the physical properties that do:
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_fknn_spark.plans import (
     executed_plan,
@@ -41,11 +42,24 @@ def test_knn_uses_arrow_blas_kernel(spark):
 
 
 def test_knn_expression_path_broadcasts_and_limits_below_shuffle(spark):
-    # the declarative path (used by j9 and the c1/e1 demos) must
-    # broadcast the query side and prune top-k below the shuffle
-    df = q(spark, "j9_sim_search")
+    # the declarative fallback path (knn_join — what knn_join_blas
+    # degrades to above _MAX_BROADCAST_ROWS) must broadcast the query
+    # side and prune top-k below the shuffle
+    from big_data_fknn_spark.operators.knn import knn_join
+    from big_data_fknn_spark.tables import embeddings_d
+
+    e = embeddings_d(spark, SF_DIR)
+    probes = e.where(F.col("vec_id") % 50 == 0)
+    df = knn_join(probes, e, 10, exclude_self=True)
     assert has_operator(df, "BroadcastNestedLoopJoin"), "query side must broadcast"
     assert has_operator(df, "WindowGroupLimit"), "top-k must prune below the shuffle"
+
+
+def test_sim_search_uses_arrow_blas_kernel(spark):
+    # j9 rides the same BLAS kernel as j1/j3 (cosine_neg metric)
+    df = q(spark, "j9_sim_search")
+    assert has_operator(df, "MapInPandas"), "sim search must run the Arrow BLAS kernel"
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), "no pair materialization"
 
 
 def test_fknn_stage2_uses_kernel_twice(spark):
