@@ -48,6 +48,9 @@ HEADLINE = (
     "j10_text_tfidf",
     "x32_tpch_q8",
     "j31_dedup_survivors",
+    # round 2: MLlib FP-Growth — tracks the frequent-pattern / MLlib
+    # stack (fit happens at construct time; the timer wraps both).
+    "j46_fpgrowth",
 )
 
 

@@ -600,3 +600,96 @@ def d19_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(direct, "event_type").select(
         "event_type", "est_merged", "est_direct", "exact"
     )
+
+
+@register(
+    "d20_prf1",
+    oracle=f"""
+WITH {_KNN_PRED_CTES},
+act AS (SELECT label AS cls, count(*) AS n_act FROM pred GROUP BY 1),
+prd AS (SELECT pred AS cls, count(*) AS n_prd FROM pred GROUP BY 1),
+tp AS (SELECT label AS cls, count(*) AS tp FROM pred WHERE label = pred GROUP BY 1),
+per AS (
+  SELECT coalesce(a.cls, p.cls)::INT AS cls,
+         coalesce(tp.tp, 0) AS tp,
+         coalesce(a.n_act, 0) AS n_act,
+         coalesce(p.n_prd, 0) AS n_prd
+  FROM act a FULL JOIN prd p ON a.cls = p.cls
+  LEFT JOIN tp ON tp.cls = coalesce(a.cls, p.cls)),
+m AS (
+  SELECT cls,
+         CASE WHEN n_prd > 0 THEN tp::DOUBLE / n_prd END AS p_raw,
+         CASE WHEN n_act > 0 THEN tp::DOUBLE / n_act END AS r_raw
+  FROM per),
+m2 AS (
+  SELECT cls, round(p_raw, 6) AS prec, round(r_raw, 6) AS rec,
+         round(CASE WHEN p_raw + r_raw > 0
+                    THEN 2 * p_raw * r_raw / (p_raw + r_raw) END, 6) AS f1
+  FROM m)
+SELECT cls, prec, rec, f1 FROM m2
+UNION ALL
+SELECT -1 AS cls,
+       round(sum(CAST(prec AS DECIMAL(38,10)))::DOUBLE / count(prec), 6),
+       round(sum(CAST(rec AS DECIMAL(38,10)))::DOUBLE / count(rec), 6),
+       round(sum(CAST(f1 AS DECIMAL(38,10)))::DOUBLE / count(f1), 6)
+FROM m2
+""",
+)
+def d20_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 over the crisp-kNN
+    predictions, plus the macro average as cls = -1 — the metric
+    trio next to d10's accuracy and d17's AUC in any classifier
+    report.  All ratios are int/int divisions (identical doubles in
+    both engines); the macro average re-sums the ROUNDED per-class
+    values as exact decimals, so partition order can't perturb the
+    6dp output (the d17 device).
+
+    Scale: three hash aggregates over the prediction table and a
+    10-row join — metric cost is the classifier's, not this."""
+    from big_data_fknn_spark.queries.ml import j1_knn_crisp
+
+    p = j1_knn_crisp(spark, sf_dir)
+    act = p.groupBy(F.col("label").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_act")
+    )
+    prd = p.groupBy(F.col("pred").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_prd")
+    )
+    tp = (
+        p.where(F.col("label") == F.col("pred"))
+        .groupBy(F.col("label").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    per = (
+        act.join(prd, "cls", "full")
+        .join(tp, "cls", "left")
+        .fillna(0, ["n_act", "n_prd", "tp"])
+    )
+    p_raw = F.when(
+        F.col("n_prd") > 0, F.col("tp").cast("double") / F.col("n_prd")
+    )
+    r_raw = F.when(
+        F.col("n_act") > 0, F.col("tp").cast("double") / F.col("n_act")
+    )
+    m2 = per.select(
+        F.col("cls").cast("int").alias("cls"),
+        F.round(p_raw, 6).alias("prec"),
+        F.round(r_raw, 6).alias("rec"),
+        F.round(
+            F.when(p_raw + r_raw > 0, 2 * p_raw * r_raw / (p_raw + r_raw)), 6
+        ).alias("f1"),
+    )
+    dec = "decimal(38,10)"
+    macro = m2.agg(
+        F.lit(-1).cast("int").alias("cls"),
+        F.round(
+            F.sum(F.col("prec").cast(dec)).cast("double") / F.count("prec"), 6
+        ).alias("prec"),
+        F.round(
+            F.sum(F.col("rec").cast(dec)).cast("double") / F.count("rec"), 6
+        ).alias("rec"),
+        F.round(
+            F.sum(F.col("f1").cast(dec)).cast("double") / F.count("f1"), 6
+        ).alias("f1"),
+    )
+    return m2.unionByName(macro)

@@ -2182,3 +2182,152 @@ def x48_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_top"),
         )
     )
+
+
+# --------------------------------------------- X49. EWMA smoothing
+
+_EWMA_ALPHA = 0.2  # decay (1-α) = 0.8; window = last 20 events
+_EWMA_W = 20
+
+
+@register(
+    "x49_ewma",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+win AS (
+  SELECT user_id, event_id, rn,
+         list(struct_pack(rn := rn, v := value))
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW) AS lst
+  FROM ev),
+agg AS (
+  SELECT user_id, event_id,
+         list_sum([CAST(lst[i].v * pow(0.8, rn - lst[i].rn) AS DECIMAL(30,15))
+                   for i in generate_series(1, len(lst))]) AS num,
+         list_sum([CAST(pow(0.8, rn - lst[i].rn) AS DECIMAL(30,15))
+                   for i in generate_series(1, len(lst))]) AS den
+  FROM win)
+SELECT user_id, event_id, round((num::DOUBLE) / (den::DOUBLE), 6) AS ewma
+FROM agg
+""",
+)
+def x49_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (decay 0.8, truncated to the trailing 20 events — pandas
+    ewm(adjust=True) over a bounded window).  One window pass
+    collects the trailing (rn, value) pairs; a scan-local
+    transform+aggregate computes Σ v·0.8^Δ / Σ 0.8^Δ with Δ = rank
+    distance, so the weight depends only on row arithmetic — never
+    on collect_list's element order — and each term is pinned to
+    DECIMAL(30,15) before the exact, order-independent decimal sum
+    (the same determinism device as d1's revenue sums).
+
+    Scale: the closed form Σ v·(1-α)^(-rn) overflows past ~150 rows,
+    and a rank-range self-join materializes |user|² pairs before
+    filtering — this shape is one shuffle (the window) plus
+    constant-size per-row state (≤ 20 structs), the right plan at
+    any corpus size.  Late data re-ranks only the affected user
+    partition.
+    """
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir).select("user_id", "event_id", "value", "ts")
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = e.withColumn("rn", F.row_number().over(wr)).drop("ts")
+    wl = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-(_EWMA_W - 1), 0)
+    )
+    lst = F.collect_list(F.struct("rn", "value")).over(wl)
+    dec = "decimal(30,15)"
+    decay = lambda s: F.pow(F.lit(0.8), F.col("rn") - s["rn"])  # noqa: E731
+    num_terms = F.transform(F.col("lst"), lambda s: (s["value"] * decay(s)).cast(dec))
+    den_terms = F.transform(F.col("lst"), lambda s: decay(s).cast(dec))
+    zero = F.lit(0).cast(dec)
+    return (
+        ev.withColumn("lst", lst)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.aggregate(num_terms, zero, lambda a, x: (a + x).cast(dec)).cast("double")
+                / F.aggregate(den_terms, zero, lambda a, x: (a + x).cast(dec)).cast("double"),
+                6,
+            ).alias("ewma"),
+        )
+    )
+
+
+# ------------------------------------------ X50. BFS shortest hops
+
+_BFS_MAX_DEPTH = 6
+
+
+@register(
+    "x50_bfs_hops",
+    oracle=f"""
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT (l_orderkey % 100) AS src, (l_partkey % 100) AS dst
+  FROM lineitem),
+walk(node, d) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < {_BFS_MAX_DEPTH}
+)
+SELECT node, min(d) AS hops FROM walk GROUP BY node
+""",
+)
+def x50_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the x13 derived graph (order-key mod
+    100 → part-key mod 100): minimum hop count from node 0, depth-
+    bounded at 6 — the iterative-join spelling of a recursive CTE
+    (the oracle IS one).  Each superstep expands only the frontier
+    (nodes whose distance improved last round), joins it to the edge
+    list, and keeps min(hops) — integer min, so no float-order
+    hazard anywhere.
+
+    Scale: frontier ⋈ edges is an equi-join on src — partition the
+    edge list by src once and every superstep shuffles only the
+    frontier (≤ |V|), not the edges.  Like connected components
+    (operators/graph.py) the loop would checkpoint every few rounds
+    to cut lineage; 6 bounded rounds keep the demo plan flat.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 100).alias("src"),
+            (F.col("l_partkey") % 100).alias("dst"),
+        )
+        .distinct()
+        .cache()
+    )
+    dist = spark.createDataFrame([(0, 0)], "node long, hops int")
+    frontier = dist
+    for _ in range(_BFS_MAX_DEPTH):
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        # keep only genuine improvements: nodes unseen or now closer
+        improved = (
+            reached.alias("r")
+            .join(dist.alias("d"), "node", "left")
+            .where(F.col("d.hops").isNull() | (F.col("r.hops") < F.col("d.hops")))
+            .select("node", F.col("r.hops").alias("hops"))
+        )
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        frontier = improved
+    return dist

@@ -2378,3 +2378,89 @@ def x47_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
         F.sum(F.floor((F.col("n_tok") + 47) / 48)).cast("bigint").alias("n_chunks"),
     )
+
+
+# ----------------------------------------- J48. PMI collocations
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 50
+
+
+@register(
+    "j48_pmi_bigrams",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+uni AS (
+  SELECT unnest(w) AS tok FROM docs),
+ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+nu AS (SELECT count(*) AS n FROM uni),
+bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)),
+bcnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+nbg AS (SELECT count(*) AS n FROM bg),
+pmi AS (
+  SELECT b.w1, b.w2, b.c,
+         round(ln((b.c * nu.n * nu.n)::DOUBLE
+                  / (nbg.n::DOUBLE * x.c * y.c)), 6) AS pmi
+  FROM bcnt b
+  JOIN ucnt x ON x.tok = b.w1
+  JOIN ucnt y ON y.tok = b.w2
+  CROSS JOIN nu CROSS JOIN nbg
+  WHERE b.c >= {_PMI_MIN_COUNT})
+SELECT w1, w2, c AS pair_count, pmi
+FROM pmi ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP}
+""",
+)
+def j48_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs, PMI = ln(p(xy) / (p(x)·p(y))), top-50 by (pmi,
+    bigram).  Bigrams are built scan-locally by zipping the token
+    array with its own 1-shifted slice (no per-token shuffle, no
+    positional self-join); unigram/bigram counts are partial-agg
+    hash aggregates, and the corpus totals ride a tiny cross join.
+
+    Determinism: PMI is a SINGLE ln of one division of exact int64
+    products (c·Nu² / (Nb·cx·cy)) — both engines evaluate the same
+    two float ops, and ordering ties break on the rounded value plus
+    the bigram itself.
+
+    Scale: vocab² never materializes — only observed bigrams (≤
+    corpus token count) reach the aggregate; the unigram-count join
+    is a broadcast (vocab ≪ corpus).  100 TB: identical shape, with
+    the two global counts as scalar subquery broadcasts.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    uni = d.select(F.explode("w").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_u = uni.count()
+    bg = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    n_b = bg.count()
+    bcnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _PMI_MIN_COUNT)
+    )
+    x = ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("cx"))
+    y = ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("cy"))
+    num = F.col("c") * F.lit(n_u) * F.lit(n_u)
+    den = F.lit(n_b) * F.col("cx") * F.col("cy")
+    return (
+        bcnt.join(F.broadcast(x), "w1")
+        .join(F.broadcast(y), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("pair_count"),
+            F.round(F.log(num.cast("double") / den.cast("double")), 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(_PMI_TOP)
+    )

@@ -670,3 +670,224 @@ def j45_linreg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
         F.round(F.corr("x", "y") * F.corr("x", "y"), 6).alias("r2"),
     )
+
+
+# ------------------------------------------ J46/J47. frequent patterns
+
+# Baskets: one order = the distinct part brands it contains (25-brand
+# item space keeps pair/triple supports meaningful at every SF).
+_FP_MIN_SUPPORT = 0.01
+_FP_MIN_CONFIDENCE = 0.05
+
+_BASKET_CTES = f"""
+ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+nb AS (SELECT count(DISTINCT o) AS n FROM ob),
+thr AS (SELECT CAST(ceil({_FP_MIN_SUPPORT} * n) AS BIGINT) AS t, n FROM nb),
+s1 AS (
+  SELECT b, count(*) AS c FROM ob GROUP BY b),
+s2 AS (
+  SELECT a.b AS b1, c2.b AS b2, count(*) AS c
+  FROM ob a JOIN ob c2 ON a.o = c2.o AND a.b < c2.b
+  GROUP BY a.b, c2.b),
+s3 AS (
+  SELECT a.b AS b1, c2.b AS b2, c3.b AS b3, count(*) AS c
+  FROM ob a
+  JOIN ob c2 ON a.o = c2.o AND a.b < c2.b
+  JOIN ob c3 ON a.o = c3.o AND c2.b < c3.b
+  GROUP BY a.b, c2.b, c3.b)
+"""
+
+
+def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(order, array<brand>) baskets — the FPGrowth input.  The part
+    dim broadcasts; collect_set dedups brands inside the hash agg."""
+    from big_data_fknn_spark.tables import t as _t
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("items"))
+    )
+
+
+@register(
+    "j46_fpgrowth",
+    oracle=f"""
+WITH {_BASKET_CTES}
+SELECT itemset, freq FROM (
+  SELECT b AS itemset, c AS freq FROM s1, thr WHERE c >= thr.t
+  UNION ALL
+  SELECT b1 || '+' || b2, c FROM s2, thr WHERE c >= thr.t
+  UNION ALL
+  SELECT b1 || '+' || b2 || '+' || b3, c FROM s3, thr WHERE c >= thr.t
+)
+""",
+)
+def j46_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining with MLlib's distributed FP-Growth
+    (PFP, Li et al. 2008): orders are baskets, part brands are items,
+    minSupport 0.01 (MLlib keeps itemsets with freq >= ceil(0.01·n),
+    mirrored exactly by the oracle's threshold).  Output canonicalized
+    to '+'-joined sorted itemsets, filtered to size ≤ 3 — the range
+    the SQL oracle enumerates by self-joins (a frequent 4-set's
+    3-subsets are all frequent, so the filter drops no information
+    the oracle could check).
+
+    Scale: PFP shards the FP-tree by item-suffix group — each
+    executor mines an independent conditional tree, no driver-side
+    candidate generation (contrast Apriori's k-round shuffles).  The
+    SQL oracle's k-way self-join is exactly the pattern that does
+    NOT scale — work = sum over baskets of |basket| choose k.
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    fp = FPGrowth(
+        itemsCol="items",
+        minSupport=_FP_MIN_SUPPORT,
+        minConfidence=_FP_MIN_CONFIDENCE,
+    )
+    model = fp.fit(_brand_baskets(spark, sf_dir))
+    return (
+        model.freqItemsets.where(F.size("items") <= 3)
+        .select(
+            F.array_join(F.array_sort("items"), "+").alias("itemset"),
+            F.col("freq"),
+        )
+    )
+
+
+@register(
+    "j47_assoc_rules",
+    oracle=f"""
+WITH {_BASKET_CTES},
+pairs AS (
+  SELECT b1, b2, c FROM s2, thr WHERE c >= thr.t
+  UNION ALL
+  SELECT b2, b1, c FROM s2, thr WHERE c >= thr.t),
+rules AS (
+  SELECT p.b1 AS antecedent, p.b2 AS consequent,
+         p.c::DOUBLE / x.c AS conf,
+         (p.c::DOUBLE / x.c) / (y.c::DOUBLE / thr.n) AS lift,
+         p.c::DOUBLE / thr.n AS support
+  FROM pairs p
+  JOIN s1 x ON x.b = p.b1
+  JOIN s1 y ON y.b = p.b2
+  CROSS JOIN thr)
+SELECT antecedent, consequent,
+       round(conf, 6) AS confidence, round(lift, 6) AS lift,
+       round(support, 6) AS support
+FROM rules WHERE conf >= {_FP_MIN_CONFIDENCE}
+""",
+)
+def j47_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the j46 FP-Growth model, restricted to
+    the 1→1 rules the SQL oracle can enumerate: confidence =
+    freq(A∪B)/freq(A) over frequent brand pairs, lift = confidence /
+    baseline(B), support = freq(A∪B)/n — integer-count ratios, so
+    both engines divide identical longs.  MLlib emits a rule when
+    confidence >= minConfidence; the oracle applies the same strict
+    ">=" to the same double.
+
+    Scale: rule generation is a broadcast join of the (small)
+    frequent-itemset table against itself — the expensive part is
+    j46's mining, not this.
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    fp = FPGrowth(
+        itemsCol="items",
+        minSupport=_FP_MIN_SUPPORT,
+        minConfidence=_FP_MIN_CONFIDENCE,
+    )
+    model = fp.fit(_brand_baskets(spark, sf_dir))
+    return (
+        model.associationRules.where(
+            (F.size("antecedent") == 1) & (F.size("consequent") == 1)
+        )
+        .select(
+            F.element_at("antecedent", 1).alias("antecedent"),
+            F.element_at("consequent", 1).alias("consequent"),
+            F.round("confidence", 6).alias("confidence"),
+            F.round("lift", 6).alias("lift"),
+            F.round("support", 6).alias("support"),
+        )
+    )
+
+
+# --------------------------------------------- J49. k-sweep harness
+
+_SWEEP_KS = (1, 3, 5, 7)
+
+
+@register(
+    "j49_k_sweep",
+    oracle=f"""
+WITH {{EMB}},
+pairs AS (
+  SELECT t.vec_id AS q, t.label AS label, r.vec_id AS n, r.label AS n_label,
+         list_distance(t.emb, r.emb) AS d
+  FROM test t CROSS JOIN train r
+),
+ranked AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d, n) AS rn FROM pairs
+  ) WHERE rn <= {max(_SWEEP_KS)}
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _SWEEP_KS)}]) AS k),
+votes AS (
+  SELECT ks.k, q, label, n_label AS cls, count(*) AS cnt
+  FROM ranked JOIN ks ON ranked.rn <= ks.k
+  GROUP BY 1, 2, 3, 4),
+pick AS (
+  SELECT k, q, label, cls AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY k, q ORDER BY cnt DESC, cls) AS r
+    FROM votes
+  ) WHERE r = 1)
+SELECT k, count(*) AS n_test,
+       sum(CASE WHEN label = pred THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       round(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS accuracy
+FROM pick GROUP BY k
+""".replace("{EMB}", EMB_CTES),
+)
+def j49_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference papers' experiment harness: classifier accuracy
+    for k ∈ {1, 3, 5, 7} from ONE kNN pass — compute the k=7
+    neighbor lists once on the BLAS kernel, then derive each smaller
+    k's majority vote by filtering rn ≤ k against a 4-row broadcast
+    (the neighbor list for k is a prefix of the list for k_max,
+    since both rank by the same (dist, n_id) order).  The reference
+    re-runs the full classifier per k; sharing the candidate pass is
+    the |ks|× cheaper formulation at any scale.
+
+    Determinism: votes are ints, winners tie-break on smallest class
+    id, accuracy is an int/int ratio — no float hazards anywhere.
+    """
+    train, test = train_test_split(spark, sf_dir)
+    knn = knn_join_blas(
+        test, train, k=max(_SWEEP_KS), keep_q_cols=("label",), keep_c_cols=("label",)
+    )
+    ks = spark.createDataFrame([(k,) for k in _SWEEP_KS], "k int")
+    votes = (
+        knn.join(F.broadcast(ks), F.col("rn") <= F.col("k"))
+        .groupBy("k", "q_id", "q_label", F.col("n_label").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pick = Window.partitionBy("k", "q_id").orderBy(F.col("cnt").desc(), F.col("cls"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(pick))
+        .where(F.col("r") == 1)
+        .select("k", "q_id", "q_label", F.col("cls").alias("pred"))
+    )
+    correct = F.sum(
+        F.when(F.col("q_label") == F.col("pred"), 1).otherwise(0)
+    )
+    return pred.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        correct.alias("n_correct"),
+        F.round(correct.cast("double") / F.count(F.lit(1)), 6).alias("accuracy"),
+    )

@@ -383,3 +383,22 @@ def test_exchange_reuse_dedups_rollup_shuffle(spark):
         assert "ReusedExchange" in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_pmi_joins_broadcast_and_no_cartesian(spark):
+    p = executed_plan(q(spark, "j48_pmi_bigrams"))
+    assert "CartesianProduct" not in p, "PMI must never cross-join"
+    assert "BroadcastHashJoin" in p, "unigram counts must broadcast onto bigrams"
+
+
+def test_ewma_is_single_window_no_join(spark):
+    p = executed_plan(q(spark, "x49_ewma"))
+    assert "Join" not in p, "EWMA must not self-join the rank range"
+    assert p.count("Window") >= 2, "rank + trailing-frame collect windows"
+
+
+def test_bfs_frontier_joins_are_equi(spark):
+    p = executed_plan(q(spark, "x50_bfs_hops"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
+        "frontier expansion must be an equi-join on src"
+    )
