@@ -693,3 +693,58 @@ def d20_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f1"),
     )
     return m2.unionByName(macro)
+
+
+@register(
+    "d21_weighted_median",
+    oracle="""
+WITH li AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS x,
+         CAST(l_quantity AS DECIMAL(38,10)) AS w
+  FROM lineitem),
+cum AS (
+  SELECT flag, x,
+         sum(w) OVER (PARTITION BY flag ORDER BY x
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY flag) AS tw
+  FROM li)
+SELECT flag, min(x) AS wmedian
+FROM cum WHERE 2 * cw >= tw GROUP BY flag
+""",
+)
+def d21_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (price weighted by quantity, per return
+    flag): the smallest x whose cumulative weight reaches half the
+    total.  The cumulative sum uses a RANGE frame ordered by the
+    value itself, so tied prices accumulate as one block — no
+    arbitrary intra-tie order can change any visible cw — and
+    weights are pinned to exact decimals, so partition order can't
+    perturb the comparison either.  min() over the qualifying set is
+    then fully deterministic.
+
+    Scale: one shuffle (window by flag) + one hash agg.  Contrast
+    d13's percentile_approx: this is the EXACT path — at 100 TB you
+    run it per group only when exactness is demanded; the window
+    sort is the cost (same as any exact quantile)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast(DEC).alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("x")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("flag")
+    cum = li.select(
+        "flag",
+        "x",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("x").alias("wmedian"))
+    )

@@ -2331,3 +2331,170 @@ def x50_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = improved
     return dist
+
+
+# -------------------------------------- X51. last-touch attribution
+
+_ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # 7 days in microseconds
+
+
+@register(
+    "x51_attribution",
+    oracle=f"""
+SELECT event_id AS purchase_id,
+       CASE WHEN lt IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(lt.ts) <= {_ATTR_WINDOW_US}
+            THEN lt.id END AS touch_id,
+       CASE WHEN lt IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(lt.ts) <= {_ATTR_WINDOW_US}
+            THEN epoch_us(ts) - epoch_us(lt.ts) END AS gap_us
+FROM (
+  SELECT event_id, event_type, ts,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN struct_pack(ts := ts, id := event_id) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM events)
+WHERE event_type = 'purchase'
+""",
+)
+def x51_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    most recent click/view by the same user within a 7-day lookback.
+    One window pass — F.last(ignorenulls) over the user's history
+    carries the latest touch forward, so there is NO purchase×touch
+    self-join and NO range join; the 7-day cut is a plain filter on
+    the microsecond gap (exact int64 arithmetic in both engines).
+
+    Determinism: the scan order inside the frame is pinned by (ts,
+    event_id); the gap is integer microseconds — no float anywhere.
+
+    Scale: identical shape at any size — one shuffle on user_id; a
+    skewed mega-user still streams linearly because the carried
+    state is one struct, not the history."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("id")),
+    )
+    gap = F.unix_micros("ts") - F.unix_micros(F.col("lt.ts"))
+    ok = F.col("lt").isNotNull() & (gap <= _ATTR_WINDOW_US)
+    return (
+        e.withColumn("lt", F.last(touch, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.when(ok, F.col("lt.id")).alias("touch_id"),
+            F.when(ok, gap).alias("gap_us"),
+        )
+    )
+
+
+# ------------------------------------ X52. event transition matrix
+
+
+@register(
+    "x52_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+c AS (
+  SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2)
+SELECT src, dst, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY src), 6) AS p
+FROM c
+""",
+)
+def x52_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = dst | current = src).  lead() pairs each
+    event with its successor inside one user-keyed window pass;
+    counts are a hash aggregate; row-normalization is a window sum
+    over the (|types|² ≤ 25-row) count table.  n and the per-src
+    totals are exact longs, so p is one identical double division.
+
+    Scale: the |types|² matrix is constant-size regardless of event
+    volume — everything heavy is partial-aggregable."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+# ---------------------------------- X53. time-weighted average
+
+
+@register(
+    "x53_time_weighted_avg",
+    oracle="""
+WITH seg AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us
+  FROM events),
+held AS (
+  SELECT user_id,
+         CAST(value * dur_us AS DECIMAL(38,6)) AS vd,
+         dur_us
+  FROM seg WHERE dur_us IS NOT NULL),
+agg AS (
+  SELECT user_id, sum(vd) AS num, sum(dur_us)::BIGINT AS den
+  FROM held GROUP BY user_id)
+SELECT user_id, den AS held_us,
+       round((num::DOUBLE) / den, 6) AS twa
+FROM agg WHERE den > 0
+""",
+)
+def x53_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (the TSDB rollup for sampled
+    gauges): each reading holds its value until the next one, so the
+    mean weights each value by its holding duration — Σ v·Δt / Σ Δt
+    with Δt in exact integer microseconds from one lead() window.
+    v·Δt is pinned to DECIMAL(38,6) before the sum, making the
+    numerator partition-order-exact like every money sum here; the
+    final division is one double op on identical operands.
+
+    Scale: one user-keyed window + one hash agg — the same shape at
+    any volume; contrast the naive per-pair self-join.  Last reading
+    per user carries no duration and is excluded (both engines drop
+    the NULL lead)."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.sum((F.col("value") * F.col("dur_us")).cast("decimal(38,6)")).alias("num"),
+        F.sum("dur_us").alias("den"),
+    )
+    return agg.where(F.col("den") > 0).select(
+        "user_id",
+        F.col("den").alias("held_us"),
+        F.round(F.col("num").cast("double") / F.col("den"), 6).alias("twa"),
+    )

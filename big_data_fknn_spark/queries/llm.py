@@ -2464,3 +2464,61 @@ def j48_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(_PMI_TOP)
     )
+
+
+# ------------------------------------- J50. shingle containment
+
+_CONT_TAU = 0.7
+
+
+@register(
+    "j50_containment",
+    oracle=f"""
+WITH {_DOC_CTES},
+tok AS (SELECT doc_id, unnest(sh) AS s FROM sh3),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS i
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT doc_i, doc_j, i::DOUBLE / si.n AS cont
+  FROM inter
+  JOIN sizes si ON si.doc_id = doc_i)
+SELECT doc_i, doc_j, round(cont, 6) AS containment
+FROM scored WHERE cont >= {_CONT_TAU}
+""",
+)
+def j50_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment: C(A→B) = |A∩B| / |A| over 3-word
+    shingle sets, kept when ≥ 0.7 — the dedup relation Jaccard (j8b)
+    misses: a short document quoted inside a long one scores high
+    containment but low Jaccard.  DIRECTED output: (doc_i, doc_j)
+    means i's shingles are mostly inside j.
+
+    Same inverted-index shape as j8b — explode (doc, shingle),
+    equi-join on the shingle, count per ordered pair — so work is
+    Σ_shingle df², never |docs|²; the size table broadcasts back.
+    The ratio is int/int, one identical double per engine.
+
+    Scale: at 100 TB the shingle join keys would be hashed to int64
+    first (j8b note) and stop-shingle df-capping bounds the worst
+    collision mass; both apply unchanged here."""
+    sh = _docs_with_shingles(spark, sf_dir)
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("doc_id").alias("doc_i"), "s")
+    b = tok.select(F.col("doc_id").alias("doc_j"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_i") != F.col("doc_j"))
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    si = sizes.select(F.col("doc_id").alias("doc_i"), F.col("n").alias("n_i"))
+    return (
+        inter.join(F.broadcast(si), "doc_i")
+        .withColumn("cont", F.col("i").cast("double") / F.col("n_i"))
+        .where(F.col("cont") >= _CONT_TAU)
+        .select("doc_i", "doc_j", F.round("cont", 6).alias("containment"))
+    )

@@ -402,3 +402,24 @@ def test_bfs_frontier_joins_are_equi(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
         "frontier expansion must be an equi-join on src"
     )
+
+
+def test_attribution_is_single_window_no_join(spark):
+    p = executed_plan(q(spark, "x51_attribution"))
+    assert "Join" not in p, "last-touch must carry state in a window, not self-join"
+
+
+def test_twa_single_shuffle(spark):
+    # x53: the lead() window and the user-id agg share one hash
+    # partitioning on user_id — exactly one exchange in the plan.
+    p = executed_plan(q(spark, "x53_time_weighted_avg"))
+    assert p.count("Exchange hashpartitioning") == 1, (
+        "agg must reuse the window's user_id partitioning"
+    )
+
+
+def test_containment_is_equi_join(spark):
+    p = executed_plan(q(spark, "j50_containment"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
+        "containment pairs must come from the shingle inverted index"
+    )
