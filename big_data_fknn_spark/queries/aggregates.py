@@ -748,3 +748,111 @@ def d21_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag")
         .agg(F.min("x").alias("wmedian"))
     )
+
+
+# ------------------------------------------ D22. Count-Min sketch
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+_CMS_PROBE_MOD = 997
+
+
+@register(
+    "d22_countmin",
+    oracle=f"""
+WITH items AS (SELECT l_partkey AS pk FROM lineitem),
+rows_ AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r),
+hashed AS (
+  SELECT pk, r,
+         ('0x' || substr(md5(r || '#' || pk), 1, 8))::BIGINT % {_CMS_W} AS b
+  FROM items CROSS JOIN rows_),
+counters AS (SELECT r, b, count(*) AS c FROM hashed GROUP BY r, b),
+probes AS (SELECT p_partkey AS pk FROM part WHERE p_partkey % {_CMS_PROBE_MOD} = 0),
+pbuckets AS (
+  SELECT pk, r,
+         ('0x' || substr(md5(r || '#' || pk), 1, 8))::BIGINT % {_CMS_W} AS b
+  FROM probes CROSS JOIN rows_),
+est AS (
+  SELECT p.pk, min(coalesce(c.c, 0))::BIGINT AS est_n
+  FROM pbuckets p LEFT JOIN counters c ON c.r = p.r AND c.b = p.b
+  GROUP BY p.pk),
+tru AS (
+  SELECT pk, count(*) AS true_n FROM items
+  WHERE pk % {_CMS_PROBE_MOD} = 0 GROUP BY pk)
+SELECT e.pk AS p_partkey, coalesce(t.true_n, 0) AS true_n, e.est_n
+FROM est e LEFT JOIN tru t ON t.pk = e.pk
+""",
+)
+def d22_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch as a DataFrame aggregate: d=4 md5-derived
+    hash rows × w=256 counters over lineitem part keys, probed for a
+    deterministic key sample — est_n = min over rows of the hit
+    counter (≥ true_n always; equality when no collision).  The
+    hashes are substr(md5)-mod in BOTH engines, so the entire sketch
+    is value-oracled — unlike d3's opaque HLL, this shows the sketch
+    CONSTRUCTION as engine-native ops.
+
+    Scale: the counter table is d·w rows regardless of input (the
+    classic CMS bound); building it is one partial-aggregable
+    groupBy.  Merging shards = summing counter tables (the same
+    merge d19 demonstrates for HLL).  Probe lookups broadcast the
+    d·w table."""
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("pk"))
+
+    def bucket(r):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{r}#"), F.col("pk"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    hashed = li.select(
+        "pk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bucket(r).alias("b"))
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("pk", F.col("h.r").alias("r"), F.col("h.b").alias("b"))
+    counters = hashed.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+
+    probes = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % _CMS_PROBE_MOD == 0)
+        .select(F.col("p_partkey").alias("pk"))
+    )
+    pbuckets = probes.select(
+        "pk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bucket(r).alias("b"))
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("pk", F.col("h.r").alias("r"), F.col("h.b").alias("b"))
+    est = (
+        pbuckets.join(F.broadcast(counters), ["r", "b"], "left")
+        .groupBy("pk")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
+    )
+    tru = (
+        li.where(F.col("pk") % _CMS_PROBE_MOD == 0)
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return (
+        est.join(F.broadcast(tru), "pk", "left")
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.coalesce(F.col("true_n"), F.lit(0)).alias("true_n"),
+            "est_n",
+        )
+    )

@@ -711,6 +711,10 @@ def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.collect_set("p_brand").alias("items"))
+        # PFP makes two passes (freq-item count, then tree build) —
+        # cache so the join+agg runs once, not per pass.  Plan-keyed
+        # singleton: j46 and j47 share the one copy.
+        .cache()
     )
 
 

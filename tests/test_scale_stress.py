@@ -215,7 +215,19 @@ def test_float_sensitive_new_keys_partition_invariant(spark):
     from big_data_fknn_spark.queries import load_all
 
     defs = load_all()
-    keys = ("j41_knn_regression", "j42_naive_bayes", "j45_linreg_ols", "d18_entropy")
+    keys = (
+        "j41_knn_regression",
+        "j42_naive_bayes",
+        "j45_linreg_ols",
+        "d18_entropy",
+        # round-2 batch: decimal-pinned EWMA/TWA sums, RANGE-frame
+        # weighted median, macro-averaged PRF1, PMI ln-of-int-ratio
+        "x49_ewma",
+        "x53_time_weighted_avg",
+        "d21_weighted_median",
+        "d20_prf1",
+        "j48_pmi_bigrams",
+    )
 
     def h(key):
         pdf = defs[key].fn(spark, "/root/testdata/sf0.01").toPandas()
