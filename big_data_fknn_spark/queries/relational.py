@@ -1485,3 +1485,118 @@ def a14_text_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_millis"),
     )
+
+
+# ------------------------------------ C12. interval-overlap join
+
+_C12_GAP_US = 30 * 60 * 1_000_000  # 30-min session gap
+_C12_BUCKET_US = 3_600 * 1_000_000  # 1-hour join buckets
+
+
+@register(
+    "c12_interval_overlap",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+marked AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > {_C12_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+numbered AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+sess AS (
+  SELECT user_id, sid, min(t) AS s, max(t) AS e
+  FROM numbered GROUP BY user_id, sid),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         least(a.e, b.e) - greatest(a.s, b.s) AS ov
+  FROM sess a JOIN sess b
+    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e)
+SELECT user_a, user_b,
+       sum(ov)::BIGINT AS overlap_us, count(*) AS n_pairs
+FROM pairs GROUP BY user_a, user_b
+""",
+)
+def c12_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, the scalable way: sessionize each user
+    (30-min gaps-and-islands), then find cross-user CONCURRENT
+    sessions with a bucketed interval join — each session explodes
+    into the 1-hour buckets it covers, candidates come from a bucket
+    EQUI-join (overlapping intervals always share a covered bucket),
+    duplicates from multi-bucket spans collapse with distinct, and
+    the exact a.s <= b.e AND b.s <= a.e test verifies.  Output:
+    total concurrent microseconds + overlapping-session-pair count
+    per user pair.
+
+    The DuckDB oracle runs the NAIVE theta join (every session pair
+    compared) — correct, and exactly the plan that dies at scale;
+    the bucket equi-join's work tracks concurrency density instead
+    of |sessions|².  All arithmetic is integer microseconds.
+
+    Cite: the same explode-to-grid trick j22 uses for chunking and
+    DuckDB/PostgreSQL range-join literature calls binned interval
+    joins."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    brk = F.when(
+        F.lag("t").over(w).isNull()
+        | ((F.col("t") - F.lag("t").over(w)) > _C12_GAP_US),
+        1,
+    ).otherwise(0)
+    sess = (
+        e.withColumn("brk", brk)
+        .withColumn("sid", F.sum("brk").over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("t").alias("s"), F.max("t").alias("e"))
+    )
+    bucketed = sess.select(
+        "user_id",
+        "sid",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / _C12_BUCKET_US),
+                F.floor(F.col("e") / _C12_BUCKET_US),
+            )
+        ).alias("hb"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"),
+        F.col("sid").alias("sid_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        "hb",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"),
+        F.col("sid").alias("sid_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        "hb",
+    )
+    cand = (
+        a.join(b, "hb")
+        .where(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "sid_a", "sa", "ea", "user_b", "sid_b", "sb", "eb")
+        .distinct()
+    )
+    ov = F.least("ea", "eb") - F.greatest("sa", "sb")
+    return (
+        cand.where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.sum(ov).cast("bigint").alias("overlap_us"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )

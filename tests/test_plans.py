@@ -423,3 +423,10 @@ def test_containment_is_equi_join(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
         "containment pairs must come from the shingle inverted index"
     )
+
+
+def test_interval_overlap_is_bucket_equi_join(spark):
+    p = executed_plan(q(spark, "c12_interval_overlap"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
+        "interval overlap must candidate-generate via the bucket equi-join"
+    )
