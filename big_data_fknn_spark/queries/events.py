@@ -742,3 +742,81 @@ def i14_stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("win_start"), "n", "total_value")
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "i15_stream_transitions_live",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+c AS (
+  SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2)
+SELECT src, dst, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY src), 6) AS p
+FROM c
+""",
+)
+def i15_stream_transitions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming twin of x52's Markov transition matrix, FULLY
+    value-oracled: a per-user applyInPandasWithState handler buffers
+    nothing but the LAST event (ts, id, type) across micro-batches,
+    sorts each batch's arrivals by (ts, event_id), stitches the
+    carried last event onto the front, and emits per-user (src, dst)
+    pair counts; the downstream rollup over the sink is the same
+    constant-size |types|² aggregate as x52.  State per key is ONE
+    tuple — O(users), never history — which is why this op survives
+    any event volume.
+
+    Ordering contract: within-batch order is restored by the sort;
+    ACROSS batches the file-replay source delivers whole files in
+    order, so the carried last event is never stale (true of the
+    single-parquet replay here; a production deployment keyed by a
+    log with per-key ordering — Kafka partitions on user_id — gives
+    the same guarantee)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, src STRING, dst STRING, n BIGINT"
+    state_schema = "last_us BIGINT, last_id BIGINT, last_type STRING"
+
+    def track(key, pdf_iter, state: GroupState):
+        frames = [pdf for pdf in pdf_iter]
+        ev = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        if len(ev) == 0:
+            return
+        ev = ev.assign(ts_us=ev["ts"].astype("int64") // 1000).sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
+        types = ev["event_type"].tolist()
+        if state.exists:
+            _, _, last_type = state.get
+            types = [last_type] + types
+        last = ev.iloc[-1]
+        state.update((int(last["ts_us"]), int(last["event_id"]), str(last["event_type"])))
+        if len(types) < 2:
+            return
+        counts: dict = {}
+        for a, b in zip(types, types[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        yield pd.DataFrame(
+            [
+                {"user_id": key[0], "src": a, "dst": b, "n": n}
+                for (a, b), n in counts.items()
+            ]
+        )
+
+    s = events_stream(spark, sf_dir)
+    tracked = s.groupBy("user_id").applyInPandasWithState(
+        track, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    mem = run_to_memory(tracked, "append")
+    tot = Window.partitionBy("src")
+    c = mem.groupBy("src", "dst").agg(F.sum("n").alias("n"))
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
+    )
