@@ -856,3 +856,34 @@ def d22_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_n",
         )
     )
+
+
+@register(
+    "d23_percentile_cont",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS q95,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS q99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def d23_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linearly-interpolated percentiles per group (SQL
+    PERCENTILE_CONT semantics): both engines sort the group and
+    interpolate x[⌊h⌋] + (h−⌊h⌋)·(x[⌈h⌉]−x[⌊h⌋]) at the same h, so
+    the doubles agree bit-for-bit; complements d13 (exact discrete
+    median) and d16 (approx sketch, error-bounded rows-only).
+
+    Scale: exact quantiles need the per-group sort — the honest
+    cost; Spark's percentile() aggregates a per-partition buffer and
+    merges, so it distributes without a global sort.  Reach for d16's
+    KLL-style sketch when 1% error is acceptable."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(name)
+            for p, name in ((0.25, "q25"), (0.50, "q50"), (0.95, "q95"), (0.99, "q99"))
+        ]
+    )

@@ -2498,3 +2498,49 @@ def x53_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("den").alias("held_us"),
         F.round(F.col("num").cast("double") / F.col("den"), 6).alias("twa"),
     )
+
+
+# ------------------------------------------- X54. GROUPING SETS
+
+
+@register(
+    "x54_grouping_sets",
+    oracle="""
+SELECT coalesce(n.n_name, '(all)') AS nation,
+       coalesce(o.o_orderpriority, '(all)') AS priority,
+       count(*) AS n_orders,
+       round(sum(CAST(o.o_totalprice AS DECIMAL(38,10))), 6)::DOUBLE AS total
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), (n.n_name, o.o_orderpriority))
+""",
+)
+def x54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular multi-granularity
+    rollup cube/rollup can't express (nation-only, priority-only,
+    and the cross, but NOT the grand total).  One scan, one Expand:
+    Catalyst multiplies rows by the set count before a single hash
+    aggregate, identical to d4/x8's machinery.  Money sums are exact
+    decimals as everywhere; NULL grouping keys are disambiguated to
+    '(all)' in both engines (the fixture has no NULL names).
+
+    Scale: Expand×3 beats three scans + union at any size, and the
+    partial aggregate still combines map-side."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    j = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .select("n_name", "o_orderpriority", "o_totalprice")
+    )
+    j.createOrReplaceTempView(view := f"x54_{__import__('uuid').uuid4().hex}")
+    return spark.sql(f"""
+        SELECT coalesce(n_name, '(all)') AS nation,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 6) AS DOUBLE) AS total
+        FROM {view}
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+    """)

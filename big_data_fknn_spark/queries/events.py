@@ -820,3 +820,102 @@ def i15_stream_transitions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
     )
+
+
+_I16_D = 4
+_I16_W = 64
+_I16_PROBE_MOD = 37
+
+
+@register(
+    "i16_stream_countmin_live",
+    oracle=f"""
+WITH rows_ AS (SELECT unnest(generate_series(0, {_I16_D - 1})) AS r),
+hashed AS (
+  SELECT user_id, r,
+         ('0x' || substr(md5(r || '#' || user_id), 1, 8))::BIGINT % {_I16_W} AS b
+  FROM events CROSS JOIN rows_),
+counters AS (SELECT r, b, count(*) AS c FROM hashed GROUP BY r, b),
+probes AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % {_I16_PROBE_MOD} = 0),
+pbuckets AS (
+  SELECT user_id, r,
+         ('0x' || substr(md5(r || '#' || user_id), 1, 8))::BIGINT % {_I16_W} AS b
+  FROM probes CROSS JOIN rows_),
+est AS (
+  SELECT p.user_id, min(coalesce(c.c, 0))::BIGINT AS est_n
+  FROM pbuckets p LEFT JOIN counters c ON c.r = p.r AND c.b = p.b
+  GROUP BY p.user_id),
+tru AS (
+  SELECT user_id, count(*) AS true_n FROM events
+  WHERE user_id % {_I16_PROBE_MOD} = 0 GROUP BY user_id)
+SELECT e.user_id, t.true_n, e.est_n
+FROM est e JOIN tru t ON t.user_id = e.user_id
+""",
+)
+def i16_stream_countmin_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming Count-Min sketch, fully value-oracled: the d22
+    construction (d=4 md5-hash rows × w=64 counters) built as a
+    STREAMING aggregation over replayed events — counter merge is
+    addition, the definitional mergeable-sketch property, so
+    micro-batch partials combine into exactly the batch sketch
+    whatever the batch boundaries.  The drained counter table is
+    then probed batch-side (broadcast against d·w = 256 rows) for
+    per-user frequency estimates, compared to true counts; est ≥
+    true always, equality when no collision.
+
+    Scale: streaming state is d·w counters TOTAL (not per key!) —
+    the sketch answers heavy-hitter frequency queries over unbounded
+    streams in constant memory, the use case CMS was built for."""
+    s = events_stream(spark, sf_dir)
+
+    def bucket(col, r):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{r}#"), col)), 1, 8), 16, 10
+            ).cast("long")
+            % _I16_W
+        )
+
+    hashed = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bucket(F.col("user_id"), r).alias("b"))
+                    for r in range(_I16_D)
+                ]
+            )
+        ).alias("h")
+    ).select(F.col("h.r").alias("r"), F.col("h.b").alias("b"))
+    counters = run_to_memory(
+        hashed.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c")), "complete"
+    )
+
+    e = t(spark, sf_dir, "events")
+    probes = (
+        e.where(F.col("user_id") % _I16_PROBE_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    pbuckets = probes.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bucket(F.col("user_id"), r).alias("b"))
+                    for r in range(_I16_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", F.col("h.r").alias("r"), F.col("h.b").alias("b"))
+    est = (
+        pbuckets.join(F.broadcast(counters), ["r", "b"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
+    )
+    tru = (
+        e.where(F.col("user_id") % _I16_PROBE_MOD == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return est.join(F.broadcast(tru), "user_id").select("user_id", "true_n", "est_n")
