@@ -2544,3 +2544,46 @@ def x54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view}
         GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
     """)
+
+
+# --------------------------------------- X55. bitmap distinct days
+
+
+@register(
+    "x55_bitmap_days",
+    oracle="""
+SELECT user_id,
+       bit_or(1::BIGINT << date_diff('day', DATE '2024-01-01', ts::DATE))
+         AS day_bitmap,
+       bit_count(bit_or(1::BIGINT << date_diff('day', DATE '2024-01-01', ts::DATE)))::INT
+         AS active_days
+FROM events GROUP BY user_id
+""",
+)
+def x55_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index distinct counting: each activity day sets one bit
+    of a per-user int64 bitmask (day 0 = 2024-01-01; the fixture
+    spans 30 days), merged with bit_or and popcounted — COUNT
+    (DISTINCT day) with a one-long aggregation state instead of a
+    hash set.  The OLAP bitmap-index trick: merge = OR (associative,
+    commutative, partial-aggregable), cardinality = bit_count, and
+    set algebra between users/segments becomes bitwise AND/OR on the
+    masks.
+
+    Scale: constant 8-byte state per group vs a per-group distinct
+    set — this is why bitmap indexes back every interactive funnel
+    engine; for >64-bucket domains the mask generalizes to chunked
+    bitmap arrays (roaring), same merge law."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir).withColumn(
+        # shiftleft's bit count must be a column here, so spell it in
+        # SQL (the Python helper only accepts a literal int)
+        "mask",
+        F.expr("shiftleft(cast(1 as bigint), datediff(cast(ts as date), date'2024-01-01'))"),
+    )
+    bmp = F.bit_or("mask")
+    return e.groupBy("user_id").agg(
+        bmp.alias("day_bitmap"),
+        F.bit_count(bmp).cast("int").alias("active_days"),
+    )

@@ -132,6 +132,40 @@ def _minhash_sql_arms():
 
 _MINS, _BANDS = _minhash_sql_arms()
 
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str):
+    """Shared j8/j51 LSH front half: (exploded shingle table,
+    distinct banded candidate pairs).  Both returned frames are
+    cached — the signature table is scanned twice by the self-join
+    (at 100 TB it is a materialized table, written once, joined
+    against itself)."""
+    tok = (
+        _docs_with_shingles(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .cache()
+    )
+    mh = tok.groupBy("doc_id").agg(*_minhash_exprs_spark())
+    band_arr = F.array(
+        *[
+            F.concat(F.col(f"h{_BAND_R * b}"), F.col(f"h{_BAND_R * b + 1}"))
+            for b in range(_NH // _BAND_R)
+        ]
+    )
+    bands = mh.select("doc_id", F.posexplode(band_arr).alias("band", "key")).cache()
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
+        .distinct()
+    )
+    return tok, cand
+
 @register(
     "j8_dedup_near",
     oracle=f"""
@@ -171,35 +205,7 @@ def j8_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     This finds the corpus's 25 planted near-dup pairs (jac ≥ .8)
     with P(miss) ≈ 1e-4, and the oracle replicates the identical
     pipeline, so parity holds regardless."""
-    tok = (
-        _docs_with_shingles(spark, sf_dir)
-        .select("doc_id", F.explode("sh").alias("s"))
-        .cache()
-    )
-    mh = tok.groupBy("doc_id").agg(*_minhash_exprs_spark())
-    band_arr = F.array(
-        *[
-            F.concat(F.col(f"h{_BAND_R * b}"), F.col(f"h{_BAND_R * b + 1}"))
-            for b in range(_NH // _BAND_R)
-        ]
-    )
-    # cache: the self-join below scans bands TWICE — uncached, each
-    # side recomputes the whole shingle→minhash pipeline (at 100 TB
-    # this is a materialized signature table, written once, joined
-    # against itself)
-    bands = mh.select("doc_id", F.posexplode(band_arr).alias("band", "key")).cache()
-    left = bands.alias("a")
-    right = bands.alias("b")
-    cand = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
-        .distinct()
-    )
+    tok, cand = _lsh_candidates(spark, sf_dir)
     # exact verify, inverted-index style: |A∩B| = shared-shingle count
     # over candidate pairs; |A∪B| = |A| + |B| − |A∩B|
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -2521,4 +2527,94 @@ def j50_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cont", F.col("i").cast("double") / F.col("n_i"))
         .where(F.col("cont") >= _CONT_TAU)
         .select("doc_i", "doc_j", F.round("cont", 6).alias("containment"))
+    )
+
+
+# ------------------------------------------- J51. LSH quality eval
+
+
+@register(
+    "j51_lsh_eval",
+    oracle=f"""
+WITH {_DOC_CTES},
+tok AS (SELECT doc_id, unnest(sh) AS s FROM sh3),
+mh AS (
+  SELECT doc_id,
+         {_MINS}
+  FROM tok GROUP BY doc_id),
+bands AS (
+{_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id),
+truth AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= {_TAU}),
+m AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM truth t JOIN cand c ON c.i = t.i AND c.j = t.j)
+           AS n_caught)
+SELECT n_truth, n_cand, n_caught,
+       round(n_caught::DOUBLE / n_truth, 6) AS recall,
+       round(n_caught::DOUBLE / n_cand, 6) AS precision_cand
+FROM m
+""",
+)
+def j51_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured sketch quality, not the textbook formula: recall and
+    candidate-precision of j8's 12-band MinHash-LSH against the
+    EXACT ≥0.5-Jaccard ground truth (j8b's inverted index) — the
+    "measure, don't guess" companion every production dedup pipeline
+    ships next to its LSH parameters.  recall = caught/truth (loss
+    from banding), precision_cand = true pairs among candidates (how
+    much exact-verify work the bands admit).  Fully declarative:
+    three single-row aggregates cross-joined, ratios are int/int.
+
+    Scale: cost is the j8 front half + the j8b truth pass — you run
+    this on a SAMPLE shard in production to validate band/row
+    settings before the fleet run, which is exactly the shape here."""
+    tok, cand = _lsh_candidates(spark, sf_dir)
+    sh = _docs_with_shingles(spark, sf_dir)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = tok.select(F.col("doc_id").alias("doc_i"), "s")
+    b = tok.select(F.col("doc_id").alias("doc_j"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_i") < F.col("doc_j"))
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    si = sizes.select(F.col("doc_id").alias("doc_i"), F.col("n_sh").alias("n_i"))
+    sj = sizes.select(F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j"))
+    jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+    truth = (
+        inter.join(F.broadcast(si), "doc_i")
+        .join(F.broadcast(sj), "doc_j")
+        .where(jac >= _TAU)
+        .select("doc_i", "doc_j")
+    )
+    t1 = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    c1 = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    g1 = truth.join(cand, ["doc_i", "doc_j"]).agg(
+        F.count(F.lit(1)).alias("n_caught")
+    )
+    return (
+        t1.crossJoin(c1)
+        .crossJoin(g1)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_caught",
+            F.round(F.col("n_caught").cast("double") / F.col("n_truth"), 6).alias(
+                "recall"
+            ),
+            F.round(F.col("n_caught").cast("double") / F.col("n_cand"), 6).alias(
+                "precision_cand"
+            ),
+        )
     )
