@@ -45,6 +45,15 @@ KEYS = (
     "x45_bloom_prefilter",
     "j42_naive_bayes",
     "x43_incremental_agg",
+    # round-2 additions with plan-level claims worth evidencing
+    "j46_fpgrowth",
+    "j48_pmi_bigrams",
+    "c12_interval_overlap",
+    "x49_ewma",
+    "x53_time_weighted_avg",
+    "d21_weighted_median",
+    "d22_countmin",
+    "x55_bitmap_days",
 )
 
 SF = "/root/testdata/sf0.01"

@@ -2618,3 +2618,56 @@ def j51_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -------------------------------- J52. deterministic weighted sample
+
+_WS_K = 200
+
+
+@register(
+    "j52_weighted_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('ws#' || doc_id), 1, 8))::BIGINT AS h
+  FROM documents),
+keyed AS (
+  SELECT doc_id, n_chars,
+         ln((h + 1)::DOUBLE / 4294967297.0) / n_chars AS es_key
+  FROM d WHERE n_chars > 0),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY es_key DESC, doc_id) AS rn FROM keyed)
+SELECT doc_id, n_chars, rn FROM ranked WHERE rn <= {_WS_K}
+""",
+)
+def j52_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    A-ES: key_i = u_i^(1/w_i) (spelled ln(u)/w — same order), take
+    the k largest; inclusion probability tracks the weight (here
+    n_chars, the "sample long documents more" pre-pass).  u is NOT
+    engine RNG — it is an md5-derived uniform in (0,1), so the
+    sample is reproducible run-to-run AND cross-engine, the property
+    that makes training-data samples auditable.
+
+    Determinism note: both engines compute ln of the same double and
+    rank it; a 1-ulp libm divergence could in principle flip an
+    exact tie at the selection boundary — with 32-bit hash uniforms
+    the probability is ~1e-11 (same accepted class as j9's cosine
+    ranking).
+
+    Scale: per-row key + a global top-k (TakeOrdered / rank-prune) —
+    one pass, no shuffle beyond the k-row merge; stratified or
+    per-shard variants partition first, exactly like j17."""
+    d = t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("ws#"), F.col("doc_id"))), 1, 8), 16, 10).cast("long")
+    u = (h + 1).cast("double") / F.lit(4294967297.0)
+    keyed = d.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    w = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _WS_K)
+        .select("doc_id", "n_chars", "rn")
+    )
