@@ -2671,3 +2671,98 @@ def j52_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _WS_K)
         .select("doc_id", "n_chars", "rn")
     )
+
+
+# --------------------------------- J53. MinHash estimate calibration
+
+_J53_MATCH_TERMS = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_NH)
+)
+
+
+@register(
+    "j53_minhash_estimate",
+    oracle=f"""
+WITH {_DOC_CTES},
+tok AS (SELECT doc_id, unnest(sh) AS s FROM sh3),
+mh AS (
+  SELECT doc_id,
+         {_MINS}
+  FROM tok GROUP BY doc_id),
+bands AS (
+{_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id),
+matched AS (
+  SELECT c.doc_i, c.doc_j,
+         ({_J53_MATCH_TERMS})::BIGINT AS matches
+  FROM cand c JOIN mh a ON a.doc_id = c.doc_i JOIN mh b ON b.doc_id = c.doc_j),
+exact AS (
+  SELECT c.doc_i, c.doc_j,
+         len(list_intersect(x.sh, y.sh))::DOUBLE
+           / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+  FROM cand c JOIN sh3 x ON x.doc_id = c.doc_i JOIN sh3 y ON y.doc_id = c.doc_j)
+SELECT m.doc_i, m.doc_j, m.matches,
+       round(m.matches / {_NH}.0, 6) AS est_jac,
+       round(e.jac, 6) AS exact_jac
+FROM matched m JOIN exact e ON e.doc_i = m.doc_i AND e.doc_j = m.doc_j
+""",
+)
+def j53_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (matching signature positions / 24 — the
+    unbiased estimator the banding math assumes) next to the exact
+    Jaccard, so the sketch's error is measurable row by row (j51
+    gives the aggregate view; this gives the scatter).  matches is
+    an int, est_jac an int/24 ratio — no float hazards; exact_jac is
+    the same inverted-index verify j8 runs.
+
+    Scale: signatures are 24 strings/doc — the candidate join
+    touches signatures and shingle sets only for colliding pairs;
+    at fleet scale this runs on a sample shard to pick _NH/_BAND_R
+    before committing the full corpus pass."""
+    tok, cand = _lsh_candidates(spark, sf_dir)
+    mh = tok.groupBy("doc_id").agg(*_minhash_exprs_spark())
+    sig = mh.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(_NH)]).alias("sig")
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_i"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_j"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ti = tok.select(F.col("doc_id").alias("doc_i"), "s")
+    tj = tok.select(F.col("doc_id").alias("doc_j"), "s")
+    inter = (
+        cand.join(ti, "doc_i")
+        .join(tj, ["doc_j", "s"])
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    si = sizes.select(F.col("doc_id").alias("doc_i"), F.col("n_sh").alias("n_i"))
+    sj = sizes.select(F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j"))
+    jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+    exact = (
+        inter.join(F.broadcast(si), "doc_i")
+        .join(F.broadcast(sj), "doc_j")
+        .select("doc_i", "doc_j", F.round(jac, 6).alias("exact_jac"))
+    )
+    return (
+        cand.join(F.broadcast(sa), "doc_i")
+        .join(F.broadcast(sb), "doc_j")
+        .select("doc_i", "doc_j", matches.alias("matches"))
+        .join(exact, ["doc_i", "doc_j"])
+        .select(
+            "doc_i",
+            "doc_j",
+            "matches",
+            F.round(F.col("matches") / _NH, 6).alias("est_jac"),
+            "exact_jac",
+        )
+    )
