@@ -919,3 +919,42 @@ def i16_stream_countmin_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("true_n"))
     )
     return est.join(F.broadcast(tru), "user_id").select("user_id", "true_n", "est_n")
+
+
+@register(
+    "i17_stream_bitmap_live",
+    oracle="""
+SELECT user_id,
+       bit_or(1::BIGINT << date_diff('day', DATE '2024-01-01', ts::DATE))
+         AS day_bitmap,
+       bit_count(bit_or(1::BIGINT << date_diff('day', DATE '2024-01-01', ts::DATE)))::INT
+         AS active_days
+FROM events GROUP BY user_id
+""",
+)
+def i17_stream_bitmap_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming twin of x55's bitmap-index distinct days,
+    fully value-oracled: bit_or is associative/commutative/
+    idempotent, so per-micro-batch partial masks merge into exactly
+    the batch bitmap whatever the batch boundaries — the second
+    member (after i16's Count-Min) of the mergeable-aggregate
+    streaming family, with 8 BYTES of state per user.  popcount
+    happens batch-side on the drained sink.
+
+    Scale: replace-by-key state of one long per user — the streaming
+    funnel/retention backbone; distinct-day queries over an
+    unbounded stream never re-scan history."""
+    s = events_stream(spark, sf_dir).withColumn(
+        "mask",
+        F.expr(
+            "shiftleft(cast(1 as bigint), datediff(cast(ts as date), date'2024-01-01'))"
+        ),
+    )
+    bmp = run_to_memory(
+        s.groupBy("user_id").agg(F.bit_or("mask").alias("day_bitmap")), "complete"
+    )
+    return bmp.select(
+        "user_id",
+        "day_bitmap",
+        F.bit_count("day_bitmap").cast("int").alias("active_days"),
+    )

@@ -2766,3 +2766,74 @@ def j53_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_jac",
         )
     )
+
+
+# ------------------------------------------- J54. bigram LM scoring
+
+
+@register(
+    "j54_bigram_lm",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)),
+bcnt AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY w1, w2),
+ucnt AS (SELECT unnest(w) AS tok FROM docs),
+ufreq AS (SELECT tok, count(*) AS cx FROM ucnt GROUP BY tok),
+v AS (SELECT count(*) AS v FROM ufreq),
+nll AS (
+  SELECT bg.doc_id,
+         -ln((b.cxy + 1)::DOUBLE / (u.cx + v.v)) AS t
+  FROM bg
+  JOIN bcnt b ON b.w1 = bg.w1 AND b.w2 = bg.w2
+  JOIN ufreq u ON u.tok = bg.w1
+  CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(t), 6) AS avg_nll
+FROM nll GROUP BY doc_id
+""",
+)
+def j54_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with add-one smoothing:
+    per-doc mean −ln((c_xy + 1) / (c_x + |V|)) under the corpus's
+    own bigram counts — the next rung above j27's unigram proxy
+    (catches scrambled-word soup that unigram stats can't).  Bigrams
+    build scan-locally (j48's shifted-slice zip); both count tables
+    broadcast back onto the bigram stream (vocab ≪ corpus); ln terms
+    are identical doubles of int ratios and per-doc averages of ~30
+    terms keep the ≤1-ulp libm drift ~6 orders below the 6dp round
+    (the j27 precedent).
+
+    Scale: two broadcast joins + two partial-agg count tables; the
+    bigram-count table is the only vocabulary²-bounded object and is
+    df-capped in practice (observed bigrams ≤ corpus tokens)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0))),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    uni = d.select(F.explode("w").alias("tok"))
+    ufreq = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cx"))
+    v = ufreq.count()
+    nll = (
+        bg.join(F.broadcast(bcnt), ["w1", "w2"])
+        .join(F.broadcast(ufreq.withColumnRenamed("tok", "w1")), "w1")
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("cxy") + 1).cast("double") / (F.col("cx") + F.lit(v))
+                )
+            ).alias("t"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("t"), 6).alias("avg_nll"),
+    )
