@@ -2587,3 +2587,119 @@ def x55_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         bmp.alias("day_bitmap"),
         F.bit_count(bmp).cast("int").alias("active_days"),
     )
+
+
+# ------------------------------------------- X56. snapshot diff
+
+
+@register(
+    "x56_snapshot_diff",
+    oracle="""
+WITH snap_a AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+snap_b AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 7 <> 0)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       a.o_totalprice AS price_a, b.o_totalprice AS price_b
+FROM snap_a a FULL JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.o_orderstatus <> b.o_orderstatus
+   OR a.o_totalprice <> b.o_totalprice
+""",
+)
+def x56_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation: diff two deterministic snapshots of the
+    orders table (date-bounded, with a simulated deletion pattern in
+    snapshot B) into added / removed / changed rows — the primitive
+    behind CDC validation, backfill audits, and blue-green cutover
+    checks.  One full outer join on the key; unchanged rows are
+    filtered out before anything leaves the join.
+
+    Scale: both sides shuffle once on the key (or zero times if the
+    snapshots are bucketed/clustered alike — a9's layout); the diff
+    predicate evaluates inside the join, so output is proportional
+    to churn, not table size.  A content-hash column (h7) turns the
+    k-column comparison into one equality at 100 TB."""
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = (
+        o.where(
+            (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderkey") % 7 != 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("bk"),
+            F.col("o_orderstatus").alias("bs"),
+            F.col("o_totalprice").alias("bp"),
+        )
+    )
+    j = a.join(b, a.o_orderkey == b.bk, "full")
+    return j.where(
+        F.col("o_orderkey").isNull()
+        | F.col("bk").isNull()
+        | (F.col("o_orderstatus") != F.col("bs"))
+        | (F.col("o_totalprice") != F.col("bp"))
+    ).select(
+        F.coalesce("o_orderkey", "bk").alias("o_orderkey"),
+        F.when(F.col("o_orderkey").isNull(), "added")
+        .when(F.col("bk").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+        F.col("o_totalprice").alias("price_a"),
+        F.col("bp").alias("price_b"),
+    )
+
+
+# ----------------------------------------------- X57. skyline
+
+
+@register(
+    "x57_skyline",
+    oracle="""
+WITH pts AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         max(p_size) OVER (ORDER BY p_retailprice, p_partkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_size_cheaper
+  FROM part)
+SELECT p_partkey, p_retailprice, p_size
+FROM pts
+WHERE best_size_cheaper IS NULL OR p_size > best_size_cheaper
+""",
+)
+def x57_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (cheaper price, larger size) — minimize price, maximize size.
+    The classic O(n²) dominance anti-join collapses to ONE ordered
+    window pass: sort by (price, key) and keep rows whose size beats
+    the running max over every strictly-preceding (≤-priced) row.
+    The (price, partkey) total order makes equal-price ties resolve
+    identically in both engines, and all comparisons are on raw
+    column values — no float arithmetic at all.
+
+    Scale: a single global sort (range-partitioned, as f1) replaces
+    the quadratic dominance join; d-dimensional skylines partition
+    on one dimension and merge per-partition frontiers the same
+    way."""
+    p = t(spark, sf_dir, "part")
+    w = (
+        Window.orderBy("p_retailprice", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        p.select(
+            "p_partkey",
+            "p_retailprice",
+            "p_size",
+            F.max("p_size").over(w).alias("best"),
+        )
+        .where(F.col("best").isNull() | (F.col("p_size") > F.col("best")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
