@@ -2703,3 +2703,68 @@ def x57_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("best").isNull() | (F.col("p_size") > F.col("best")))
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# ----------------------------- X58. clamped (non-negative) running sum
+
+
+@register(
+    "x58_clamped_running_sum",
+    oracle="""
+WITH mv AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END
+           * CAST(round(l_quantity * 100, 0) AS BIGINT) AS delta_c
+  FROM lineitem WHERE l_partkey % 50 = 0),
+s1 AS (
+  SELECT *, sum(delta_c) OVER w AS s
+  FROM mv
+  WINDOW w AS (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING)),
+pre AS (
+  SELECT *, min(s) OVER w AS m
+  FROM s1
+  WINDOW w AS (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING))
+SELECT l_partkey, l_orderkey, l_linenumber, delta_c,
+       (s - least(m, 0))::BIGINT AS balance_c
+FROM pre
+""",
+)
+def x58_clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory-style running balance that clamps at zero — the
+    recursion y_t = max(0, y_{t-1} + x_t) that a plain window sum
+    cannot express — collapsed to TWO stacked windows via the
+    prefix-min identity y_t = S_t − min(0, min_{k≤t} S_k) (valid for
+    the single lower bound 0).  Returns ('R') restock, others issue;
+    quantities become exact integer centi-units, so every balance is
+    pure int64 arithmetic with a (orderkey, linenumber) total order.
+
+    Scale: one shuffle on the partition key, two pipelined window
+    passes over it — where the naive formulation forces a sequential
+    per-key scan (or a stateful UDF), this stays whole-stage-codegen
+    window work.  The general two-sided clamp needs i6-style
+    stateful iteration; the one-sided bound is the closed form."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 50 == 0)
+    delta = (
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(-1)
+        * F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        delta.alias("delta_c"),
+    ).withColumn("s", F.sum("delta_c").over(w))
+    return pre.withColumn("m", F.min("s").over(w)).select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "delta_c",
+        (F.col("s") - F.least(F.col("m"), F.lit(0))).alias("balance_c"),
+    )
