@@ -2768,3 +2768,84 @@ def x58_clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta_c",
         (F.col("s") - F.least(F.col("m"), F.lit(0))).alias("balance_c"),
     )
+
+
+# ------------------------------------------ X59. rolling z-score
+
+_Z_WIN = 20
+_Z_THRESH = 2.5
+
+
+@register(
+    "x59_rolling_zscore",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+win AS (
+  SELECT user_id, event_id, value,
+         sum(CAST(value AS DECIMAL(38,10))) OVER w AS s1,
+         sum(CAST(value * value AS DECIMAL(38,10))) OVER w AS s2,
+         count(*) OVER w AS n
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN {_Z_WIN - 1} PRECEDING AND CURRENT ROW)),
+scored AS (
+  SELECT user_id, event_id, value,
+         (value - s1::DOUBLE / n)
+           / sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)) AS z
+  FROM win
+  WHERE n >= 5 AND s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) > 1e-12)
+SELECT user_id, event_id, round(value, 6) AS value, round(z, 6) AS z
+FROM scored WHERE abs(z) > {_Z_THRESH}
+""",
+)
+def x59_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value
+    sits > 2.5σ from the trailing-20 mean for that user — the
+    streaming-monitoring primitive, batch-spelled as one window
+    pass.  Σv and Σv² accumulate as EXACT decimals inside the frame
+    (partition order can't move them), and mean/var/σ then evaluate
+    the identical double expressions in both engines; warm-up frames
+    (n < 5) and degenerate variance are excluded identically.
+
+    Scale: constant per-row frame state, one shuffle on user_id; the
+    streaming twin would carry (Σv, Σv², ring buffer) in i6-style
+    state.  Decimal sums are the same device as x49's EWMA — rolling
+    moments never depend on summation order."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir)
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = e.select("user_id", "event_id", "value", "ts").withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-(_Z_WIN - 1), 0)
+    )
+    dec = "decimal(38,10)"
+    win = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.sum(F.col("value").cast(dec)).over(w).alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast(dec)).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    m = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - m * m
+    z = (F.col("value") - m) / F.sqrt(var)
+    return (
+        win.where((F.col("n") >= 5) & (var > 1e-12))
+        .withColumn("z_raw", z)
+        .where(F.abs(F.col("z_raw")) > _Z_THRESH)  # filter on RAW z like the oracle
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round("z_raw", 6).alias("z"),
+        )
+    )

@@ -1600,3 +1600,53 @@ def c12_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
         )
     )
+
+
+@register(
+    "a15_json_corrupt_records",
+    oracle="""
+SELECT CASE WHEN doc_id % 10 = 3 THEN '(corrupt)' ELSE lang END AS lang_key,
+       count(*) AS n
+FROM documents GROUP BY 1
+""",
+)
+def a15_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness at the SOURCE layer: write one
+    JSON line per document with every doc_id % 10 == 3 line
+    deliberately truncated mid-object, re-read in PERMISSIVE mode
+    with columnNameOfCorruptRecord, and count rows per language with
+    corrupt lines bucketed as '(corrupt)'.  The oracle derives the
+    expected split from the same deterministic corruption rule —
+    proving the reader salvages every parseable line instead of
+    failing the file (FAILFAST) or silently dropping (DROPMALFORMED;
+    both modes exist, this op pins the production default).
+
+    Scale: corrupt-record capture is per-row inside the scan — no
+    extra pass; quarantined lines land in a side column you route to
+    a dead-letter sink, the standard ingest topology."""
+    out = _tmp_path("a15_corrupt_jsonl")
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    line = F.when(
+        F.col("doc_id") % 10 == 3,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "lang": "')),
+    ).otherwise(
+        F.concat(
+            F.lit('{"doc_id": '),
+            F.col("doc_id"),
+            F.lit(', "lang": "'),
+            F.col("lang"),
+            F.lit('"}'),
+        )
+    )
+    d.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema("doc_id bigint, lang string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return back.groupBy(
+        F.when(F.col("_corrupt_record").isNotNull(), "(corrupt)")
+        .otherwise(F.col("lang"))
+        .alias("lang_key")
+    ).agg(F.count(F.lit(1)).alias("n"))
