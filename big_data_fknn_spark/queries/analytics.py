@@ -2849,3 +2849,148 @@ def x59_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("z_raw", 6).alias("z"),
         )
     )
+
+
+# ------------------------------------ X60/X61. hypothesis testing
+
+
+@register(
+    "x60_chi_square",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, user_id % 2 AS seg, count(*) AS o
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT sum(o)::BIGINT AS n FROM obs),
+marg_t AS (SELECT event_type, sum(o)::BIGINT AS rt FROM obs GROUP BY 1),
+marg_s AS (SELECT seg, sum(o)::BIGINT AS ct FROM obs GROUP BY 1),
+terms AS (
+  SELECT o.event_type, o.seg,
+         (o.o - (t.rt * s.ct)::DOUBLE / n.n)
+           * (o.o - (t.rt * s.ct)::DOUBLE / n.n)
+           / ((t.rt * s.ct)::DOUBLE / n.n) AS term
+  FROM obs o
+  JOIN marg_t t USING (event_type)
+  JOIN marg_s s USING (seg)
+  CROSS JOIN tot n)
+SELECT round(sum(CAST(term AS DECIMAL(38,12)))::DOUBLE, 6) AS chi2,
+       ((SELECT count(*) FROM marg_t) - 1)
+         * ((SELECT count(*) FROM marg_s) - 1) AS dof
+FROM terms
+""",
+)
+def x60_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence: event_type vs a derived
+    user segment (user_id parity) — the A/B-platform question "does
+    behavior differ by bucket" as one aggregation tree.  Observed
+    and marginal counts are exact longs; each (O−E)²/E term is the
+    identical double in both engines; terms are pinned to decimals
+    before the final sum, so the statistic is partition-order-proof.
+    Emits (χ², dof) — p-value lookup is a client-side table, not an
+    engine op.
+
+    Scale: a |types|×2 contingency table from one partial-agg pass —
+    the test costs one groupBy regardless of event volume."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir)
+    obs = e.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("seg")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    n = obs.agg(F.sum("o").alias("n"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("seg").agg(F.sum("o").alias("ct"))
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    term = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    terms = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "seg")
+        .crossJoin(F.broadcast(n))
+        .select(term.cast("decimal(38,12)").alias("term"))
+    )
+    n_types = rt.count()
+    n_segs = ct.count()
+    return terms.agg(
+        F.round(F.sum("term").cast("double"), 6).alias("chi2"),
+        F.lit((n_types - 1) * (n_segs - 1)).cast("bigint").alias("dof"),
+    )
+
+
+@register(
+    "x61_welch_t",
+    oracle="""
+WITH g AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'purchase' ELSE 'other' END AS grp,
+         value
+  FROM events WHERE event_type IN ('purchase', 'click')),
+m AS (
+  SELECT grp,
+         count(*) AS n,
+         sum(CAST(value AS DECIMAL(38,10))) AS s1,
+         sum(CAST(value * value AS DECIMAL(38,10))) AS s2
+  FROM g GROUP BY grp),
+stats AS (
+  SELECT grp, n, s1::DOUBLE / n AS mean,
+         (s2::DOUBLE - (s1::DOUBLE * s1::DOUBLE) / n) / (n - 1) AS var
+  FROM m),
+w AS (
+  SELECT a.mean AS m1, b.mean AS m2, a.var AS v1, b.var AS v2,
+         a.n AS n1, b.n AS n2
+  FROM stats a JOIN stats b ON a.grp = 'purchase' AND b.grp = 'other')
+SELECT n1, n2, round(m1 - m2, 6) AS mean_diff,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat
+FROM w
+""",
+)
+def x61_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic comparing purchase vs
+    click event values — the default two-sample test every
+    experimentation readout runs.  Group moments (n, Σv, Σv²)
+    accumulate as exact decimals (one partial-agg pass, constant
+    merge state — the d12/j45 device), then mean, sample variance,
+    and t evaluate the same double expression tree in both engines.
+    Emits (n1, n2, mean_diff, t) — degrees of freedom via
+    Welch–Satterthwaite and the p-value are client-side arithmetic
+    on these sufficient statistics.
+
+    Scale: two groups × 3 numbers of state; the test is free at any
+    volume once the scan runs."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = e.select(
+        F.when(F.col("event_type") == "purchase", "purchase")
+        .otherwise("other")
+        .alias("grp"),
+        "value",
+    )
+    dec = "decimal(38,10)"
+    m = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(dec)).alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast(dec)).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - (F.col("s1").cast("double") * F.col("s1").cast("double")) / F.col("n")
+    ) / (F.col("n") - 1)
+    stats = m.select("grp", "n", mean.alias("mean"), var.alias("var"))
+    a = stats.where(F.col("grp") == "purchase").select(
+        F.col("n").alias("n1"), F.col("mean").alias("m1"), F.col("var").alias("v1")
+    )
+    b = stats.where(F.col("grp") == "other").select(
+        F.col("n").alias("n2"), F.col("mean").alias("m2"), F.col("var").alias("v2")
+    )
+    w = a.crossJoin(b)
+    return w.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")),
+            6,
+        ).alias("t_stat"),
+    )
