@@ -2994,3 +2994,86 @@ def x61_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_stat"),
     )
+
+
+# --------------------------------------------- X62. CUPED adjustment
+
+
+@register(
+    "x62_cuped",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                  THEN CAST(value AS DECIMAL(38,10)) END) AS pre_s,
+         count(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 END) AS pre_n,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                  THEN CAST(value AS DECIMAL(38,10)) END) AS post_s,
+         count(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 END) AS post_n
+  FROM events GROUP BY user_id),
+both_ AS (
+  SELECT user_id, user_id % 2 AS seg,
+         pre_s::DOUBLE / pre_n AS pre,
+         post_s::DOUBLE / post_n AS post
+  FROM per_user WHERE pre_n > 0 AND post_n > 0),
+theta AS (
+  SELECT covar_pop(pre, post) / var_pop(pre) AS th, avg(pre) AS pre_mean
+  FROM both_)
+SELECT seg,
+       count(*) AS n_users,
+       round(sum(CAST(post AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS mean_post,
+       round(sum(CAST(post - th * (pre - pre_mean) AS DECIMAL(38,10)))::DOUBLE
+               / count(*), 6) AS mean_cuped
+FROM both_ CROSS JOIN theta
+GROUP BY seg
+""",
+)
+def x62_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    user's experiment-period metric by their pre-period baseline,
+    Y' = Y − θ·(X − E[X]) with θ = cov(X,Y)/var(X), then compare
+    segment means — the experimentation-platform op that shrinks
+    confidence intervals for free.  Pre/post per-user means come
+    from ONE conditional-aggregation pass (no self-join on the
+    events table); θ is a global covar/var aggregate (j45's accepted
+    ≤1-ulp device) broadcast onto the per-user rows; adjusted values
+    are decimal-pinned before the segment mean so partition order
+    can't perturb the 6dp output.
+
+    Scale: everything reduces to per-user sufficient statistics —
+    the event table is scanned once; θ and the segment rollup are
+    user-cardinality aggregates."""
+    from big_data_fknn_spark.tables import events_t
+
+    dec = "decimal(38,10)"
+    e = events_t(spark, sf_dir)
+    cut = F.lit("2024-01-15").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value").cast(dec))).alias("pre_s"),
+        F.count(F.when(F.col("ts") < cut, 1)).alias("pre_n"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value").cast(dec))).alias("post_s"),
+        F.count(F.when(F.col("ts") >= cut, 1)).alias("post_n"),
+    )
+    both = per_user.where((F.col("pre_n") > 0) & (F.col("post_n") > 0)).select(
+        (F.col("user_id") % 2).alias("seg"),
+        (F.col("pre_s").cast("double") / F.col("pre_n")).alias("pre"),
+        (F.col("post_s").cast("double") / F.col("post_n")).alias("post"),
+    )
+    theta = both.agg(
+        (F.covar_pop("pre", "post") / F.var_pop("pre")).alias("th"),
+        F.avg("pre").alias("pre_mean"),
+    )
+    adj = F.col("post") - F.col("th") * (F.col("pre") - F.col("pre_mean"))
+    return (
+        both.crossJoin(F.broadcast(theta))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum(F.col("post").cast(dec)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_post"),
+            F.round(
+                F.sum(adj.cast(dec)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_cuped"),
+        )
+    )
