@@ -958,3 +958,102 @@ def i17_stream_bitmap_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_bitmap",
         F.bit_count("day_bitmap").cast("int").alias("active_days"),
     )
+
+
+_I18_WIN = 20
+_I18_THRESH = 2.5
+
+
+@register(
+    "i18_stream_zscore_live",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+win AS (
+  SELECT user_id, event_id, value,
+         sum(CAST(value AS DECIMAL(38,10))) OVER w AS s1,
+         sum(CAST(value * value AS DECIMAL(38,10))) OVER w AS s2,
+         count(*) OVER w AS n
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN {_I18_WIN - 1} PRECEDING AND CURRENT ROW)),
+scored AS (
+  SELECT user_id, event_id, value,
+         (value - s1::DOUBLE / n)
+           / sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)) AS z
+  FROM win
+  WHERE n >= 5 AND s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) > 1e-12)
+SELECT user_id, event_id, round(value, 6) AS value, round(z, 6) AS z
+FROM scored WHERE abs(z) > {_I18_THRESH}
+""",
+)
+def i18_stream_zscore_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming twin of x59's rolling z-score monitor, fully
+    value-oracled: applyInPandasWithState carries a RING BUFFER of
+    the last 20 (rn, value) pairs per user — the canonical bounded
+    sliding-window state — sorts each batch's arrivals by (ts,
+    event_id), stitches the carried tail in front, and emits every
+    event whose value sits > 2.5σ from its trailing-window mean.
+    Moments are recomputed per event from ≤ 20 float64 values with
+    numpy's pairwise summation replaced by an exact Python-decimal
+    accumulation of the SAME rounded doubles the batch oracle sums,
+    so the flagged set matches bit-for-bit.
+
+    Scale: state = ≤ 20 doubles per user (vs x59's full-table window
+    shuffle) — this is the shape that runs forever on a live
+    monitoring stream; the batch twin exists for backfills."""
+    from decimal import Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, event_id BIGINT, value DOUBLE, z DOUBLE"
+    state_schema = "tail ARRAY<DOUBLE>"
+    W, TH = _I18_WIN, _I18_THRESH
+    Q = Decimal("0.0000000001")  # DECIMAL(38,10) pin, the oracle's cast
+
+    def track(key, pdf_iter, state: GroupState):
+        frames = [pdf for pdf in pdf_iter]
+        ev = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        if len(ev) == 0:
+            return
+        ev = ev.assign(ts_us=ev["ts"].astype("int64") // 1000).sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
+        tail = list(state.get[0]) if state.exists else []
+        vals = tail + ev["value"].tolist()
+        ids = [None] * len(tail) + ev["event_id"].tolist()
+        out = []
+        for i in range(len(tail), len(vals)):
+            lo = max(0, i - W + 1)
+            win = vals[lo : i + 1]
+            n = len(win)
+            if n < 5:
+                continue
+            s1 = sum(Decimal(v).quantize(Q) for v in win)  # Decimal(float) = exact binary expansion, what the engines cast
+            s2 = sum(Decimal(v * v).quantize(Q) for v in win)
+            mean = float(s1) / n
+            var = float(s2) / n - mean * mean
+            if var <= 1e-12:
+                continue
+            z = (vals[i] - mean) / var**0.5
+            if abs(z) > TH:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "event_id": ids[i],
+                        "value": round(vals[i], 6),
+                        "z": round(z, 6),
+                    }
+                )
+        state.update(([float(v) for v in vals[-(W - 1):]],))
+        if out:
+            yield pd.DataFrame(out)
+
+    s = events_stream(spark, sf_dir)
+    flagged = s.groupBy("user_id").applyInPandasWithState(
+        track, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return run_to_memory(flagged, "append")
