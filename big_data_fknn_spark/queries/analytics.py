@@ -3077,3 +3077,137 @@ def x62_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_cuped"),
         )
     )
+
+
+# ------------------------------- X63. gap fill, linear interpolation
+
+
+@register(
+    "x63_gap_fill_interp",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS t,
+         CAST(round((sum(CAST(value AS DECIMAL(38,10)))::DOUBLE / count(*))
+                    * 1000000, 0) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT user_id, min(t) AS mn, max(t) AS mx FROM obs GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx)) AS t FROM span),
+g AS (
+  SELECT grid.user_id, grid.t, obs.c
+  FROM grid LEFT JOIN obs ON obs.user_id = grid.user_id AND obs.t = grid.t),
+ctx AS (
+  SELECT *,
+         last_value(CASE WHEN c IS NOT NULL
+                         THEN struct_pack(t := t, c := c) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(CASE WHEN c IS NOT NULL
+                          THEN struct_pack(t := t, c := c) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM g)
+SELECT user_id,
+       make_timestamp(t * 3600000000) AS h,
+       CASE
+         WHEN c IS NOT NULL THEN c::DOUBLE / 1000000
+         WHEN pv IS NOT NULL AND nv IS NOT NULL
+           THEN ((pv.c * (nv.t - t) + nv.c * (t - pv.t))::DOUBLE
+                 / (nv.t - pv.t)) / 1000000
+         WHEN pv IS NOT NULL THEN pv.c::DOUBLE / 1000000
+         ELSE nv.c::DOUBLE / 1000000 END AS value,
+       CASE WHEN c IS NOT NULL THEN 'obs'
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+            WHEN pv IS NOT NULL THEN 'locf' ELSE 'backfill' END AS src
+FROM ctx
+""",
+)
+def x63_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample with LINEAR interpolation — the TSDB companion to
+    x10's carry-forward: missing hourly buckets blend the bracketing
+    observations by time distance, edges degrade to carry-forward /
+    backfill, every row tagged with provenance.
+
+    Determinism: hourly means quantize to integer MICRO-UNITS
+    immediately (one identical double expression, then int64), so
+    the interpolation numerator pv.c·(nt−t) + nv.c·(t−pt) is pure
+    integer arithmetic and only the final two divisions are float
+    ops — both single IEEE operations on identical operands.  The
+    naive double spelling a + b·f diverged by 1 ulp on rare rows
+    (fused-multiply-add contraction differs between engines) and
+    dyadic blend weights park values exactly on round-half
+    boundaries, which is why this op integerizes first.
+
+    Scale: the bracketing observations come from TWO running windows
+    (last-non-null back, first-non-null forward) — no per-gap join,
+    no grid × obs range join; the grid explodes executor-side from
+    one row per user."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir)
+    hour = (F.unix_micros("ts") / 3_600_000_000).cast("long")
+    obs = (
+        e.select("user_id", hour.alias("t"), "value")
+        .groupBy("user_id", "t")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    span = obs.groupBy("user_id").agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    grid = span.select("user_id", F.explode(F.sequence("mn", "mx")).alias("t"))
+    g = grid.join(obs, ["user_id", "t"], "left")
+    tv = F.when(
+        F.col("c").isNotNull(),
+        F.struct(F.col("t").alias("t"), F.col("c").alias("c")),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ctx = g.select(
+        "user_id",
+        "t",
+        "c",
+        F.last(tv, ignorenulls=True).over(wp).alias("pv"),
+        F.first(tv, ignorenulls=True).over(wn).alias("nv"),
+    )
+    num = F.col("pv.c") * (F.col("nv.t") - F.col("t")) + F.col("nv.c") * (
+        F.col("t") - F.col("pv.t")
+    )
+    value = (
+        F.when(F.col("c").isNotNull(), F.col("c").cast("double") / 1_000_000)
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            (num.cast("double") / (F.col("nv.t") - F.col("pv.t"))) / 1_000_000,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv.c").cast("double") / 1_000_000)
+        .otherwise(F.col("nv.c").cast("double") / 1_000_000)
+    )
+    src = (
+        F.when(F.col("c").isNotNull(), "obs")
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), "interp")
+        .when(F.col("pv").isNotNull(), "locf")
+        .otherwise("backfill")
+    )
+    return ctx.select(
+        "user_id",
+        F.timestamp_micros(F.col("t") * 3_600_000_000).alias("h"),
+        value.alias("value"),
+        src.alias("src"),
+    )
