@@ -3211,3 +3211,100 @@ def x63_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         value.alias("value"),
         src.alias("src"),
     )
+
+
+# ------------------------------ X64. windowed funnel (deadline chain)
+
+_WF_DEADLINE_US = 24 * 3_600 * 1_000_000
+
+
+@register(
+    "x64_window_funnel",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+l1 AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'view' THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv_t
+  FROM ev),
+l2 AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'click'
+                         THEN struct_pack(ct := t, lv := lv_t) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+  FROM l1),
+p AS (
+  SELECT user_id,
+         CASE WHEN lc IS NOT NULL AND t - lc.ct <= {_WF_DEADLINE_US}
+              THEN 1 ELSE 0 END AS has_click,
+         CASE WHEN lc IS NOT NULL AND t - lc.ct <= {_WF_DEADLINE_US}
+                   AND lc.lv IS NOT NULL AND lc.ct - lc.lv <= {_WF_DEADLINE_US}
+              THEN 1 ELSE 0 END AS full_chain
+  FROM l2 WHERE event_type = 'purchase')
+SELECT user_id, count(*) AS n_purchases,
+       sum(has_click)::BIGINT AS n_click_24h,
+       sum(full_chain)::BIGINT AS n_full_funnel
+FROM p GROUP BY user_id
+""",
+)
+def x64_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ORDERED funnel with per-step deadlines (the
+    windowFunnel of product analytics): purchase ← click within 24 h
+    ← view within 24 h of that click, counted per user.  Two STACKED
+    carried-state windows — the first carries the latest view time
+    onto every event, the second carries the latest click together
+    with ITS carried view — so each purchase reads its whole chain
+    from one row; no purchase×click×view self-joins, no range joins.
+    All arithmetic is integer microseconds.
+
+    Contrast x5 (unordered first-occurrence funnel): this one
+    re-anchors on the LATEST qualifying step and enforces deadlines,
+    the semantics funnels actually bill on.
+
+    Scale: one shuffle on user_id; carried state is two structs per
+    row regardless of history length — same law as x51."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lv = F.last(
+        F.when(F.col("event_type") == "view", F.col("t")), ignorenulls=True
+    ).over(w)
+    l1 = e.withColumn("lv_t", lv)
+    lc = F.last(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("t").alias("ct"), F.col("lv_t").alias("lv")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    l2 = l1.withColumn("lc", lc)
+    has_click = (
+        F.col("lc").isNotNull()
+        & ((F.col("t") - F.col("lc.ct")) <= _WF_DEADLINE_US)
+    ).cast("int")
+    full_chain = (
+        F.col("lc").isNotNull()
+        & ((F.col("t") - F.col("lc.ct")) <= _WF_DEADLINE_US)
+        & F.col("lc.lv").isNotNull()
+        & ((F.col("lc.ct") - F.col("lc.lv")) <= _WF_DEADLINE_US)
+    ).cast("int")
+    return (
+        l2.where(F.col("event_type") == "purchase")
+        .select("user_id", has_click.alias("hc"), full_chain.alias("fc"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("hc").cast("bigint").alias("n_click_24h"),
+            F.sum("fc").cast("bigint").alias("n_full_funnel"),
+        )
+    )
