@@ -3308,3 +3308,82 @@ def x64_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("fc").cast("bigint").alias("n_full_funnel"),
         )
     )
+
+
+# --------------------------------------------- X65. RFM segmentation
+
+
+@register(
+    "x65_rfm_segmentation",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey AS ck,
+         date_diff('day', max(o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS recency_d,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(38,10))) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT ck, recency_d, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_d DESC, ck) AS r_q,
+         ntile(5) OVER (ORDER BY frequency ASC, ck) AS f_q,
+         ntile(5) OVER (ORDER BY monetary ASC, ck) AS m_q
+  FROM base)
+SELECT r_q || '-' || f_q || '-' || m_q AS segment,
+       count(*) AS n_customers,
+       round(sum(monetary)::DOUBLE / count(*), 6) AS avg_monetary,
+       min(ck) AS sample_custkey
+FROM scored GROUP BY 1
+""",
+)
+def x65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the BI staple: recency (days
+    since last order, against the corpus max date), frequency
+    (order count), monetary (exact-decimal revenue), each cut into
+    quintiles with ntile(5), customers rolled up per R-F-M segment.
+    Every ntile ORDER BY ends with the customer key, so quintile
+    boundaries are a TOTAL order and both engines cut identically —
+    ntile on a tied, partial order would be nondeterministic.
+
+    Scale: one orders aggregation (partial-combinable), three
+    window passes over the CUSTOMER-cardinality table (≪ orders),
+    and a ~125-row rollup.  The global max date is a scalar
+    broadcast."""
+    o = t(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "ck",
+            F.datediff(F.col("mx").cast("date"), F.col("last_order").cast("date")).alias(
+                "recency_d"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = base.select(
+        "ck",
+        "monetary",
+        F.ntile(5).over(Window.orderBy(F.col("recency_d").desc(), "ck")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").asc(), "ck")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary").asc(), "ck")).alias("m_q"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum("monetary").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_monetary"),
+            F.min("ck").alias("sample_custkey"),
+        )
+    )
