@@ -3387,3 +3387,117 @@ def x65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ck").alias("sample_custkey"),
         )
     )
+
+
+# ---------------------------------------------- X66. DAU / WAU
+
+
+@register(
+    "x66_dau_wau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000)::BIGINT AS d
+  FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+cover AS (
+  SELECT DISTINCT user_id, d + i AS d
+  FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS i)),
+wau AS (
+  SELECT c.d, count(*) AS wau FROM cover c JOIN days USING (d) GROUP BY c.d),
+dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d)
+SELECT make_timestamp(dau.d * 86400000000) AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON wau.d = dau.d
+""",
+)
+def x66_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day active users — the engagement metric
+    pair, computed the scalable way: dedup to (user, day) once, then
+    each user-day EXPLODES into the 7 future days it keeps the user
+    'weekly-active' for, dedups per (user, covered day), and counts
+    — turning the sliding-distinct (which a window cannot express:
+    COUNT(DISTINCT) OVER RANGE doesn't exist) into two hash
+    aggregates and a ×7 explode.  Same bucket-explosion law as c12's
+    interval join; all integer day arithmetic.
+
+    Scale: the explode factor equals the window length in days —
+    at a 30-day MAU you trade ×30 rows (of the already user-day-
+    deduped table, ≪ events) for zero range joins and zero
+    per-window rescans; the alternative HLL sketch union (d19)
+    trades exactness for constant state."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir)
+    day = (F.unix_micros("ts") / 86_400_000_000).cast("long")
+    ud = e.select("user_id", day.alias("d")).distinct()
+    days = ud.select("d").distinct()
+    cover = (
+        ud.select("user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("d"))
+        .distinct()
+        .join(F.broadcast(days), "d")
+    )
+    wau = cover.groupBy("d").agg(F.count(F.lit(1)).alias("wau"))
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.timestamp_micros(F.col("d") * 86_400_000_000).alias("day"),
+            "dau",
+            "wau",
+        )
+    )
+
+
+# -------------------------------------------------- X67. Gini
+
+
+@register(
+    "x67_gini",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey AS ck, sum(CAST(o_totalprice AS DECIMAL(38,10))) AS x
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, ck) AS i FROM rev),
+agg AS (
+  SELECT count(*) AS n,
+         sum(x) AS sx,
+         sum(x * i) AS sxi
+  FROM ranked)
+SELECT n,
+       round((2.0 * (sxi::DOUBLE) / (n * (sx::DOUBLE))) - (n + 1.0) / n, 6)
+         AS gini
+FROM agg
+""",
+)
+def x67_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over revenues
+    sorted ascending.  Revenue sums and the rank-weighted sum are
+    EXACT decimals (i is an int; decimal × int is exact), the rank
+    order is total via (x, custkey), and only the final expression
+    touches doubles — identical ops both engines.
+
+    Scale: one orders aggregate, one customer-cardinality sort
+    (range-partitioned like f1), one scalar reduction.  The same
+    shape yields Lorenz-curve points by emitting cumulative shares
+    instead of the scalar."""
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("x")
+    )
+    ranked = rev.select(
+        "x", F.row_number().over(Window.orderBy("x", "ck")).alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("i")).alias("sxi"),
+    )
+    return agg.select(
+        "n",
+        F.round(
+            (2.0 * F.col("sxi").cast("double") / (F.col("n") * F.col("sx").cast("double")))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
