@@ -3501,3 +3501,48 @@ def x67_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ----------------------------------------- X68. cumulative reach
+
+
+@register(
+    "x68_cumulative_reach",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, min((epoch_us(ts) // 86400000000)::BIGINT) AS d0
+  FROM events GROUP BY user_id),
+new_by_day AS (
+  SELECT d0 AS d, count(*) AS new_users FROM first_day GROUP BY d0)
+SELECT make_timestamp(d * 86400000000) AS day, new_users,
+       sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS total_reach
+FROM new_by_day
+""",
+)
+def x68_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative audience reach: distinct users ever seen, by day —
+    the running COUNT(DISTINCT) that naive windowing would rescan
+    history for, collapsed to min-first-day per user + daily new-user
+    counts + one running integer sum.  The standard growth-curve
+    query, and the exactness complement to a streaming HLL union.
+
+    Scale: the distinct collapses to one user-cardinality aggregate;
+    the running sum runs over |days| rows — nothing touches the
+    event table twice."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir)
+    day = (F.unix_micros("ts") / 86_400_000_000).cast("long")
+    first_day = e.select("user_id", day.alias("d")).groupBy("user_id").agg(
+        F.min("d").alias("d0")
+    )
+    new_by_day = first_day.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return new_by_day.select(
+        F.timestamp_micros(F.col("d") * 86_400_000_000).alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("total_reach"),
+    )

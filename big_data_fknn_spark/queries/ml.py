@@ -895,3 +895,47 @@ def j49_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.alias("n_correct"),
         F.round(correct.cast("double") / F.count(F.lit(1)), 6).alias("accuracy"),
     )
+
+
+# ------------------------------------ J57. stratified split
+
+
+@register(
+    "j57_stratified_split",
+    oracle="""
+WITH ranked AS (
+  SELECT label, vec_id,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY md5('split#' || vec_id), vec_id) AS r
+  FROM embeddings),
+tagged AS (
+  SELECT label, CASE WHEN r % 5 = 0 THEN 'test' ELSE 'train' END AS split
+  FROM ranked)
+SELECT label, split, count(*) AS n
+FROM tagged GROUP BY label, split
+""",
+)
+def j57_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-STRATIFIED 80/20 split — the j6 upgrade imbalanced data
+    needs: rank every vector inside its class by an md5 shuffle key
+    (deterministic, cross-engine, auditable — the j52 device) and
+    send every 5th rank to test, so each class lands within one
+    vector of exact 80/20 regardless of class skew (a global hash
+    split leaves small classes off-ratio by luck).  Emits the
+    per-class split census; the assignment itself is the `tagged`
+    relation.
+
+    Scale: one window per class partition over (id, hash) pairs —
+    no shuffle of feature vectors at all; the split column joins
+    back by id when training consumes it."""
+    e = embeddings_d(spark, sf_dir)
+    r = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            F.md5(F.concat(F.lit("split#"), F.col("vec_id"))), "vec_id"
+        )
+    )
+    tagged = e.select(
+        "label",
+        F.when((r % 5) == 0, "test").otherwise("train").alias("split"),
+    )
+    return tagged.groupBy("label", "split").agg(F.count(F.lit(1)).alias("n"))
