@@ -3546,3 +3546,74 @@ def x68_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("total_reach"),
     )
+
+
+# ---------------------------------------------- X69. ABC analysis
+
+
+@register(
+    "x69_abc_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS r
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(r) AS t FROM rev),
+cum AS (
+  SELECT pk, r,
+         sum(r) OVER (ORDER BY r DESC, pk ROWS UNBOUNDED PRECEDING) AS c
+  FROM rev),
+classed AS (
+  SELECT pk, r,
+         CASE WHEN c::DOUBLE / t.t::DOUBLE <= 0.8 THEN 'A'
+              WHEN c::DOUBLE / t.t::DOUBLE <= 0.95 THEN 'B'
+              ELSE 'C' END AS cls
+  FROM cum CROSS JOIN tot t)
+SELECT cls, count(*) AS n_parts,
+       sum(r)::DOUBLE AS revenue
+FROM classed GROUP BY cls
+""",
+)
+def x69_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by exact-decimal
+    revenue, assigned A while the cumulative share ≤ 80%, B ≤ 95%,
+    C after — the inventory-management rollup behind every "top 20%
+    of SKUs drive 80%" statement.  The cumulative sum runs over the
+    (revenue DESC, partkey) TOTAL order with decimal state, so the
+    class boundary falls identically in both engines; the share is
+    one double division of identical operands.
+
+    Scale: revenue is a partial-agg over lineitem; the ranked
+    cumulative pass touches only part-cardinality rows
+    (range-partitioned sort like f1); output is 3 rows."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,10)"
+            )
+        ).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w = Window.orderBy(F.col("r").desc(), "pk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.select("pk", "r", F.sum("r").over(w).alias("c")).crossJoin(
+        F.broadcast(tot)
+    )
+    share = F.col("c").cast("double") / F.col("t").cast("double")
+    cls = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        cum.select(cls.alias("cls"), "r")
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            # NO round: revenue ~2.4e9 needs 16 significant digits at
+            # 6dp — past double precision, where the engines' round()
+            # implementations differ in the last ulp.  The exact class
+            # decimal sum converts to the identical double unrounded.
+            F.sum("r").cast("double").alias("revenue"),
+        )
+    )
