@@ -1057,3 +1057,46 @@ def i18_stream_zscore_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         track, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     return run_to_memory(flagged, "append")
+
+
+@register(
+    "i19_stream_reach_live",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, min((epoch_us(ts) // 86400000000)::BIGINT) AS d0
+  FROM events GROUP BY user_id),
+new_by_day AS (
+  SELECT d0 AS d, count(*) AS new_users FROM first_day GROUP BY d0)
+SELECT make_timestamp(d * 86400000000) AS day, new_users,
+       sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS total_reach
+FROM new_by_day
+""",
+)
+def i19_stream_reach_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming twin of x68's cumulative reach, fully
+    value-oracled: per-user first-seen day is a streaming min()
+    aggregate — min is the third mergeable-family operator (after
+    i16's +, i17's OR), so micro-batch partials collapse to exactly
+    the batch answer with ONE long of state per user.  The drained
+    first-seen table rolls up to the daily growth curve batch-side.
+
+    Scale: replace-by-key state of 8 bytes per user; the growth
+    curve over an unbounded stream never rescans history."""
+    s = events_stream(spark, sf_dir)
+    day = (F.unix_micros("ts") / 86_400_000_000).cast("long")
+    first_day = run_to_memory(
+        s.select("user_id", day.alias("d")).groupBy("user_id").agg(
+            F.min("d").alias("d0")
+        ),
+        "complete",
+    )
+    new_by_day = first_day.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return new_by_day.select(
+        F.timestamp_micros(F.col("d") * 86_400_000_000).alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("total_reach"),
+    )

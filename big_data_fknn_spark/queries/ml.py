@@ -939,3 +939,90 @@ def j57_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((r % 5) == 0, "test").otherwise("train").alias("split"),
     )
     return tagged.groupBy("label", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------------------------------------ J58. decision-margin scoring
+
+
+@register(
+    "j58_fknn_margin",
+    oracle=f"""
+WITH {{EMB}},
+{{STAGE1}},
+p2 AS (
+  SELECT t.vec_id AS q, t.label AS label, r.vec_id AS n,
+         list_distance(t.emb, r.emb) AS d
+  FROM test t CROSS JOIN train r
+),
+k2 AS (
+  SELECT *, 1.0 / greatest(d * d, 1e-12) AS w FROM (
+    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d, n) AS rn FROM p2
+  ) WHERE rn <= {{K}}
+),
+totw AS (SELECT q, sum(w) AS tw FROM k2 GROUP BY q),
+scores AS (
+  SELECT k2.q, k2.label, m.cls, sum(k2.w * m.u) AS s
+  FROM k2 JOIN memb m ON m.mv = k2.n GROUP BY 1, 2, 3
+),
+final AS (
+  SELECT s.q, s.label, s.cls, s.s / t.tw AS u_norm,
+         row_number() OVER (PARTITION BY s.q ORDER BY s.s / t.tw DESC, s.cls) AS rnk
+  FROM scores s JOIN totw t ON s.q = t.q
+),
+top2 AS (
+  SELECT q AS vec_id, label,
+         max(CASE WHEN rnk = 1 THEN cls END) AS pred,
+         max(CASE WHEN rnk = 1 THEN u_norm END) AS u1,
+         coalesce(max(CASE WHEN rnk = 2 THEN u_norm END), 0) AS u2
+  FROM final WHERE rnk <= 2 GROUP BY q, label)
+SELECT vec_id, label, pred, round(u1 - u2, 6) AS margin
+FROM top2
+""".replace("{EMB}", EMB_CTES).replace("{STAGE1}", STAGE1_CTES).replace("{K}", str(K)),
+)
+def j58_fknn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision margin of the flagship fuzzy classifier: the gap
+    between the top-2 normalized class memberships per test point —
+    the active-learning / selective-prediction signal (low margin =
+    send to a human or a bigger model).  Same stage-1 memberships
+    and stage-2 weighted voting as j3 (operators/fknn.py), but keeps
+    rank ≤ 2 of the score window instead of the argmax only; a
+    single-class score set degrades to margin = u1 (u2 = 0, both
+    engines).
+
+    Scale: identical cost to j3 — the margin is free once the score
+    table exists; at fleet scale you'd persist scores once and
+    derive pred, conf, AND margin from the same table."""
+    from big_data_fknn_spark.operators.fknn import EPS
+
+    train, test = train_test_split(spark, sf_dir)
+    memb = keller_memberships(train, k=K)
+    knn = knn_join_blas(test, train, k=K, keep_q_cols=("label",))
+    knn = knn.withColumn(
+        "w", F.lit(1.0) / F.greatest(F.col("dist") * F.col("dist"), F.lit(EPS))
+    )
+    totw = knn.groupBy("q_id").agg(F.sum("w").alias("tw"))
+    scores = (
+        knn.join(memb, knn.n_id == memb.vec_id)
+        .groupBy("q_id", "q_label", "cls")
+        .agg(F.sum(F.col("w") * F.col("u")).alias("s"))
+        .join(totw, "q_id")
+        .withColumn("u_norm", F.col("s") / F.col("tw"))
+    )
+    pick = Window.partitionBy("q_id").orderBy(
+        F.col("u_norm").desc(), F.col("cls").asc()
+    )
+    top2 = (
+        scores.withColumn("rnk", F.row_number().over(pick))
+        .where(F.col("rnk") <= 2)
+        .groupBy(F.col("q_id").alias("vec_id"), F.col("q_label").alias("label"))
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("cls"))).alias("pred"),
+            F.max(F.when(F.col("rnk") == 1, F.col("u_norm"))).alias("u1"),
+            F.coalesce(
+                F.max(F.when(F.col("rnk") == 2, F.col("u_norm"))), F.lit(0.0)
+            ).alias("u2"),
+        )
+    )
+    return top2.select(
+        "vec_id", "label", "pred", F.round(F.col("u1") - F.col("u2"), 6).alias("margin")
+    )
