@@ -3617,3 +3617,112 @@ def x69_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r").cast("double").alias("revenue"),
         )
     )
+
+
+# ------------------------------------------- X70. Lorenz deciles
+
+
+@register(
+    "x70_lorenz_deciles",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey AS ck, sum(CAST(o_totalprice AS DECIMAL(38,10))) AS x
+  FROM orders GROUP BY o_custkey),
+deciled AS (
+  SELECT x, ntile(10) OVER (ORDER BY x, ck) AS dec_
+  FROM rev),
+per AS (
+  SELECT dec_, count(*) AS n, sum(x) AS r FROM deciled GROUP BY dec_),
+tot AS (SELECT sum(n) AS tn, sum(r) AS tr FROM per)
+SELECT dec_ AS decile,
+       n AS n_customers,
+       round(sum(n) OVER (ORDER BY dec_ ROWS UNBOUNDED PRECEDING)::DOUBLE
+               / tot.tn, 6) AS cum_pop_share,
+       round((sum(r) OVER (ORDER BY dec_ ROWS UNBOUNDED PRECEDING))::DOUBLE
+               / (tot.tr::DOUBLE), 6) AS cum_rev_share
+FROM per CROSS JOIN tot
+""",
+)
+def x70_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve points: customers cut into revenue deciles
+    (ntile over the (revenue, custkey) TOTAL order), emitting the
+    cumulative population share vs cumulative revenue share — the
+    curve x67's Gini integrates.  Decile revenue stays exact decimal
+    through the cumulative window; the two shares are single double
+    divisions of identical operands.
+
+    Scale: one orders aggregate, one customer-cardinality window,
+    10 output rows."""
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("x")
+    )
+    deciled = rev.select(
+        "x", F.ntile(10).over(Window.orderBy("x", "ck")).alias("decile")
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("r")
+    )
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("r").alias("tr"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n").alias("n_customers"),
+            F.round(
+                F.sum("n").over(w).cast("double") / F.col("tn"), 6
+            ).alias("cum_pop_share"),
+            F.round(
+                F.sum("r").over(w).cast("double") / F.col("tr").cast("double"), 6
+            ).alias("cum_rev_share"),
+        )
+    )
+
+
+# -------------------------------------- X71. new vs returning
+
+
+@register(
+    "x71_new_vs_returning",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, (epoch_us(ts) // 86400000000)::BIGINT AS d FROM events),
+first_day AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id)
+SELECT make_timestamp(ev.d * 86400000000) AS day,
+       CASE WHEN ev.d = f.d0 THEN 'new' ELSE 'returning' END AS cohort,
+       count(*) AS n_events,
+       count(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN first_day f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def x71_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning traffic split: an event is 'new' when
+    it falls on its user's first-seen day — the default engagement
+    dashboard cut.  The first-seen table is a user-cardinality
+    aggregate broadcast back onto the event stream; integer day
+    arithmetic everywhere.
+
+    Scale: one events pass + one broadcast join; the distinct-user
+    count per (day, cohort) shuffles (day, cohort, user) triples —
+    already day-bounded, no global distinct."""
+    from big_data_fknn_spark.tables import events_t
+
+    e = events_t(spark, sf_dir)
+    day = (F.unix_micros("ts") / 86_400_000_000).cast("long")
+    ev = e.select("user_id", day.alias("d"))
+    first_day = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        ev.join(F.broadcast(first_day), "user_id")
+        .groupBy(
+            F.timestamp_micros(F.col("d") * 86_400_000_000).alias("day"),
+            F.when(F.col("d") == F.col("d0"), "new")
+            .otherwise("returning")
+            .alias("cohort"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
