@@ -3726,3 +3726,70 @@ def x71_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# -------------------------------- X72. growth decomposition
+
+
+@register(
+    "x72_growth_decomposition",
+    oracle="""
+WITH m AS (
+  SELECT c.c_mktsegment AS seg,
+         date_trunc('month', o.o_orderdate) AS mth,
+         sum(CAST(o.o_totalprice AS DECIMAL(38,10))) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2),
+d AS (
+  SELECT seg, mth, rev,
+         rev - lag(rev) OVER (PARTITION BY seg ORDER BY mth) AS delta
+  FROM m),
+tot AS (
+  SELECT mth, sum(delta) AS tot_delta
+  FROM d WHERE delta IS NOT NULL GROUP BY mth)
+SELECT d.seg, d.mth, d.rev::DOUBLE AS revenue, d.delta::DOUBLE AS delta,
+       round(d.delta::DOUBLE / t.tot_delta::DOUBLE, 6) AS share_of_change
+FROM d JOIN tot t ON t.mth = d.mth
+WHERE d.delta IS NOT NULL AND t.tot_delta <> 0
+""",
+)
+def x72_growth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth decomposition: each market segment's
+    revenue delta and its share of the TOTAL month delta — "which
+    segment drove the change", the first follow-up to every growth
+    chart (x6 gives the rate; this attributes it).  Revenue and
+    deltas stay exact decimals through the lag window and the total;
+    the share is one double division; segment-months with no prior
+    month or a zero total delta are excluded identically.
+
+    Scale: one fact aggregate, one |seg|×|month| lag window, one
+    broadcast of month totals."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    m = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_trunc("month", "o_orderdate").alias("mth"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("rev"))
+    )
+    w = Window.partitionBy("seg").orderBy("mth")
+    d = m.withColumn("delta", F.col("rev") - F.lag("rev").over(w)).where(
+        F.col("delta").isNotNull()
+    )
+    tot = d.groupBy("mth").agg(F.sum("delta").alias("tot_delta"))
+    return (
+        d.join(F.broadcast(tot), "mth")
+        .where(F.col("tot_delta") != 0)
+        .select(
+            "seg",
+            "mth",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("delta").cast("double").alias("delta"),
+            F.round(
+                F.col("delta").cast("double") / F.col("tot_delta").cast("double"), 6
+            ).alias("share_of_change"),
+        )
+    )
