@@ -75,26 +75,36 @@ def main() -> None:
     # chunk fetches, connected-components' localCheckpoint rounds),
     # and excluding it would under-report them.
     timings: dict[str, float] = {}
+    split: dict[str, dict[str, float]] = {}
     for key in HEADLINE:
-        runs = []
+        runs = []  # (total, construct, exec) per attempt
         for _ in range(2):
             t0 = time.perf_counter()
             df = registry[key].fn(spark, sf_dir)
+            t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[key] = round(min(runs), 3)
+            t2 = time.perf_counter()
+            runs.append((t2 - t0, t1 - t0, t2 - t1))
+        best = min(runs)
+        timings[key] = round(best[0], 3)
+        split[key] = {"construct_s": round(best[1], 3), "exec_s": round(best[2], 3)}
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # same clock as r02 (construct+exec, min of 2); the split
+        # attributes each query's time to plan construction (which
+        # for the kNN kernel / connected components / global_rank
+        # does real cluster jobs) vs final execution.
+        "queries_split": split,
         "sf": sf,
         # round 1 timed execution only; from round 2 the timer also
         # wraps plan construction (the kNN kernel's chunk-fetch jobs
         # and connected-components' checkpoint rounds do real cluster
         # work at build time) — compare r1 numbers with that in mind.
-        "note": "timing=construct+exec min-of-2; r01 timed exec only",
+        "note": "timing=construct+exec min-of-2 (same as r02); r01 timed exec only; queries_split attributes construct vs exec",
     }
     print(json.dumps(out))
     spark.stop()

@@ -18,7 +18,11 @@ Layout
 - ``functions``  : column-expression builders (distances, text
                    hashing/shingles, order-independent decimal sums).
 - ``operators``  : reusable DataFrame→DataFrame operators (knn_join
-                   declarative + BLAS kernel, fuzzy memberships).
+                   declarative + BLAS kernel, fuzzy memberships,
+                   range-bucketed global rank — operators/rank.py).
+- ``cache``      : query-scoped helper-cache registry
+                   (release_query_caches bounds a long session's
+                   executor storage).
 - ``queries``    : the registry mapping SURVEY.md §2 query keys to
                    (spark_fn, duckdb_oracle_sql) pairs — the driver
                    contract surface.

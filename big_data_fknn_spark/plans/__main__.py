@@ -54,6 +54,14 @@ KEYS = (
     "d21_weighted_median",
     "d22_countmin",
     "x55_bitmap_days",
+    # round-3: the range-bucketed global-rank family (operators/
+    # rank.py) — evidence that global order/ntile/running-agg plans
+    # hash-partition on the value bucket, no Exchange SinglePartition
+    "e5_pct",
+    "x65_rfm_segmentation",
+    "x57_skyline",
+    "x69_abc_pareto",
+    "j44_vocab_build",
 )
 
 SF = "/root/testdata/sf0.01"

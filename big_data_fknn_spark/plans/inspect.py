@@ -65,6 +65,52 @@ def read_schema_width(df: DataFrame) -> list[int]:
     return widths
 
 
+_TREE_MARK = re.compile(r"[+:]- ")
+
+
+def _depth_and_name(line: str) -> tuple[int, str]:
+    m = _TREE_MARK.search(line)
+    if m is None:
+        return 0, line.strip()
+    return m.start() // 3 + 1, line[m.end():].strip()
+
+
+def single_partition_window_feeds(plan: str) -> list[str]:
+    """Names of Window-family operators consuming an ``Exchange
+    SinglePartition`` — the scale-killer shape where the WHOLE input
+    funnels through one task to satisfy an unpartitioned
+    ``Window.orderBy``.
+
+    Walks the plan tree by print-indentation: for every
+    ``Exchange SinglePartition`` node, climbs its ancestor chain and
+    reports the first ``Window*`` operator reached before any other
+    exchange/broadcast redistributes the data.  Scalar final
+    aggregates (which legitimately use SinglePartition) are not
+    reported.  tests/test_plans.py sweeps every registered query with
+    this and fails non-whitelisted hits; operators/rank.py is the
+    range-bucketed primitive that removes them."""
+    parsed = [_depth_and_name(l) for l in plan.splitlines()]
+    hits: list[str] = []
+    for i, (d, name) in enumerate(parsed):
+        if not name.startswith("Exchange SinglePartition"):
+            continue
+        want = d - 1
+        for j in range(i - 1, -1, -1):
+            dj, nj = parsed[j]
+            if dj != want:
+                continue
+            want -= 1
+            head = nj.split("(")[0].split("[")[0].strip()
+            if head.startswith("Window"):
+                hits.append(head)
+                break
+            if head.startswith("Exchange") or head.startswith("Broadcast"):
+                break
+            if want < 0:
+                break
+    return hits
+
+
 def explain_summary(df: DataFrame) -> str:
     """One line per interesting operator — the 100 TB code-review view."""
     lines = []

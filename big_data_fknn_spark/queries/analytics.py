@@ -14,6 +14,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_fknn_spark.functions.numeric import DEC, dsum
+from big_data_fknn_spark.operators.rank import (
+    global_rank,
+    global_running_agg,
+    ntile_from_rank,
+)
+from big_data_fknn_spark.cache import cached
 from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.tables import t
 
@@ -621,7 +627,7 @@ def x13_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % 100).alias("src"),
         (F.col("l_partkey") % 100).alias("dst"),
     ).distinct()
-    edges.cache()
+    cached(edges)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = spark.range(100).select(F.col("id").alias("node"))
     r = nodes.select("node", F.lit(1.0 / 100).alias("r"))
@@ -2300,13 +2306,11 @@ def x50_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     to cut lineage; 6 bounded rounds keep the demo plan flat.
     """
     li = t(spark, sf_dir, "lineitem")
-    edges = (
+    edges = cached(
         li.select(
             (F.col("l_orderkey") % 100).alias("src"),
             (F.col("l_partkey") % 100).alias("dst"),
-        )
-        .distinct()
-        .cache()
+        ).distinct()
     )
     dist = spark.createDataFrame([(0, 0)], "node long, hops int")
     frontier = dist
@@ -2535,7 +2539,9 @@ def x54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
         .select("n_name", "o_orderpriority", "o_totalprice")
     )
-    j.createOrReplaceTempView(view := f"x54_{__import__('uuid').uuid4().hex}")
+    # fixed view name + createOrReplace: repeated invocations reuse
+    # one catalog entry instead of leaking a uuid-named view per call
+    j.createOrReplaceTempView(view := "x54_grouping_sets_src")
     return spark.sql(f"""
         SELECT coalesce(n_name, '(all)') AS nation,
                coalesce(o_orderpriority, '(all)') AS priority,
@@ -2573,14 +2579,26 @@ def x55_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: constant 8-byte state per group vs a per-group distinct
     set — this is why bitmap indexes back every interactive funnel
     engine; for >64-bucket domains the mask generalizes to chunked
-    bitmap arrays (roaring), same merge law."""
+    bitmap arrays (roaring), same merge law.
+
+    The day offset is range-CHECKED, not assumed: Spark's shiftleft
+    wraps the shift amount mod 64 (and pre-epoch days go negative)
+    while DuckDB's << yields 0 — so data outside [0, 63] would
+    silently diverge between the engines instead of failing.  The
+    CASE raises loudly; >64-day corpora must chunk the bitmap."""
     from big_data_fknn_spark.tables import events_t
 
     e = events_t(spark, sf_dir).withColumn(
         # shiftleft's bit count must be a column here, so spell it in
         # SQL (the Python helper only accepts a literal int)
         "mask",
-        F.expr("shiftleft(cast(1 as bigint), datediff(cast(ts as date), date'2024-01-01'))"),
+        F.expr(
+            "shiftleft(cast(1 as bigint), "
+            "CASE WHEN datediff(cast(ts as date), date'2024-01-01') BETWEEN 0 AND 63 "
+            "THEN datediff(cast(ts as date), date'2024-01-01') "
+            "ELSE raise_error('x55_bitmap_days: day offset outside [0,63] — "
+            "single-long bitmap cannot represent it; chunk the bitmap (roaring)') END)"
+        ),
     )
     bmp = F.bit_or("mask")
     return e.groupBy("user_id").agg(
@@ -2684,23 +2702,25 @@ def x57_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines, and all comparisons are on raw
     column values — no float arithmetic at all.
 
-    Scale: a single global sort (range-partitioned, as f1) replaces
-    the quadratic dominance join; d-dimensional skylines partition
-    on one dimension and merge per-partition frontiers the same
-    way."""
-    p = t(spark, sf_dir, "part")
-    w = (
-        Window.orderBy("p_retailprice", "p_partkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    Scale: the exclusive running max rides operators/rank.py's
+    range-bucketed prefix-combine — local running max inside each
+    price bucket ⊕ the literal max of all cheaper buckets — so the
+    plan hash-partitions on the bucket (asserted in test_plans.py)
+    instead of funnelling every part through ``Exchange
+    SinglePartition`` as a bare ``Window.orderBy`` would.
+    d-dimensional skylines partition on one dimension and merge
+    per-partition frontiers the same way."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    run = global_running_agg(
+        p,
+        [("p_retailprice", True), ("p_partkey", True)],
+        "p_size",
+        "max",
+        out_col="best",
+        exclusive=True,
     )
     return (
-        p.select(
-            "p_partkey",
-            "p_retailprice",
-            "p_size",
-            F.max("p_size").over(w).alias("best"),
-        )
-        .where(F.col("best").isNull() | (F.col("p_size") > F.col("best")))
+        run.where(F.col("best").isNull() | (F.col("p_size") > F.col("best")))
         .select("p_partkey", "p_retailprice", "p_size")
     )
 
@@ -3345,10 +3365,14 @@ def x65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries are a TOTAL order and both engines cut identically —
     ntile on a tied, partial order would be nondeterministic.
 
-    Scale: one orders aggregation (partial-combinable), three
-    window passes over the CUSTOMER-cardinality table (≪ orders),
-    and a ~125-row rollup.  The global max date is a scalar
-    broadcast."""
+    Scale: one orders aggregation (partial-combinable) materialized
+    ONCE (localCheckpoint), then three INDEPENDENT range-bucketed
+    rank passes (operators/rank.py) over 2-column projections of the
+    customer-cardinality base — each a hash exchange on its value
+    bucket, never ``Exchange SinglePartition`` (the round-2 shape
+    chained three full single-task sorts of all customers).  The
+    quintile labels join back on the customer key; the rollup is
+    ~125 rows.  The global max date is a scalar broadcast."""
     o = t(spark, sf_dir, "orders")
     max_date = o.agg(F.max("o_orderdate").alias("mx"))
     base = (
@@ -3368,12 +3392,24 @@ def x65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = base.select(
-        "ck",
-        "monetary",
-        F.ntile(5).over(Window.orderBy(F.col("recency_d").desc(), "ck")).alias("r_q"),
-        F.ntile(5).over(Window.orderBy(F.col("frequency").asc(), "ck")).alias("f_q"),
-        F.ntile(5).over(Window.orderBy(F.col("monetary").asc(), "ck")).alias("m_q"),
+    base = base.localCheckpoint(eager=True)
+
+    def quintile(metric: str, asc: bool, name: str) -> DataFrame:
+        gr = global_rank(
+            base.select("ck", metric),
+            [(metric, asc), ("ck", True)],
+            rank_col="__r",
+        )
+        ranked, total = gr.df, gr.total
+        return ranked.select(
+            "ck", ntile_from_rank(F.col("__r"), total, 5).alias(name)
+        )
+
+    scored = (
+        base.select("ck", "monetary")
+        .join(quintile("recency_d", False, "r_q"), "ck")
+        .join(quintile("frequency", True, "f_q"), "ck")
+        .join(quintile("monetary", True, "m_q"), "ck")
     )
     return (
         scored.groupBy(
@@ -3477,17 +3513,19 @@ def x67_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is total via (x, custkey), and only the final expression
     touches doubles — identical ops both engines.
 
-    Scale: one orders aggregate, one customer-cardinality sort
-    (range-partitioned like f1), one scalar reduction.  The same
-    shape yields Lorenz-curve points by emitting cumulative shares
-    instead of the scalar."""
+    Scale: one orders aggregate, one customer-cardinality ranking
+    via the range-bucketed global_rank (operators/rank.py — hash
+    exchange on the revenue bucket, no single-partition sort), one
+    scalar reduction.  The same shape yields Lorenz-curve points by
+    emitting cumulative shares instead of the scalar."""
     o = t(spark, sf_dir, "orders")
     rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("x")
-    )
-    ranked = rev.select(
-        "x", F.row_number().over(Window.orderBy("x", "ck")).alias("i")
-    )
+    ).localCheckpoint(eager=True)
+    ranked_df = global_rank(rev, [("x", True), ("ck", True)], rank_col="i").df
+    # cast back to int: keeps the decimal(x)·int product type identical
+    # to the pre-rank-primitive row_number() version
+    ranked = ranked_df.select("x", F.col("i").cast("int").alias("i"))
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -3583,9 +3621,15 @@ def x69_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     class boundary falls identically in both engines; the share is
     one double division of identical operands.
 
-    Scale: revenue is a partial-agg over lineitem; the ranked
-    cumulative pass touches only part-cardinality rows
-    (range-partitioned sort like f1); output is 3 rows."""
+    Scale: revenue is a partial-agg over lineitem, materialized once
+    (localCheckpoint); the ranked cumulative pass rides the
+    range-bucketed running sum of operators/rank.py (hash exchange
+    on the revenue bucket + literal prefix sums — no
+    single-partition window over part-cardinality rows, asserted in
+    test_plans.py); output is 3 rows.  The running sum accumulates
+    in DECIMAL(30,10): literal-prefix + window-sum at the default
+    (38,10) would hit the 38-precision cap on addition and silently
+    drop to 9-digit scale."""
     li = t(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(
@@ -3593,14 +3637,17 @@ def x69_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(38,10)"
             )
         ).alias("r")
-    )
+    ).localCheckpoint(eager=True)
     tot = rev.agg(F.sum("r").alias("t"))
-    w = Window.orderBy(F.col("r").desc(), "pk").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = rev.select("pk", "r", F.sum("r").over(w).alias("c")).crossJoin(
-        F.broadcast(tot)
-    )
+    cum = global_running_agg(
+        rev,
+        [(F.col("r"), False), ("pk", True)],
+        "r",
+        "sum",
+        out_col="c",
+        exclusive=False,
+        sum_type="decimal(30,10)",
+    ).crossJoin(F.broadcast(tot))
     share = F.col("c").cast("double") / F.col("t").cast("double")
     cls = (
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
@@ -3651,14 +3698,19 @@ def x70_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the cumulative window; the two shares are single double
     divisions of identical operands.
 
-    Scale: one orders aggregate, one customer-cardinality window,
-    10 output rows."""
+    Scale: one orders aggregate, one customer-cardinality
+    range-bucketed rank pass (operators/rank.py — no
+    single-partition exchange; ntile derives from the exact rank),
+    10 output rows.  The final cumulative window runs over the
+    10-row decile table — whitelisted-tiny."""
     o = t(spark, sf_dir, "orders")
     rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("x")
-    )
-    deciled = rev.select(
-        "x", F.ntile(10).over(Window.orderBy("x", "ck")).alias("decile")
+    ).localCheckpoint(eager=True)
+    gr = global_rank(rev, [("x", True), ("ck", True)], rank_col="__r")
+    ranked, total = gr.df, gr.total
+    deciled = ranked.select(
+        "x", ntile_from_rank(F.col("__r"), total, 10).alias("decile")
     )
     per = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("r")

@@ -774,7 +774,12 @@ def i15_stream_transitions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so the carried last event is never stale (true of the
     single-parquet replay here; a production deployment keyed by a
     log with per-key ordering — Kafka partitions on user_id — gives
-    the same guarantee)."""
+    the same guarantee).  That contract is CHECKED, not assumed: the
+    handler compares each batch's earliest (ts, event_id) against
+    the carried state and raises — failing the stream loudly —
+    if a multi-file or reordered replay ever delivers a row at or
+    before the stitched last event, instead of silently emitting
+    wrong cross-batch transitions."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -791,7 +796,16 @@ def i15_stream_transitions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         types = ev["event_type"].tolist()
         if state.exists:
-            _, _, last_type = state.get
+            last_us, last_id, last_type = state.get
+            first = ev.iloc[0]
+            if (int(first["ts_us"]), int(first["event_id"])) <= (last_us, last_id):
+                raise ValueError(
+                    "i15_stream_transitions_live: batch row at or before the "
+                    f"carried last event (batch first=({int(first['ts_us'])}, "
+                    f"{int(first['event_id'])}) vs state=({last_us}, {last_id})) "
+                    "— replay source violated per-key event-time order; "
+                    "cross-batch transitions would be wrong"
+                )
             types = [last_type] + types
         last = ev.iloc[-1]
         state.update((int(last["ts_us"]), int(last["event_id"]), str(last["event_type"])))
@@ -946,8 +960,15 @@ def i17_stream_bitmap_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded stream never re-scan history."""
     s = events_stream(spark, sf_dir).withColumn(
         "mask",
+        # range-checked like x55: Spark shiftleft wraps the shift mod
+        # 64 (DuckDB << yields 0), so out-of-[0,63] days must FAIL,
+        # not silently diverge between the engines
         F.expr(
-            "shiftleft(cast(1 as bigint), datediff(cast(ts as date), date'2024-01-01'))"
+            "shiftleft(cast(1 as bigint), "
+            "CASE WHEN datediff(cast(ts as date), date'2024-01-01') BETWEEN 0 AND 63 "
+            "THEN datediff(cast(ts as date), date'2024-01-01') "
+            "ELSE raise_error('i17_stream_bitmap_live: day offset outside [0,63] — "
+            "chunk the bitmap (roaring)') END)"
         ),
     )
     bmp = run_to_memory(

@@ -34,6 +34,8 @@ from big_data_fknn_spark.functions.numeric import DEC
 from big_data_fknn_spark.functions.text import md5_bit, shingles, tokens
 from big_data_fknn_spark.operators.graph import connected_components
 from big_data_fknn_spark.operators.knn import knn_join, knn_join_blas
+from big_data_fknn_spark.operators.rank import global_rank
+from big_data_fknn_spark.cache import cached
 from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.tables import embeddings_d, t
 
@@ -73,7 +75,7 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFra
     #    cache.
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    w = d.select("doc_id", tokens("text").alias("w")).cache()
+    w = cached(d.select("doc_id", tokens("text").alias("w")))
     return w.select("doc_id", shingles(F.col("w"), n).alias("sh"))
 
 
@@ -142,8 +144,8 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str):
     tok = (
         _docs_with_shingles(spark, sf_dir)
         .select("doc_id", F.explode("sh").alias("s"))
-        .cache()
     )
+    tok = cached(tok)
     mh = tok.groupBy("doc_id").agg(*_minhash_exprs_spark())
     band_arr = F.array(
         *[
@@ -151,7 +153,7 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str):
             for b in range(_NH // _BAND_R)
         ]
     )
-    bands = mh.select("doc_id", F.posexplode(band_arr).alias("band", "key")).cache()
+    bands = cached(mh.select("doc_id", F.posexplode(band_arr).alias("band", "key")))
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -257,7 +259,7 @@ def j8b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |docs|² — the all-pairs cross join stops completing at sf0.1,
     this runs in ~1 s.  The same shape shards cleanly at 100 TB: the
     join shuffles on the shingle hash."""
-    sh = _docs_with_shingles(spark, sf_dir).cache()
+    sh = cached(_docs_with_shingles(spark, sf_dir))
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     tok = sh.select("doc_id", F.explode("sh").alias("s"))
     a = tok.select(F.col("doc_id").alias("doc_i"), "s")
@@ -625,7 +627,7 @@ def j9b_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the candidate join is an equi-join on the cluster id (hash-
     partitionable) instead of a cross join.  Deterministic end to
     end → full value oracle, unlike typical randomized ANN."""
-    e = embeddings_d(spark, sf_dir).cache()
+    e = cached(embeddings_d(spark, sf_dir))
     probes = e.where(F.col("vec_id") % _PROBE_MOD == 0)
 
     # per-label centroid: exact-decimal mean per dimension, re-assembled
@@ -1056,7 +1058,7 @@ def j8f_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB recursive CTE propagating labels to a fixpoint.
     """
-    sh = _docs_with_shingles(spark, sf_dir).cache()
+    sh = cached(_docs_with_shingles(spark, sf_dir))
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     tok = sh.select("doc_id", F.explode("sh").alias("s"))
     a = tok.select(F.col("doc_id").alias("doc_i"), "s")
@@ -2271,32 +2273,39 @@ def j44_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus-wide token count is one partial+final
     hash agg (map-side combine does nearly all the work — shuffle
-    rows = |vocab| × tasks, never token occurrences).  Ranking and
-    the running coverage sum run over |vocab| ROWS ONLY — a global
-    window over the vocabulary is fine precisely because vocabularies
-    are bounded (10⁵-ish) while corpora are not; nothing
-    corpus-sized crosses a single partition.  j39 is the opposite
-    trade (hash, no vocab); j27/j32 consume this table's shape."""
+    rows = |vocab| × tasks, never token occurrences), materialized
+    once (localCheckpoint).  Round 2 ranked it with a bare global
+    window, defended as "|vocab| is bounded" — but over 100 TB of
+    raw web text the distinct-token table is NOT small (misspellings
+    and unicode junk push raw token types into the 10⁸+ range before
+    any truncation), so round 3 routes id assignment AND the
+    cumulative-coverage sum through operators/rank.py's
+    range-bucketed global_rank: one bucketed window pass emits both
+    the exact rank and the inclusive running sum (literal prefix
+    offsets per frequency bucket); the corpus-total token count
+    falls out of the same per-bucket aggregate — no tot cross-join,
+    no single-partition exchange.  j39 is the opposite trade (hash,
+    no vocab); j27/j32 consume this table's shape."""
     tok = (
         t(spark, sf_dir, "documents")
         .where(F.col("text") != "")
         .select(F.explode(F.split("text", " ")).alias("token"))
     )
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = counts.agg(F.sum("cnt").alias("n"))
-    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    w_cum = Window.orderBy("token_id").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        counts.withColumn("token_id", F.row_number().over(w_rank))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "token_id",
-            "token",
-            "cnt",
-            F.round(F.sum("cnt").over(w_cum) * 1.0 / F.col("n"), 6).alias(
-                "coverage"
-            ),
-        )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=True)
+    gr = global_rank(
+        counts,
+        [(F.col("cnt"), False), ("token", True)],
+        rank_col="token_id",
+        running_sum=("cnt", "__cum"),
+    )
+    n_total = int(gr.running_total or 0)
+    return gr.df.select(
+        F.col("token_id").cast("int").alias("token_id"),
+        "token",
+        "cnt",
+        F.round(F.col("__cum") * 1.0 / F.lit(n_total), 6).alias("coverage"),
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from big_data_fknn_spark.functions.distance import cosine_sim, euclidean, manhattan
 from big_data_fknn_spark.operators.fknn import fknn_pipeline, keller_memberships
 from big_data_fknn_spark.operators.knn import knn_join_blas
+from big_data_fknn_spark.cache import cached
 from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.tables import embeddings_d, train_test_split
 
@@ -285,7 +286,7 @@ def j25_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = embeddings_d(spark, sf_dir).withColumn(
         "fold", F.col("vec_id") % 5
     )
-    emb.cache()
+    cached(emb)
     per_fold = [
         knn_join_blas(
             emb.where(F.col("fold") == f_id),
@@ -707,14 +708,14 @@ def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    return (
+    # PFP makes two passes (freq-item count, then tree build) —
+    # cache so the join+agg runs once, not per pass.  Plan-keyed
+    # singleton: j46 and j47 share the one copy; registered for
+    # bulk release (big_data_fknn_spark.cache).
+    return cached(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.collect_set("p_brand").alias("items"))
-        # PFP makes two passes (freq-item count, then tree build) —
-        # cache so the join+agg runs once, not per pass.  Plan-keyed
-        # singleton: j46 and j47 share the one copy.
-        .cache()
     )
 
 

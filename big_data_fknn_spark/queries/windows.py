@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_fknn_spark.functions.numeric import DEC
+from big_data_fknn_spark.operators.rank import global_rank, ntile_from_rank
 from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.tables import t
 
@@ -134,13 +135,21 @@ FROM customer
 )
 def e5_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / ntile over a global total order (unique key
-    appended so both engines tile identically)."""
-    c = t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    appended so both engines tile identically).
+
+    Routed through operators/rank.py's range-bucketed global_rank —
+    a bare ``Window.orderBy`` plans as ``Exchange SinglePartition``
+    (all customers through ONE task); the bucketed rank keeps every
+    exchange hash-partitioned.  percent_rank = (rank−1)/(n−1) and
+    ntile derive exactly from the rank + driver-known total."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    gr = global_rank(c, [("c_acctbal", True), ("c_custkey", True)], rank_col="__r")
+    ranked, total = gr.df, gr.total
+    denom = float(max(total - 1, 1))
+    return ranked.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.round((F.col("__r") - 1) / F.lit(denom), 6).alias("pct"),
+        ntile_from_rank(F.col("__r"), total, 4).alias("quartile"),
     )
 
 
@@ -153,10 +162,15 @@ FROM customer
 )
 def f1_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort made hash-observable: emit each row's position in
-    the total order (range-partitioned sort + monotonic numbering)."""
-    c = t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return c.select(F.row_number().over(w).alias("pos"), "c_custkey")
+    the total order — via the range-bucketed global_rank (bucket on
+    acctbal, local row_number per bucket + broadcast offsets), NOT a
+    bare ``Window.orderBy`` whose physical plan is a single-partition
+    exchange of the whole table."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = global_rank(
+        c, [(F.col("c_acctbal"), False), ("c_custkey", True)], rank_col="pos"
+    ).df
+    return ranked.select("pos", "c_custkey")
 
 
 @register(

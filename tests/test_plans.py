@@ -430,3 +430,57 @@ def test_interval_overlap_is_bucket_equi_join(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
         "interval overlap must candidate-generate via the bucket equi-join"
     )
+
+
+# Whitelist for the full-registry single-partition-window sweep:
+# keys whose Window legitimately consumes an Exchange SinglePartition
+# because the windowed input is BOUNDED-TINY (independent of data
+# scale), not entity-cardinality.  Everything else must route global
+# order through operators/rank.py (range-bucketed rank / running agg).
+_TINY_WINDOW_OK = {
+    # cumulative share over per-MONTH rollup rows (|months| ≤ a few
+    # hundred for any realistic retention)
+    "x6_monthly_growth": "window over month-cardinality rollup",
+    # rank over the 25-row per-nation aggregate
+    "x12_sql_api": "window over 25 nations",
+    # running reach over per-DAY new-user counts (|days|)
+    "x68_cumulative_reach": "window over day-cardinality rollup",
+    # same day-cardinality running sum, streaming replay flavor
+    "i19_stream_reach_live": "window over day-cardinality rollup",
+    # cumulative shares over the 10-row decile table (the
+    # customer-cardinality ranking below it rides global_rank)
+    "x70_lorenz_deciles": "window over 10 decile rows",
+}
+
+
+def test_no_single_partition_window_over_entities(spark):
+    """Sweep EVERY registered batch query's executed plan: an
+    ``Exchange SinglePartition`` feeding a Window means the whole
+    input sorts in one task — the round-2 scale-killer family
+    (x65/x67/x70/x57/e5, since routed through operators/rank.py).
+    New queries that reintroduce the shape fail here and must either
+    use global_rank/global_running_agg or justify a whitelist entry
+    above (genuinely tiny windowed input only)."""
+    from big_data_fknn_spark.plans import single_partition_window_feeds
+
+    violations: dict[str, list[str]] = {}
+    whitelisted_clean: list[str] = []
+    for key in sorted(DEFS):
+        df = DEFS[key].fn(spark, SF_DIR)
+        if df.isStreaming:
+            continue
+        hits = single_partition_window_feeds(executed_plan(df))
+        if hits and key not in _TINY_WINDOW_OK:
+            violations[key] = hits
+        elif not hits and key in _TINY_WINDOW_OK:
+            whitelisted_clean.append(key)
+    assert not violations, (
+        "single-partition exchange feeds a Window over non-whitelisted "
+        f"input: {violations} — route through operators/rank.py or "
+        "whitelist with a tiny-input justification"
+    )
+    # keep the whitelist honest: every entry must still be needed
+    assert not whitelisted_clean, (
+        f"stale whitelist entries (plan no longer single-partition): "
+        f"{whitelisted_clean}"
+    )
