@@ -1,0 +1,139 @@
+"""Unit tests for operators/rank.py — the range-bucketed global
+rank/ntile/running-aggregate primitive.
+
+The oracle-parity suite already proves the eight routed query keys
+end-to-end; these tests pin the primitive itself against Spark's own
+(single-partition, fine-at-test-scale) window results on adversarial
+shapes the queries don't cover: duplicate-heavy leading keys (all
+ties land in one bucket), descending order, bucket counts larger than
+the row count, and the exact ntile tile-size law for every remainder
+class.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_fknn_spark.operators.rank import (
+    global_rank,
+    global_running_agg,
+    ntile_from_rank,
+)
+
+
+def _people(spark, vals):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+
+
+@pytest.mark.parametrize("buckets", [1, 3, 8, 50])
+def test_global_rank_matches_row_number_asc(spark, buckets):
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0]
+    df = _people(spark, vals)
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+        ).collect()
+    }
+    gr = global_rank(df, [("v", True), ("id", True)], num_buckets=buckets)
+    got = {r["id"]: r["rank"] for r in gr.df.collect()}
+    assert got == expect
+    assert gr.total == len(vals)
+
+
+def test_global_rank_desc_and_heavy_duplicates(spark):
+    # every leading value tied → all rows in ONE bucket (splits
+    # dedupe away); rank must still be the exact total order
+    df = _people(spark, [7.0] * 20)
+    gr = global_rank(df, [("v", False), ("id", True)], num_buckets=6)
+    got = {r["id"]: r["rank"] for r in gr.df.collect()}
+    assert got == {i: i + 1 for i in range(20)}
+
+
+@pytest.mark.parametrize("n,k", [(10, 4), (11, 4), (12, 4), (7, 10), (100, 7), (1, 3)])
+def test_ntile_from_rank_matches_spark_ntile(spark, n, k):
+    df = spark.range(n).select(F.col("id"))
+    expect = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", F.ntile(k).over(Window.orderBy("id")).alias("t")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", ntile_from_rank(F.col("id") + 1, n, k).alias("t")
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_running_max_exclusive_matches_window(spark):
+    vals = [2.0, 2.0, 8.0, 1.0, 8.0, 3.0, 9.0, 0.5, 2.0, 7.0]
+    df = _people(spark, vals).withColumn("m", (F.col("id") % 4).cast("double"))
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, -1)
+    expect = {
+        r["id"]: r["b"]
+        for r in df.select("id", F.max("m").over(w).alias("b")).collect()
+    }
+    out = global_running_agg(
+        df, [("v", True), ("id", True)], "m", "max", out_col="b", num_buckets=4
+    )
+    got = {r["id"]: r["b"] for r in out.collect()}
+    assert got == expect  # includes the leading-row NULL
+
+
+def test_running_sum_inclusive_matches_window(spark):
+    vals = [5.0, 3.0, 3.0, 11.0, 2.0, 2.0, 2.0, 8.0]
+    df = _people(spark, vals)
+    w = Window.orderBy(F.col("v").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    expect = {
+        r["id"]: r["c"]
+        for r in df.select("id", F.sum("v").over(w).alias("c")).collect()
+    }
+    out = global_running_agg(
+        df,
+        [("v", False), ("id", True)],
+        "v",
+        "sum",
+        out_col="c",
+        exclusive=False,
+        num_buckets=3,
+    )
+    got = {r["id"]: r["c"] for r in out.collect()}
+    assert got == pytest.approx(expect)
+
+
+def test_global_rank_running_sum_and_totals(spark):
+    vals = [4.0, 1.0, 3.0, 2.0, 5.0]
+    df = _people(spark, vals)
+    gr = global_rank(
+        df,
+        [("v", True), ("id", True)],
+        rank_col="r",
+        running_sum=("v", "cum"),
+        num_buckets=2,
+    )
+    rows = {r["r"]: r["cum"] for r in gr.df.collect()}
+    assert rows == pytest.approx({1: 1.0, 2: 3.0, 3: 6.0, 4: 10.0, 5: 15.0})
+    assert gr.total == 5
+    assert gr.running_total == pytest.approx(15.0)
+
+
+def test_plan_has_no_single_partition_exchange(spark):
+    from big_data_fknn_spark.plans import (
+        executed_plan,
+        single_partition_window_feeds,
+    )
+
+    df = _people(spark, [float(x % 17) for x in range(200)])
+    gr = global_rank(df, [("v", True), ("id", True)], num_buckets=8)
+    plan = executed_plan(gr.df)
+    assert "Exchange SinglePartition" not in plan
+    assert not single_partition_window_feeds(plan)
