@@ -31,10 +31,11 @@ known) total; a prefix-combine of any commutative aggregate (max,
 sum) over "all preceding rows" works the same way: local running
 value within the bucket ⊕ the literal prefix over earlier buckets.
 
-Caveats (asserted below): the order must be a TOTAL order (append a
-unique key — every caller here does, for cross-engine determinism
-anyway) and the leading key must be non-null (all callers rank
-aggregate outputs, which are non-null by construction).
+Caveats: the order must be a TOTAL order (append a unique key —
+every caller here does, for cross-engine determinism anyway) and the
+leading key must be non-null — CHECKED inside the per-bucket counts
+job (zero extra passes), raising instead of silently misplacing
+NULLs for descending orders.
 
 Cost: two extra passes over the (already aggregated, entity-
 cardinality) input at construct time.  Callers ranking a non-trivial
@@ -90,9 +91,21 @@ def _bucket_col(df: DataFrame, leading: Column, ascending: bool, n: int) -> Colu
     return F.size(F.filter(arr, lambda s: s < key))
 
 
-def _offsets(tagged: DataFrame, agg: Column) -> list:
-    """Collect per-bucket aggregate (≤ num_buckets rows) to the driver."""
-    rows = tagged.groupBy(_BUCKET).agg(agg.alias("v")).collect()
+def _offsets(tagged: DataFrame, agg: Column, leading: Column | None = None) -> list:
+    """Collect per-bucket aggregate (≤ num_buckets rows) to the driver.
+    With ``leading`` set, piggybacks a NULL-key count on the same job
+    and raises if any (see global_rank's contract)."""
+    aggs = [agg.alias("v")]
+    if leading is not None:
+        aggs.append(F.sum(leading.isNull().cast("long")).alias("__nulls"))
+    rows = tagged.groupBy(_BUCKET).agg(*aggs).collect()
+    if leading is not None:
+        n_null = sum(int(r["__nulls"] or 0) for r in rows)
+        if n_null:
+            raise ValueError(
+                f"global running agg: leading order key has {n_null} NULL "
+                "row(s) — range bucketing requires a non-null leading key"
+            )
     by_bucket = {r[_BUCKET]: r["v"] for r in rows}
     n = (max(by_bucket) + 1) if by_bucket else 1
     return [by_bucket.get(b) for b in range(n)]
@@ -141,10 +154,23 @@ def global_rank(
     sum_val = _resolve(running_sum[0]) if running_sum else None
     if sum_val is not None and sum_type:
         sum_val = sum_val.cast(sum_type)
-    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    aggs = [
+        F.count(F.lit(1)).alias("__cnt"),
+        # the non-null contract checked for free inside the counts job:
+        # a NULL leading key would silently land in bucket 0 — correct
+        # only for ASC NULLS FIRST, wrong for DESC — so fail loudly
+        F.sum(_resolve(leading).isNull().cast("long")).alias("__nulls"),
+    ]
     if sum_val is not None:
         aggs.append(F.sum(sum_val).alias("__sum"))
     rows = tagged.groupBy(_BUCKET).agg(*aggs).collect()
+    n_null = sum(int(r["__nulls"] or 0) for r in rows)
+    if n_null:
+        raise ValueError(
+            f"global_rank: leading order key has {n_null} NULL row(s) — "
+            "range bucketing requires a non-null leading key (filter or "
+            "coalesce first)"
+        )
     by_bucket = {r[_BUCKET]: r for r in rows}
     nb = (max(by_bucket) + 1) if by_bucket else 1
     counts = [int(by_bucket[b]["__cnt"]) if b in by_bucket else 0 for b in range(nb)]
@@ -235,7 +261,7 @@ def global_running_agg(
         .rowsBetween(Window.unboundedPreceding, frame_end)
     )
     if agg == "sum":
-        per_bucket = _offsets(tagged, F.sum(val))
+        per_bucket = _offsets(tagged, F.sum(val), _resolve(leading))
         prefix, run = [], None
         for v in per_bucket:
             prefix.append(run)
@@ -255,7 +281,7 @@ def global_running_agg(
         combined = F.when(pre.isNull() & local.isNull(), F.lit(None)).otherwise(combined)
     else:
         agg_fn, comb_fn = fns[agg]
-        per_bucket = _offsets(tagged, agg_fn(val))
+        per_bucket = _offsets(tagged, agg_fn(val), _resolve(leading))
         prefix, run = [], None
         for v in per_bucket:
             prefix.append(run)

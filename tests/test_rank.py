@@ -137,3 +137,15 @@ def test_plan_has_no_single_partition_exchange(spark):
     plan = executed_plan(gr.df)
     assert "Exchange SinglePartition" not in plan
     assert not single_partition_window_feeds(plan)
+
+
+def test_null_leading_key_raises(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 3.0)], "id long, v double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        global_rank(df, [("v", True), ("id", True)], num_buckets=2)
+    with pytest.raises(ValueError, match="NULL"):
+        global_running_agg(
+            df, [("v", False), ("id", True)], "v", "sum", exclusive=False
+        )
