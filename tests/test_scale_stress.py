@@ -316,3 +316,60 @@ def test_minhash_pipeline_50k_docs_stays_bucketed(spark):
     # (c) 49.5k docs end-to-end under a generous local budget
     assert elapsed < 120, f"minhash pipeline took {elapsed:.0f}s"
     tok.unpersist()
+
+
+def test_global_rank_500k_balanced_and_exact(spark):
+    """Rank-primitive scale check (~30× the customer table): 500k rows
+    with a skew-ish value distribution.  Asserts (a) exact agreement
+    with row_number() over the total order — computed here via a
+    single-partition window, fine IN A TEST at this size — on a
+    deterministic sample of rows, (b) per-bucket row counts stay
+    within 4× the ideal n/B (the percentile splits really equi-depth
+    the data), and (c) ntile deciles have the exact n/10 sizes."""
+    from big_data_fknn_spark.operators.rank import global_rank, ntile_from_rank
+
+    n = 500_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            # md5-derived deterministic uniform, squared for skew
+            (
+                F.pow(
+                    F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+                    .cast("double")
+                    / F.lit(float(16**8)),
+                    2.0,
+                )
+            ).alias("v"),
+        )
+    ).localCheckpoint(eager=True)
+
+    gr = global_rank(df, [("v", True), ("id", True)], rank_col="r", num_buckets=32)
+    assert gr.total == n
+
+    # (a) exactness vs the reference rank on a 1/500 sample
+    from pyspark.sql import Window
+
+    ref = df.select(
+        "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+    ).where(F.col("id") % 500 == 0)
+    joined = gr.df.where(F.col("id") % 500 == 0).join(ref, "id")
+    assert joined.where(F.col("r") != F.col("rn")).count() == 0
+
+    # (b) bucket balance: recompute the bucket tag the way the
+    # primitive does and bound the largest bucket
+    from big_data_fknn_spark.operators.rank import _BUCKET, _bucket_col
+
+    tagged = df.withColumn(_BUCKET, _bucket_col(df, F.col("v"), True, 32))
+    sizes = [r["c"] for r in tagged.groupBy(_BUCKET).agg(F.count("*").alias("c")).collect()]
+    assert max(sizes) <= 4 * (n / 32), f"bucket skew: {sorted(sizes)[-3:]}"
+
+    # (c) decile sizes exact
+    dec = (
+        gr.df.select(ntile_from_rank(F.col("r"), gr.total, 10).alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    assert {r["d"]: r["c"] for r in dec} == {i: n // 10 for i in range(1, 11)}
