@@ -51,6 +51,14 @@ HEADLINE = (
     # round 2: MLlib FP-Growth — tracks the frequent-pattern / MLlib
     # stack (fit happens at construct time; the timer wraps both).
     "j46_fpgrowth",
+    # round 3: RFM segmentation — round 2's worst single-partition-
+    # window offender (three chained full sorts of all customers),
+    # now three independent range-bucketed rank passes over one
+    # checkpointed base (operators/rank.py).  Added so the rank
+    # primitive's construct-time jobs (percentile splits + bucket
+    # counts) are measured, not hidden; per-query timings for the
+    # other 13 stay directly comparable to r02.
+    "x65_rfm_segmentation",
 )
 
 

@@ -75,19 +75,23 @@ def _depth_and_name(line: str) -> tuple[int, str]:
     return m.start() // 3 + 1, line[m.end():].strip()
 
 
-def single_partition_window_feeds(plan: str) -> list[str]:
-    """Names of Window-family operators consuming an ``Exchange
+def single_partition_window_feeds(
+    plan: str, heads: tuple[str, ...] = ("Window", "Sort")
+) -> list[str]:
+    """Names of Window/Sort operators consuming an ``Exchange
     SinglePartition`` — the scale-killer shape where the WHOLE input
     funnels through one task to satisfy an unpartitioned
-    ``Window.orderBy``.
+    ``Window.orderBy`` (or a forced one-partition sort).
 
     Walks the plan tree by print-indentation: for every
     ``Exchange SinglePartition`` node, climbs its ancestor chain and
-    reports the first ``Window*`` operator reached before any other
-    exchange/broadcast redistributes the data.  Scalar final
-    aggregates (which legitimately use SinglePartition) are not
-    reported.  tests/test_plans.py sweeps every registered query with
-    this and fails non-whitelisted hits; operators/rank.py is the
+    reports the first matching operator reached before any other
+    exchange/broadcast/aggregate redistributes or collapses the data.
+    Scalar final aggregates (which legitimately use SinglePartition)
+    are not reported; global ORDER BY uses a rangepartitioning
+    exchange, not SinglePartition, so parallel sorts never hit.
+    tests/test_plans.py sweeps every registered query with this and
+    fails non-whitelisted hits; operators/rank.py is the
     range-bucketed primitive that removes them."""
     parsed = [_depth_and_name(l) for l in plan.splitlines()]
     hits: list[str] = []
@@ -101,10 +105,10 @@ def single_partition_window_feeds(plan: str) -> list[str]:
                 continue
             want -= 1
             head = nj.split("(")[0].split("[")[0].strip()
-            if head.startswith("Window"):
+            if head.startswith(heads):
                 hits.append(head)
                 break
-            if head.startswith("Exchange") or head.startswith("Broadcast"):
+            if head.startswith(("Exchange", "Broadcast", "HashAggregate", "SortAggregate", "ObjectHashAggregate")):
                 break
             if want < 0:
                 break
