@@ -50,7 +50,13 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["GlobalRank", "global_rank", "ntile_from_rank", "global_running_agg"]
+__all__ = [
+    "GlobalRank",
+    "global_rank",
+    "multi_global_rank",
+    "ntile_from_rank",
+    "global_running_agg",
+]
 
 _BUCKET = "__gr_bucket"
 
@@ -65,6 +71,29 @@ def _num_buckets(df: DataFrame, num_buckets: int | None) -> int:
     return max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1)
 
 
+def _bucket_key(leading: Column, ascending: bool) -> Column:
+    key = leading.cast("double")
+    return key if ascending else -key
+
+
+def _splits_agg(key: Column, n: int, alias: str) -> Column:
+    fracs = [i / n for i in range(1, n)]
+    return F.percentile_approx(
+        key, F.array(*[F.lit(f) for f in fracs]), F.lit(10000)
+    ).alias(alias)
+
+
+def _bucket_expr(raw_splits, key: Column) -> Column:
+    """Bucket id from collected split points: count of splits strictly
+    below the key — a pure function of the VALUE, so every plan
+    re-evaluation assigns identical buckets."""
+    splits = sorted(set(s for s in (raw_splits or []) if s is not None))
+    if not splits:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(s)) for s in splits])
+    return F.size(F.filter(arr, lambda s: s < key))
+
+
 def _bucket_col(df: DataFrame, leading: Column, ascending: bool, n: int) -> Column:
     """Pure-function bucket id (0..<n) for the leading order key.
 
@@ -74,21 +103,11 @@ def _bucket_col(df: DataFrame, leading: Column, ascending: bool, n: int) -> Colu
     split value all land in one bucket (strict ``<``), so bucket id
     is deterministic per VALUE, not per row placement.
     """
-    key = leading.cast("double")
-    if not ascending:
-        key = -key
-    fracs = [i / n for i in range(1, n)]
-    if not fracs:
+    key = _bucket_key(leading, ascending)
+    if n <= 1:
         return F.lit(0)
-    row = df.select(
-        F.percentile_approx(key, F.array(*[F.lit(f) for f in fracs]), F.lit(10000)).alias("s")
-    ).first()
-    raw = row["s"] if row is not None else None
-    splits = sorted(set(s for s in (raw or []) if s is not None))
-    if not splits:
-        return F.lit(0)
-    arr = F.array(*[F.lit(float(s)) for s in splits])
-    return F.size(F.filter(arr, lambda s: s < key))
+    row = df.select(_splits_agg(key, n, "s")).first()
+    return _bucket_expr(row["s"] if row is not None else None, key)
 
 
 def _offsets(tagged: DataFrame, agg: Column, leading: Column | None = None) -> list:
@@ -297,3 +316,97 @@ def global_running_agg(
         local = agg_fn(val).over(w)
         combined = comb_fn(pre, local)  # greatest/least skip NULLs
     return tagged.withColumn(out_col, combined).drop(_BUCKET)
+
+
+def multi_global_rank(
+    df: DataFrame,
+    specs: list[tuple[str, list[tuple[Column | str, bool]]]],
+    *,
+    num_buckets: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Several exact global ranks over DIFFERENT orders of the same
+    input, sharing the construct-time jobs — the multi-metric
+    quantile shape (RFM's three quintile cuts).
+
+    ``specs`` is ``[(rank_col, order), ...]`` with ``order`` as in
+    :func:`global_rank`.  Cost collapses from 2·|specs| jobs to 2:
+    ONE aggregate computes every metric's percentile splits, ONE
+    GROUPING SETS aggregate (single scan + Expand) counts rows per
+    (metric, bucket) — then each rank is a hash-partitioned window
+    over its own bucket column on the SAME DataFrame, so callers
+    need no join-back to combine the rank columns.
+
+    Returns ``(df + one rank column per spec, total_rows)``.
+    """
+    n = _num_buckets(df, num_buckets)
+    keys = []
+    for name, order in specs:
+        leading, asc = order[0]
+        keys.append(_bucket_key(_resolve(leading), asc))
+    # job 1: every spec's equi-depth splits in one aggregate
+    if n > 1:
+        row = df.select(
+            *[_splits_agg(k, n, f"s{i}") for i, k in enumerate(keys)]
+        ).first()
+        bucket_exprs = [
+            _bucket_expr(row[f"s{i}"] if row is not None else None, k)
+            for i, k in enumerate(keys)
+        ]
+    else:
+        bucket_exprs = [F.lit(0) for _ in keys]
+    bcols = [f"{_BUCKET}_{i}" for i in range(len(specs))]
+    tagged = df
+    for c, e in zip(bcols, bucket_exprs):
+        tagged = tagged.withColumn(c, e)
+    # job 2: per-(spec, bucket) counts via GROUPING SETS — one scan,
+    # one Expand; grouping_id tells the sets apart.  NULL leading
+    # keys are counted in the same job and rejected (see global_rank).
+    sets = [[c] for c in bcols]
+    gagg = (
+        tagged.groupingSets(sets, *bcols)
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(
+                sum(
+                    (_resolve(order[0][0]).isNull().cast("long") for _, order in specs),
+                    F.lit(0),
+                )
+            ).alias("__nulls"),
+            F.grouping_id(*bcols).alias("__gid"),
+        )
+        .collect()
+    )
+    n_null = max((int(r["__nulls"] or 0) for r in gagg), default=0)
+    if n_null:
+        raise ValueError(
+            f"multi_global_rank: a leading order key has NULL rows "
+            f"(null-count sum {n_null}) — range bucketing requires "
+            "non-null leading keys"
+        )
+    # grouping_id bit i (from the LEFT) is 0 when bcols[i] is grouped
+    all_mask = (1 << len(bcols)) - 1
+    total = None
+    out = tagged
+    for i, (name, order) in enumerate(specs):
+        gid = all_mask & ~(1 << (len(bcols) - 1 - i))
+        counts_i: dict[int, int] = {
+            r[bcols[i]]: int(r["__cnt"]) for r in gagg if r["__gid"] == gid
+        }
+        nb = (max(counts_i) + 1) if counts_i else 1
+        counts = [counts_i.get(b, 0) for b in range(nb)]
+        t = sum(counts)
+        if total is None:
+            total = t
+        offsets, run = [], 0
+        for c in counts:
+            offsets.append(run)
+            run += c
+        off = F.element_at(
+            F.array(*[F.lit(o) for o in offsets]), F.col(bcols[i]) + 1
+        ).cast("long")
+        sort_cols = [
+            (_resolve(c).asc() if asc else _resolve(c).desc()) for c, asc in order
+        ]
+        w = Window.partitionBy(bcols[i]).orderBy(*sort_cols)
+        out = out.withColumn(name, F.row_number().over(w).cast("long") + off)
+    return out.drop(*bcols), int(total or 0)

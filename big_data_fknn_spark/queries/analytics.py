@@ -17,6 +17,7 @@ from big_data_fknn_spark.functions.numeric import DEC, dsum
 from big_data_fknn_spark.operators.rank import (
     global_rank,
     global_running_agg,
+    multi_global_rank,
     ntile_from_rank,
 )
 from big_data_fknn_spark.cache import cached
@@ -3366,13 +3367,15 @@ def x65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile on a tied, partial order would be nondeterministic.
 
     Scale: one orders aggregation (partial-combinable) materialized
-    ONCE (localCheckpoint), then three INDEPENDENT range-bucketed
-    rank passes (operators/rank.py) over 2-column projections of the
-    customer-cardinality base — each a hash exchange on its value
-    bucket, never ``Exchange SinglePartition`` (the round-2 shape
-    chained three full single-task sorts of all customers).  The
-    quintile labels join back on the customer key; the rollup is
-    ~125 rows.  The global max date is a scalar broadcast."""
+    ONCE (localCheckpoint), then operators/rank.py's
+    multi_global_rank computes ALL THREE quintile ranks with two
+    shared construct jobs (one aggregate for every metric's
+    percentile splits, one GROUPING SETS pass for the per-(metric,
+    bucket) counts) and three hash-partitioned windows on the same
+    DataFrame — no join-back, and never ``Exchange SinglePartition``
+    (the round-2 shape chained three full single-task sorts of all
+    customers).  The rollup is ~125 rows; the global max date is a
+    scalar broadcast."""
     o = t(spark, sf_dir, "orders")
     max_date = o.agg(F.max("o_orderdate").alias("mx"))
     base = (
@@ -3393,23 +3396,20 @@ def x65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base = base.localCheckpoint(eager=True)
-
-    def quintile(metric: str, asc: bool, name: str) -> DataFrame:
-        gr = global_rank(
-            base.select("ck", metric),
-            [(metric, asc), ("ck", True)],
-            rank_col="__r",
-        )
-        ranked, total = gr.df, gr.total
-        return ranked.select(
-            "ck", ntile_from_rank(F.col("__r"), total, 5).alias(name)
-        )
-
-    scored = (
-        base.select("ck", "monetary")
-        .join(quintile("recency_d", False, "r_q"), "ck")
-        .join(quintile("frequency", True, "f_q"), "ck")
-        .join(quintile("monetary", True, "m_q"), "ck")
+    ranked, total = multi_global_rank(
+        base,
+        [
+            ("__rr", [(F.col("recency_d"), False), ("ck", True)]),
+            ("__rf", [("frequency", True), ("ck", True)]),
+            ("__rm", [("monetary", True), ("ck", True)]),
+        ],
+    )
+    scored = ranked.select(
+        "ck",
+        "monetary",
+        ntile_from_rank(F.col("__rr"), total, 5).alias("r_q"),
+        ntile_from_rank(F.col("__rf"), total, 5).alias("f_q"),
+        ntile_from_rank(F.col("__rm"), total, 5).alias("m_q"),
     )
     return (
         scored.groupBy(

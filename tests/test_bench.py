@@ -1,0 +1,49 @@
+"""Smoke test for bench.py — the driver's per-round BENCH feed.
+
+A broken bench.py costs the round its BENCH_r{N}.json, so the
+contract is tested end-to-end in a subprocess (bench owns its
+SparkSession and stops it — it must not share the suite's): one JSON
+line on stdout with the agreed keys, every headline query timed,
+and the construct/exec split summing to ~the combined number.
+Runs at sf0.001 to stay cheap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_emits_contract_json():
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = env.get("SPARK_GRAFT_CPUS", "8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # last non-empty stdout line must be the JSON payload
+    line = [l for l in proc.stdout.splitlines() if l.strip()][-1]
+    out = json.loads(line)
+    assert out["metric"] == "headline_queries_total"
+    assert out["unit"] == "sec"
+    assert out["sf"] == 0.001
+    from bench import HEADLINE
+
+    assert set(out["queries"]) == set(HEADLINE)
+    assert set(out["queries_split"]) == set(HEADLINE)
+    assert out["value"] > 0
+    for k, t in out["queries"].items():
+        s = out["queries_split"][k]
+        assert t >= 0 and s["construct_s"] >= 0 and s["exec_s"] >= 0
+        # split components must reassemble the combined time (rounding slop)
+        assert abs((s["construct_s"] + s["exec_s"]) - t) < 0.05, (k, s, t)

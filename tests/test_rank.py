@@ -149,3 +149,42 @@ def test_null_leading_key_raises(spark):
         global_running_agg(
             df, [("v", False), ("id", True)], "v", "sum", exclusive=False
         )
+
+
+def test_multi_global_rank_matches_individual_ranks(spark):
+    from big_data_fknn_spark.operators.rank import multi_global_rank
+
+    df = spark.createDataFrame(
+        [(i, float((i * 7) % 13), float((i * 5) % 11)) for i in range(40)],
+        "id long, a double, b double",
+    )
+    out, total = multi_global_rank(
+        df,
+        [
+            ("ra", [("a", True), ("id", True)]),
+            ("rb", [(F.col("b"), False), ("id", True)]),
+        ],
+        num_buckets=5,
+    )
+    assert total == 40
+    wa = Window.orderBy("a", "id")
+    wb = Window.orderBy(F.col("b").desc(), "id")
+    ref = df.select(
+        "id",
+        F.row_number().over(wa).alias("ea"),
+        F.row_number().over(wb).alias("eb"),
+    )
+    j = out.join(ref, "id")
+    assert j.where((F.col("ra") != F.col("ea")) | (F.col("rb") != F.col("eb"))).count() == 0
+
+
+def test_multi_global_rank_null_key_raises(spark):
+    from big_data_fknn_spark.operators.rank import multi_global_rank
+
+    df = spark.createDataFrame([(0, 1.0, None)], "id long, a double, b double")
+    with pytest.raises(ValueError, match="NULL"):
+        multi_global_rank(
+            df,
+            [("ra", [("a", True), ("id", True)]), ("rb", [("b", True), ("id", True)])],
+            num_buckets=2,
+        )
