@@ -465,15 +465,29 @@ def test_no_single_partition_window_over_entities(spark):
 
     violations: dict[str, list[str]] = {}
     whitelisted_clean: list[str] = []
+    cartesians: list[str] = []
     for key in sorted(DEFS):
         df = DEFS[key].fn(spark, SF_DIR)
         if df.isStreaming:
             continue
-        hits = single_partition_window_feeds(executed_plan(df))
+        plan = executed_plan(df)
+        hits = single_partition_window_feeds(plan)
         if hits and key not in _TINY_WINDOW_OK:
             violations[key] = hits
         elif not hits and key in _TINY_WINDOW_OK:
             whitelisted_clean.append(key)
+        # same sweep, second invariant: a CartesianProduct means two
+        # DISTRIBUTED inputs pair all-vs-all with no key — nothing in
+        # the registry may do that (scalar cross joins ride
+        # BroadcastNestedLoopJoin with a single-row broadcast side,
+        # which is fine and not matched here)
+        if "CartesianProduct" in plan:
+            cartesians.append(key)
+    assert not cartesians, (
+        f"CartesianProduct in executed plans: {cartesians} — route "
+        "through a derived equi-key (band/bucket/block) candidate "
+        "generator or broadcast the scalar side"
+    )
     assert not violations, (
         "single-partition exchange feeds a Window over non-whitelisted "
         f"input: {violations} — route through operators/rank.py or "
