@@ -71,8 +71,32 @@ def _num_buckets(df: DataFrame, num_buckets: int | None) -> int:
     return max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1)
 
 
-def _bucket_key(leading: Column, ascending: bool) -> Column:
-    key = leading.cast("double")
+def _bucket_key(df: DataFrame, leading: Column, ascending: bool) -> Column:
+    """Monotone numeric projection of the leading key for bucketing.
+
+    Must be order-preserving (non-strict is fine: values that collide
+    in the projection share a bucket and the in-bucket sort on the
+    TRUE columns restores exact order).  A blind ``cast("double")``
+    silently yields NULL for dates/timestamps/strings — collapsing
+    everything into one bucket — so the projection is type-dispatched
+    and unsupported types fail loudly instead."""
+    from pyspark.sql import types as T
+
+    dt = df.select(leading.alias("__k")).schema[0].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        key = F.unix_micros(leading).cast("double")
+    elif isinstance(dt, T.DateType):
+        key = F.datediff(leading, F.lit("1970-01-01").cast("date")).cast("double")
+    elif isinstance(dt, T.BooleanType):
+        key = leading.cast("int").cast("double")
+    elif isinstance(dt, T.NumericType):
+        key = leading.cast("double")
+    else:
+        raise TypeError(
+            f"global rank bucketing needs a numeric/date/timestamp/boolean "
+            f"leading key; got {dt.simpleString()} — project it to a "
+            "monotone numeric first (e.g. a length, an epoch, a prefix code)"
+        )
     return key if ascending else -key
 
 
@@ -103,7 +127,7 @@ def _bucket_col(df: DataFrame, leading: Column, ascending: bool, n: int) -> Colu
     split value all land in one bucket (strict ``<``), so bucket id
     is deterministic per VALUE, not per row placement.
     """
-    key = _bucket_key(leading, ascending)
+    key = _bucket_key(df, leading, ascending)
     if n <= 1:
         return F.lit(0)
     row = df.select(_splits_agg(key, n, "s")).first()
@@ -342,7 +366,7 @@ def multi_global_rank(
     keys = []
     for name, order in specs:
         leading, asc = order[0]
-        keys.append(_bucket_key(_resolve(leading), asc))
+        keys.append(_bucket_key(df, _resolve(leading), asc))
     # job 1: every spec's equi-depth splits in one aggregate
     if n > 1:
         row = df.select(

@@ -188,3 +188,36 @@ def test_multi_global_rank_null_key_raises(spark):
             [("ra", [("a", True), ("id", True)]), ("rb", [("b", True), ("id", True)])],
             num_buckets=2,
         )
+
+
+def test_timestamp_and_date_leading_keys_bucket_correctly(spark):
+    # blind cast(double) of a timestamp is NULL → would collapse to one
+    # bucket; the type-dispatched projection must keep exact order
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 27) + 1:02d} 0{i % 9}:00:00") for i in range(60)],
+        "id long, s string",
+    ).select("id", F.col("s").cast("timestamp").alias("ts"))
+    gr = global_rank(df, [("ts", True), ("id", True)], num_buckets=6)
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("ts", "id")).alias("rn")
+        ).collect()
+    }
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+
+    dfd = df.select("id", F.col("ts").cast("date").alias("d"))
+    grd = global_rank(dfd, [("d", True), ("id", True)], num_buckets=4)
+    expectd = {
+        r["id"]: r["rn"]
+        for r in dfd.select(
+            "id", F.row_number().over(Window.orderBy("d", "id")).alias("rn")
+        ).collect()
+    }
+    assert {r["id"]: r["rank"] for r in grd.df.collect()} == expectd
+
+
+def test_string_leading_key_rejected(spark):
+    df = spark.createDataFrame([(0, "a"), (1, "b")], "id long, s string")
+    with pytest.raises(TypeError, match="monotone numeric"):
+        global_rank(df, [("s", True), ("id", True)], num_buckets=2)
