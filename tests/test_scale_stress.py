@@ -227,6 +227,15 @@ def test_float_sensitive_new_keys_partition_invariant(spark):
         "d21_weighted_median",
         "d20_prf1",
         "j48_pmi_bigrams",
+        # round-3 batch: rank-routed keys — operators/rank.py defaults
+        # num_buckets to spark.sql.shuffle.partitions, so 2-vs-32 here
+        # proves the OUTPUT is bucketing-invariant (exact ranks +
+        # literal offsets), not just shuffle-order-invariant
+        "e5_pct",
+        "x65_rfm_segmentation",
+        "x69_abc_pareto",
+        "x57_skyline",
+        "j44_vocab_build",
     )
 
     def h(key):
