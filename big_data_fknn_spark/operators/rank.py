@@ -30,6 +30,10 @@ ntile / percent_rank derive from the exact rank and the (driver-
 known) total; a prefix-combine of any commutative aggregate (max,
 sum) over "all preceding rows" works the same way: local running
 value within the bucket ⊕ the literal prefix over earlier buckets.
+``multi_global_rank`` amortizes the construct jobs across SEVERAL
+orders of one input (one splits aggregate + one GROUPING SETS count
+pass however many metrics), and the bucketing key is type-dispatched
+(numeric/decimal/timestamp/date/boolean; anything else raises).
 
 Caveats: the order must be a TOTAL order (append a unique key —
 every caller here does, for cross-engine determinism anyway) and the
