@@ -744,6 +744,50 @@ def i14_stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
+def _i15_track(key, pdf_iter, state):
+    """Per-user stateful handler for i15 (module-level so the
+    ordering guard is unit-testable with a fake GroupState): carries
+    ONE (ts_us, event_id, event_type) tuple across micro-batches,
+    sorts each batch, stitches the carried event onto the front, and
+    RAISES if the batch delivers a row at or before the carried one —
+    the checked invariant replacing a silent ordering assumption."""
+    import pandas as pd
+
+    frames = [pdf for pdf in pdf_iter]
+    ev = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    if len(ev) == 0:
+        return
+    ev = ev.assign(ts_us=ev["ts"].astype("int64") // 1000).sort_values(
+        ["ts_us", "event_id"], kind="mergesort"
+    )
+    types = ev["event_type"].tolist()
+    if state.exists:
+        last_us, last_id, last_type = state.get
+        first = ev.iloc[0]
+        if (int(first["ts_us"]), int(first["event_id"])) <= (last_us, last_id):
+            raise ValueError(
+                "i15_stream_transitions_live: batch row at or before the "
+                f"carried last event (batch first=({int(first['ts_us'])}, "
+                f"{int(first['event_id'])}) vs state=({last_us}, {last_id})) "
+                "— replay source violated per-key event-time order; "
+                "cross-batch transitions would be wrong"
+            )
+        types = [last_type] + types
+    last = ev.iloc[-1]
+    state.update((int(last["ts_us"]), int(last["event_id"]), str(last["event_type"])))
+    if len(types) < 2:
+        return
+    counts: dict = {}
+    for a, b in zip(types, types[1:]):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    yield pd.DataFrame(
+        [
+            {"user_id": key[0], "src": a, "dst": b, "n": n}
+            for (a, b), n in counts.items()
+        ]
+    )
+
+
 @register(
     "i15_stream_transitions_live",
     oracle="""
@@ -780,50 +824,14 @@ def i15_stream_transitions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     if a multi-file or reordered replay ever delivers a row at or
     before the stitched last event, instead of silently emitting
     wrong cross-batch transitions."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "user_id BIGINT, src STRING, dst STRING, n BIGINT"
     state_schema = "last_us BIGINT, last_id BIGINT, last_type STRING"
 
-    def track(key, pdf_iter, state: GroupState):
-        frames = [pdf for pdf in pdf_iter]
-        ev = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
-        if len(ev) == 0:
-            return
-        ev = ev.assign(ts_us=ev["ts"].astype("int64") // 1000).sort_values(
-            ["ts_us", "event_id"], kind="mergesort"
-        )
-        types = ev["event_type"].tolist()
-        if state.exists:
-            last_us, last_id, last_type = state.get
-            first = ev.iloc[0]
-            if (int(first["ts_us"]), int(first["event_id"])) <= (last_us, last_id):
-                raise ValueError(
-                    "i15_stream_transitions_live: batch row at or before the "
-                    f"carried last event (batch first=({int(first['ts_us'])}, "
-                    f"{int(first['event_id'])}) vs state=({last_us}, {last_id})) "
-                    "— replay source violated per-key event-time order; "
-                    "cross-batch transitions would be wrong"
-                )
-            types = [last_type] + types
-        last = ev.iloc[-1]
-        state.update((int(last["ts_us"]), int(last["event_id"]), str(last["event_type"])))
-        if len(types) < 2:
-            return
-        counts: dict = {}
-        for a, b in zip(types, types[1:]):
-            counts[(a, b)] = counts.get((a, b), 0) + 1
-        yield pd.DataFrame(
-            [
-                {"user_id": key[0], "src": a, "dst": b, "n": n}
-                for (a, b), n in counts.items()
-            ]
-        )
-
     s = events_stream(spark, sf_dir)
     tracked = s.groupBy("user_id").applyInPandasWithState(
-        track, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        _i15_track, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     mem = run_to_memory(tracked, "append")
     tot = Window.partitionBy("src")

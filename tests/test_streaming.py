@@ -98,3 +98,57 @@ def test_live_session_window_equals_batch(spark):
     }
     batch = {tuple(r) for r in reg["i3_session"].fn(spark, sf).collect()}
     assert live == batch
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _i15_track directly."""
+
+    def __init__(self, tup=None):
+        self._t = tup
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, tup):
+        self._t = tup
+
+
+def test_i15_track_raises_on_out_of_order_batch():
+    """The cross-batch ordering contract is CHECKED: a batch whose
+    earliest (ts, event_id) is at or before the carried last event
+    must fail loudly, not stitch wrong transitions."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from big_data_fknn_spark.queries.events import _i15_track
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(rows),
+                "event_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+                "ts": pd.to_datetime([r[0] for r in rows], unit="us", utc=True),
+            }
+        )
+
+    state = _FakeState()
+    out1 = list(_i15_track((1,), iter([batch([(1_000_000, 1, "a"), (2_000_000, 2, "b")])]), state))
+    assert state.exists and state.get[0] == 2_000_000
+    assert len(out1) == 1 and out1[0]["n"].sum() == 1  # a→b
+
+    # in-order follow-up batch stitches the carried event
+    out2 = list(_i15_track((1,), iter([batch([(3_000_000, 3, "c")])]), state))
+    assert out2[0].to_dict("records") == [{"user_id": 1, "src": "b", "dst": "c", "n": 1}]
+
+    # out-of-order batch (ts before carried last) must raise
+    with _pytest.raises(ValueError, match="event-time order"):
+        list(_i15_track((1,), iter([batch([(2_500_000, 9, "d")])]), _FakeState((3_000_000, 3, "c"))))
+    # tie on (ts, id) is also a violation (duplicate delivery)
+    with _pytest.raises(ValueError, match="event-time order"):
+        list(_i15_track((1,), iter([batch([(3_000_000, 3, "c")])]), _FakeState((3_000_000, 3, "c"))))
