@@ -382,3 +382,31 @@ def test_global_rank_500k_balanced_and_exact(spark):
         .collect()
     )
     assert {r["d"]: r["c"] for r in dec} == {i: n // 10 for i in range(1, 11)}
+
+
+def test_scan_parallelism_is_file_bound_not_plan_bound(spark, tmp_path):
+    """Evidence for SCALE.md's bench-floor claim: the sf0.1 tables are
+    ONE file with ONE row group, so a scan cannot split — Spark reads
+    them in a single task no matter the config.  Rewriting the same
+    rows as 8 files makes the identical aggregation plan fan out,
+    proving the per-query floors in bench.py are input-layout
+    serialization, not plan defects."""
+    src = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    single_parts = src.rdd.getNumPartitions()
+    assert single_parts == 1, "testdata layout changed — update SCALE.md floor note"
+
+    multi_dir = str(tmp_path / "lineitem8")
+    src.repartition(8).write.mode("overwrite").parquet(multi_dir)
+    multi = spark.read.parquet(multi_dir)
+    assert multi.rdd.getNumPartitions() >= 8
+
+    # identical aggregate, identical result, parallel scan
+    def agg(df):
+        return (
+            df.groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("q"))
+            .orderBy("l_returnflag")
+            .collect()
+        )
+
+    assert agg(src) == agg(multi)
