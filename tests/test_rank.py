@@ -221,3 +221,34 @@ def test_string_leading_key_rejected(spark):
     df = spark.createDataFrame([(0, "a"), (1, "b")], "id long, s string")
     with pytest.raises(TypeError, match="monotone numeric"):
         global_rank(df, [("s", True), ("id", True)], num_buckets=2)
+
+
+def test_ntile_from_rank_exhaustive_grid(spark):
+    """Every (n, k) for n ≤ 60 — all remainder classes, tied base
+    sizes, and n < k — evaluated through the ACTUAL ntile_from_rank
+    Column (one 60-way union per k, since the formula bakes the
+    driver-known total in as literals) against Spark's own ntile."""
+    from functools import reduce
+
+    rows = spark.range(1, 61).select(F.col("id").alias("n")).join(
+        spark.range(1, 61).select(F.col("id").alias("r")), F.col("r") <= F.col("n")
+    )
+    for k in (1, 2, 3, 5, 7, 12):
+        w = Window.partitionBy("n").orderBy("r")
+        want = {
+            (row["n"], row["r"]): row["t"]
+            for row in rows.select("n", "r", F.ntile(k).over(w).alias("t")).collect()
+        }
+        frames = [
+            spark.range(1, n + 1).select(
+                F.lit(n).alias("n"),
+                F.col("id").alias("r"),
+                ntile_from_rank(F.col("id"), n, k).alias("t"),
+            )
+            for n in range(1, 61)
+        ]
+        got = {
+            (row["n"], row["r"]): row["t"]
+            for row in reduce(lambda a, b: a.unionByName(b), frames).collect()
+        }
+        assert got == want, f"k={k}"
