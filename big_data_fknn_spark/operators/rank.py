@@ -292,6 +292,10 @@ def global_running_agg(
     Supported: ``max``, ``min``, ``sum``.  ``sum_type`` pins the
     accumulation type for sums (see :func:`global_rank`)."""
     fns = {"max": (F.max, F.greatest), "min": (F.min, F.least)}
+    if agg not in ("sum", *fns):
+        raise ValueError(
+            f"global_running_agg supports agg in ('max', 'min', 'sum'); got {agg!r}"
+        )
     n = _num_buckets(df, num_buckets)
     leading, lead_asc = order[0]
     val = _resolve(value)

@@ -252,3 +252,9 @@ def test_ntile_from_rank_exhaustive_grid(spark):
             for row in reduce(lambda a, b: a.unionByName(b), frames).collect()
         }
         assert got == want, f"k={k}"
+
+
+def test_running_agg_unsupported_agg_rejected(spark):
+    df = _people(spark, [1.0, 2.0])
+    with pytest.raises(ValueError, match="supports agg"):
+        global_running_agg(df, [("v", True), ("id", True)], "v", "avg")
