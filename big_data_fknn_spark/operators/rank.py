@@ -14,17 +14,44 @@ internally for ``ORDER BY``):
 1. ONE pass computes ~equi-depth split points of the leading order
    key (``percentile_approx`` — a partial-combinable aggregate, so
    map-side combined, tiny shuffle).
-2. Each row gets a bucket id as a PURE FUNCTION of its key value
-   (count of split points below it).  Purity matters: every
+2. Each row gets a bucket id as a PURE FUNCTION of its key value:
+   ``#splits<key + #splits≤key``.  Purity matters: every
    re-evaluation of the plan assigns identical buckets, so no
-   exchange-reuse or checkpoint is needed for consistency —
-   unlike ``spark_partition_id()`` after ``repartitionByRange``.
-3. ONE pass counts rows per bucket (≤ num_buckets rows — collected
+   exchange-reuse or checkpoint is needed for consistency — unlike
+   ``spark_partition_id()`` after ``repartitionByRange``.  The
+   even/odd form gives every split VALUE a dedicated bucket (odd
+   ids), isolating heavy tie-classes — see "Ties" below.
+3. ONE pass counts rows per bucket (≤ 2·num_buckets rows — collected
    to the driver exactly like RangePartitioner collects its sampled
-   boundaries) → cumulative offsets as literal arrays.
+   boundaries) → cumulative offsets as literal arrays.  The same
+   counts drive SKEW DETECTION for free.
 4. Local ``row_number`` inside ``Window.partitionBy(bucket)`` — a
    hash shuffle over ~n/B-row groups, never a single partition —
    plus the broadcast offset = exact global rank.
+
+Ties (the round-3 verdict's scale-killer): with strict-``<``
+bucketing alone, ALL rows tied on the leading key share one bucket —
+a Zipfian token-frequency rank (most tokens at cnt=1) would serialize
+~half the table into one task at 100 TB.  Two devices fix this:
+
+* Any value with mass ≥ total/num_buckets must straddle a percentile
+  grid point, so it IS a (deduped) split — and the even/odd bucket id
+  puts its ties ALONE in an odd "tie bucket".  Range (even) buckets
+  between deduped splits hold ≤ ~2/num_buckets of the mass by
+  construction, so only tie buckets can be badly oversized.
+* Because a tie bucket's rows are all EQUAL on the order prefix,
+  sub-splitting it on the NEXT order column is order-preserving.
+  When the per-bucket counts show a tie bucket above
+  ``max(_SKEW_FACTOR × total/num_buckets, _MIN_SKEW_ROWS)``, one
+  extra grouped-percentile job computes equi-depth sub-splits of the
+  next key inside each oversized bucket and the bucket ids are
+  remapped (still a pure function of the row's key values).  The
+  refinement iterates down the order columns while skew persists —
+  string tiebreakers are projected through a fixed-width binary-
+  prefix code (first 6 UTF-8 bytes, zero-padded, as a 48-bit int —
+  monotone under UTF8 binary collation; prefix collisions only share
+  a bucket, the in-bucket sort restores exact order).  No skew → no
+  extra jobs.
 
 ntile / percent_rank derive from the exact rank and the (driver-
 known) total; a prefix-combine of any commutative aggregate (max,
@@ -33,22 +60,28 @@ value within the bucket ⊕ the literal prefix over earlier buckets.
 ``multi_global_rank`` amortizes the construct jobs across SEVERAL
 orders of one input (one splits aggregate + one GROUPING SETS count
 pass however many metrics), and the bucketing key is type-dispatched
-(numeric/decimal/timestamp/date/boolean; anything else raises).
+(numeric/decimal/timestamp/date/boolean; anything else raises —
+float/double NaN is mapped to +∞ so buckets agree with Spark's
+NaN-greatest sort in BOTH directions).
 
 Caveats: the order must be a TOTAL order (append a unique key —
 every caller here does, for cross-engine determinism anyway) and the
 leading key must be non-null — CHECKED inside the per-bucket counts
 job (zero extra passes), raising instead of silently misplacing
-NULLs for descending orders.
+NULLs for descending orders.  NULLs in LATER order columns are fine
+(the sub-split projection maps them to ±∞ matching Spark's
+NULLS FIRST asc / NULLS LAST desc defaults).
 
 Cost: two extra passes over the (already aggregated, entity-
-cardinality) input at construct time.  Callers ranking a non-trivial
-plan should ``localCheckpoint()`` first so the three jobs share one
+cardinality) input at construct time, plus two more per refinement
+level ONLY when tie-skew is detected.  Callers ranking a non-trivial
+plan should ``localCheckpoint()`` first so the jobs share one
 materialization.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
@@ -63,6 +96,14 @@ __all__ = [
 ]
 
 _BUCKET = "__gr_bucket"
+# percentile_approx accuracy: rank error ≤ total/_ACCURACY, i.e. ~0.3%
+# of a bucket at 32 buckets — far below the skew threshold.
+_ACCURACY = 10_000
+# a bucket is "oversized" above max(_SKEW_FACTOR × total/B, _MIN_SKEW_ROWS);
+# the absolute floor keeps test-scale inputs from paying refinement jobs
+# a single task handles trivially.
+_SKEW_FACTOR = 4
+_MIN_SKEW_ROWS = 10_000
 
 
 def _resolve(c: Column | str) -> Column:
@@ -75,15 +116,34 @@ def _num_buckets(df: DataFrame, num_buckets: int | None) -> int:
     return max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1)
 
 
-def _bucket_key(df: DataFrame, leading: Column, ascending: bool) -> Column:
-    """Monotone numeric projection of the leading key for bucketing.
+def _bucket_key(
+    df: DataFrame,
+    leading: Column,
+    ascending: bool,
+    *,
+    allow_string: bool = False,
+    null_as_extreme: bool = False,
+    soft: bool = False,
+) -> Column | None:
+    """Monotone numeric projection of an order key for bucketing.
 
     Must be order-preserving (non-strict is fine: values that collide
     in the projection share a bucket and the in-bucket sort on the
     TRUE columns restores exact order).  A blind ``cast("double")``
     silently yields NULL for dates/timestamps/strings — collapsing
     everything into one bucket — so the projection is type-dispatched
-    and unsupported types fail loudly instead."""
+    and unsupported types fail loudly instead (or return None with
+    ``soft=True``, used by the skew-refinement loop to skip past an
+    unprojectable tiebreaker).
+
+    ``allow_string`` enables the fixed-width binary-prefix code for
+    string TIEBREAKERS (leading keys keep rejecting strings: a 6-byte
+    prefix can collapse a pathological key set into one bucket, so
+    callers must opt in by projecting explicitly).  ``null_as_extreme``
+    maps NULL to ±∞ so the bucket order matches Spark's NULLS FIRST
+    (asc) / NULLS LAST (desc) defaults — used for tiebreakers, while
+    the leading key's non-null contract is enforced by the counts job.
+    """
     from pyspark.sql import types as T
 
     dt = df.select(leading.alias("__k")).schema[0].dataType
@@ -93,69 +153,217 @@ def _bucket_key(df: DataFrame, leading: Column, ascending: bool) -> Column:
         key = F.datediff(leading, F.lit("1970-01-01").cast("date")).cast("double")
     elif isinstance(dt, T.BooleanType):
         key = leading.cast("int").cast("double")
+    elif isinstance(dt, (T.FloatType, T.DoubleType)):
+        # Spark orders NaN GREATEST in both directions.  A blind
+        # negation for descending leaves -NaN = NaN in the LAST bucket
+        # while the in-bucket .desc() sort puts NaN FIRST — map NaN to
+        # +inf BEFORE the sign flip so buckets agree with the sort.
+        d = leading.cast("double")
+        key = F.when(F.isnan(d), F.lit(float("inf"))).otherwise(d)
     elif isinstance(dt, T.NumericType):
         key = leading.cast("double")
+    elif allow_string and isinstance(dt, T.StringType):
+        # Fixed-width binary-prefix code: first 6 UTF-8 bytes, zero-
+        # padded, read as a 48-bit big-endian integer (exact in a
+        # double).  Monotone (non-strict) under UTF8 binary collation:
+        # right-padding with 0x00 — the smallest byte — preserves the
+        # prefix comparison, and strings sharing a 6-byte prefix merely
+        # share a bucket.
+        six = F.substring(
+            F.concat(F.encode(leading, "UTF-8"), F.lit(b"\x00" * 6)), 1, 6
+        )
+        key = F.conv(F.hex(six), 16, 10).cast("double")
     else:
+        if soft:
+            return None
         raise TypeError(
             f"global rank bucketing needs a numeric/date/timestamp/boolean "
             f"leading key; got {dt.simpleString()} — project it to a "
             "monotone numeric first (e.g. a length, an epoch, a prefix code)"
         )
-    return key if ascending else -key
+    key = key if ascending else -key
+    if null_as_extreme:
+        key = F.coalesce(
+            key, F.lit(float("-inf") if ascending else float("inf"))
+        )
+    return key
 
 
 def _splits_agg(key: Column, n: int, alias: str) -> Column:
     fracs = [i / n for i in range(1, n)]
     return F.percentile_approx(
-        key, F.array(*[F.lit(f) for f in fracs]), F.lit(10000)
+        key, F.array(*[F.lit(f) for f in fracs]), F.lit(_ACCURACY)
     ).alias(alias)
 
 
-def _bucket_expr(raw_splits, key: Column) -> Column:
-    """Bucket id from collected split points: count of splits strictly
-    below the key — a pure function of the VALUE, so every plan
-    re-evaluation assigns identical buckets."""
-    splits = sorted(set(s for s in (raw_splits or []) if s is not None))
+def _dedupe(raw) -> list[float]:
+    return sorted({float(s) for s in (raw or []) if s is not None})
+
+
+def _collect_splits(df: DataFrame, key: Column, n: int) -> list[float]:
+    """ONE splits job → deduped sorted split points (possibly empty)."""
+    if n <= 1:
+        return []
+    row = df.select(_splits_agg(key, n, "s")).first()
+    return _dedupe(row["s"]) if row is not None else []
+
+
+def _bucket_expr(splits: list[float], key: Column) -> Column:
+    """Bucket id from DEDUPED split points: ``#splits<key +
+    #splits≤key`` — a pure function of the VALUE, so every plan
+    re-evaluation assigns identical buckets.  Rows strictly between
+    splits i-1 and i get even id 2i; rows EQUAL to split i get odd id
+    2i+1 — so every split value owns a dedicated tie bucket, which is
+    what makes heavy-tie sub-splitting order-correct (all its rows are
+    equal on the key)."""
     if not splits:
         return F.lit(0)
     arr = F.array(*[F.lit(float(s)) for s in splits])
-    return F.size(F.filter(arr, lambda s: s < key))
+    below = F.size(F.filter(arr, lambda s: s < key))
+    at_or_below = F.size(F.filter(arr, lambda s: s <= key))
+    return below + at_or_below
 
 
 def _bucket_col(df: DataFrame, leading: Column, ascending: bool, n: int) -> Column:
-    """Pure-function bucket id (0..<n) for the leading order key.
+    """Pure-function bucket id for the leading order key (initial,
+    pre-refinement tagging — used directly by scale tests).
 
     Splits are ~equi-depth approximate percentiles of the key —
     accuracy only affects balance, never rank correctness, because
-    exact order is re-established inside each bucket.  Ties on the
-    split value all land in one bucket (strict ``<``), so bucket id
-    is deterministic per VALUE, not per row placement.
+    exact order is re-established inside each bucket.
     """
     key = _bucket_key(df, leading, ascending)
-    if n <= 1:
-        return F.lit(0)
-    row = df.select(_splits_agg(key, n, "s")).first()
-    return _bucket_expr(row["s"] if row is not None else None, key)
+    return _bucket_expr(_collect_splits(df, key, n), key)
 
 
-def _offsets(tagged: DataFrame, agg: Column, leading: Column | None = None) -> list:
-    """Collect per-bucket aggregate (≤ num_buckets rows) to the driver.
-    With ``leading`` set, piggybacks a NULL-key count on the same job
-    and raises if any (see global_rank's contract)."""
-    aggs = [agg.alias("v")]
-    if leading is not None:
-        aggs.append(F.sum(leading.isNull().cast("long")).alias("__nulls"))
-    rows = tagged.groupBy(_BUCKET).agg(*aggs).collect()
-    if leading is not None:
-        n_null = sum(int(r["__nulls"] or 0) for r in rows)
-        if n_null:
-            raise ValueError(
-                f"global running agg: leading order key has {n_null} NULL "
-                "row(s) — range bucketing requires a non-null leading key"
-            )
-    by_bucket = {r[_BUCKET]: r["v"] for r in rows}
-    n = (max(by_bucket) + 1) if by_bucket else 1
-    return [by_bucket.get(b) for b in range(n)]
+def _refine_loop(
+    tagged: DataFrame,
+    bcol: str,
+    order: list[tuple[Column | str, bool]],
+    n: int,
+    counts: dict[int, int],
+    tie_ids: set[int],
+    recount,
+) -> tuple[DataFrame, dict[int, int]]:
+    """Sub-split oversized TIE buckets on later order columns.
+
+    ``counts`` are the current per-bucket row counts (already
+    collected); ``tie_ids`` the bucket ids whose rows are all EQUAL on
+    the order prefix so far (only those may be sub-split without
+    breaking the global order).  ``recount`` re-collects per-bucket
+    aggregates after a remap.  Extra jobs (one grouped splits
+    aggregate + one recount per level) run ONLY when skew is detected;
+    the loop walks at most len(order)-1 levels.
+    """
+    level = 1
+    while level < len(order) and tie_ids:
+        total = sum(counts.values())
+        threshold = max(_SKEW_FACTOR * total / max(n, 1), float(_MIN_SKEW_ROWS))
+        oversized = sorted(
+            b for b, c in counts.items() if b in tie_ids and c > threshold
+        )
+        if not oversized:
+            break
+        next_col, next_asc = order[level]
+        level += 1
+        key = _bucket_key(
+            tagged,
+            _resolve(next_col),
+            next_asc,
+            allow_string=True,
+            null_as_extreme=True,
+            soft=True,
+        )
+        if key is None:
+            continue  # unprojectable tiebreaker type: try the next one
+        ideal = max(total / max(n, 1), 1.0)
+        sub_n = min(n, math.ceil(max(counts[b] for b in oversized) / ideal))
+        if sub_n < 2:
+            break
+        srows = (
+            tagged.where(F.col(bcol).isin([int(b) for b in oversized]))
+            .groupBy(bcol)
+            .agg(_splits_agg(key, sub_n, "s"))
+            .collect()
+        )
+        subsplits = {r[bcol]: _dedupe(r["s"]) for r in srows}
+        if not any(subsplits.get(b) for b in oversized):
+            continue
+        # remap: untouched buckets keep one slot; each oversized tie
+        # bucket expands to 2·|subsplits|+1 slots (even/odd again, so
+        # deeper tie levels stay refinable)
+        nb = max(counts) + 1
+        over = set(oversized)
+        base, slot, new_tie = [], 0, set()
+        for b in range(nb):
+            base.append(slot)
+            if b in over:
+                sp = subsplits.get(b) or []
+                new_tie.update(slot + 2 * i + 1 for i in range(len(sp)))
+                slot += 2 * len(sp) + 1
+            else:
+                slot += 1
+        sub = F.lit(0)
+        for b in oversized:
+            sp = subsplits.get(b)
+            if sp:
+                sub = F.when(F.col(bcol) == int(b), _bucket_expr(sp, key)).otherwise(
+                    sub
+                )
+        base_arr = F.element_at(
+            F.array(*[F.lit(x) for x in base]), F.col(bcol) + 1
+        )
+        tagged = tagged.withColumn(bcol, (base_arr + sub).cast("int"))
+        tie_ids = new_tie
+        counts = recount(tagged)
+    return tagged, counts
+
+
+def _tag_balanced(
+    df: DataFrame,
+    order: list[tuple[Column | str, bool]],
+    n: int,
+    extra_aggs: list[Column],
+    err_prefix: str,
+) -> tuple[DataFrame, dict, int]:
+    """Tag ``df`` with a balanced ``_BUCKET`` column (splits job +
+    counts job + skew refinement when needed) and return ``(tagged,
+    per-bucket agg Rows keyed by bucket id, total rows)``.  The counts
+    job piggybacks the NULL-leading-key contract check and any caller
+    aggregates (e.g. per-bucket sums) at zero extra passes."""
+    leading, lead_asc = order[0]
+    lead = _resolve(leading)
+    key0 = _bucket_key(df, lead, lead_asc)
+    splits = _collect_splits(df, key0, n)
+    tagged = df.withColumn(_BUCKET, _bucket_expr(splits, key0))
+    aggs = [
+        F.count(F.lit(1)).alias("__cnt"),
+        # the non-null contract checked for free inside the counts job:
+        # a NULL leading key would silently land in bucket 0 — correct
+        # only for ASC NULLS FIRST, wrong for DESC — so fail loudly
+        F.sum(lead.isNull().cast("long")).alias("__nulls"),
+        *extra_aggs,
+    ]
+    state: dict = {}
+
+    def recount(t: DataFrame) -> dict[int, int]:
+        rows = t.groupBy(_BUCKET).agg(*aggs).collect()
+        state["rows"] = {r[_BUCKET]: r for r in rows}
+        return {b: int(r["__cnt"]) for b, r in state["rows"].items()}
+
+    counts = recount(tagged)
+    n_null = sum(int(r["__nulls"] or 0) for r in state["rows"].values())
+    if n_null:
+        raise ValueError(
+            f"{err_prefix}: leading order key has {n_null} NULL row(s) — "
+            "range bucketing requires a non-null leading key (filter or "
+            "coalesce first)"
+        )
+    tie_ids = {2 * i + 1 for i in range(len(splits))}
+    tagged, _ = _refine_loop(tagged, _BUCKET, order, n, counts, tie_ids, recount)
+    rows_by_bucket = state["rows"]
+    total = sum(int(r["__cnt"]) for r in rows_by_bucket.values())
+    return tagged, rows_by_bucket, total
 
 
 @dataclass(frozen=True)
@@ -192,36 +400,20 @@ def global_rank(
 
     Plan shape: scan → [splits agg job] → scan+bucket → [counts agg
     job] → hash Exchange on bucket → per-bucket sort + Window →
-    project.  No ``Exchange SinglePartition`` anywhere
+    project.  Heavy leading-key ties (Zipfian frequency ranks) are
+    isolated into dedicated tie buckets and sub-split on the next
+    order column when the counts job detects skew — see the module
+    docstring.  No ``Exchange SinglePartition`` anywhere
     (tests/test_plans.py asserts this).
     """
     n = _num_buckets(df, num_buckets)
-    leading, lead_asc = order[0]
-    tagged = df.withColumn(_BUCKET, _bucket_col(df, _resolve(leading), lead_asc, n))
     sum_val = _resolve(running_sum[0]) if running_sum else None
     if sum_val is not None and sum_type:
         sum_val = sum_val.cast(sum_type)
-    aggs = [
-        F.count(F.lit(1)).alias("__cnt"),
-        # the non-null contract checked for free inside the counts job:
-        # a NULL leading key would silently land in bucket 0 — correct
-        # only for ASC NULLS FIRST, wrong for DESC — so fail loudly
-        F.sum(_resolve(leading).isNull().cast("long")).alias("__nulls"),
-    ]
-    if sum_val is not None:
-        aggs.append(F.sum(sum_val).alias("__sum"))
-    rows = tagged.groupBy(_BUCKET).agg(*aggs).collect()
-    n_null = sum(int(r["__nulls"] or 0) for r in rows)
-    if n_null:
-        raise ValueError(
-            f"global_rank: leading order key has {n_null} NULL row(s) — "
-            "range bucketing requires a non-null leading key (filter or "
-            "coalesce first)"
-        )
-    by_bucket = {r[_BUCKET]: r for r in rows}
+    extra = [F.sum(sum_val).alias("__sum")] if sum_val is not None else []
+    tagged, by_bucket, total = _tag_balanced(df, order, n, extra, "global_rank")
     nb = (max(by_bucket) + 1) if by_bucket else 1
     counts = [int(by_bucket[b]["__cnt"]) if b in by_bucket else 0 for b in range(nb)]
-    total = sum(counts)
     offsets, run = [], 0
     for c in counts:
         offsets.append(run)
@@ -297,11 +489,15 @@ def global_running_agg(
             f"global_running_agg supports agg in ('max', 'min', 'sum'); got {agg!r}"
         )
     n = _num_buckets(df, num_buckets)
-    leading, lead_asc = order[0]
     val = _resolve(value)
     if agg == "sum" and sum_type:
         val = val.cast(sum_type)
-    tagged = df.withColumn(_BUCKET, _bucket_col(df, _resolve(leading), lead_asc, n))
+    agg_fn = F.sum if agg == "sum" else fns[agg][0]
+    tagged, by_bucket, _total = _tag_balanced(
+        df, order, n, [agg_fn(val).alias("__v")], "global running agg"
+    )
+    nb = (max(by_bucket) + 1) if by_bucket else 1
+    per_bucket = [by_bucket[b]["__v"] if b in by_bucket else None for b in range(nb)]
     sort_cols = [
         (_resolve(c).asc() if asc else _resolve(c).desc()) for c, asc in order
     ]
@@ -312,7 +508,6 @@ def global_running_agg(
         .rowsBetween(Window.unboundedPreceding, frame_end)
     )
     if agg == "sum":
-        per_bucket = _offsets(tagged, F.sum(val), _resolve(leading))
         prefix, run = [], None
         for v in per_bucket:
             prefix.append(run)
@@ -331,8 +526,7 @@ def global_running_agg(
         # only null when no prefix either
         combined = F.when(pre.isNull() & local.isNull(), F.lit(None)).otherwise(combined)
     else:
-        agg_fn, comb_fn = fns[agg]
-        per_bucket = _offsets(tagged, agg_fn(val), _resolve(leading))
+        _, comb_fn = fns[agg]
         prefix, run = [], None
         for v in per_bucket:
             prefix.append(run)
@@ -366,7 +560,9 @@ def multi_global_rank(
     GROUPING SETS aggregate (single scan + Expand) counts rows per
     (metric, bucket) — then each rank is a hash-partitioned window
     over its own bucket column on the SAME DataFrame, so callers
-    need no join-back to combine the rank columns.
+    need no join-back to combine the rank columns.  Tie-skew is
+    checked per metric from the shared counts; only a metric that IS
+    skewed pays its own refinement jobs (see module docstring).
 
     Returns ``(df + one rank column per spec, total_rows)``.
     """
@@ -380,12 +576,14 @@ def multi_global_rank(
         row = df.select(
             *[_splits_agg(k, n, f"s{i}") for i, k in enumerate(keys)]
         ).first()
-        bucket_exprs = [
-            _bucket_expr(row[f"s{i}"] if row is not None else None, k)
-            for i, k in enumerate(keys)
+        splits = [
+            _dedupe(row[f"s{i}"]) if row is not None else []
+            for i in range(len(keys))
         ]
     else:
-        bucket_exprs = [F.lit(0) for _ in keys]
+        splits = [[] for _ in keys]
+    bucket_exprs = [_bucket_expr(sp, k) for sp, k in zip(splits, keys)]
+    tie_sets = [{2 * i + 1 for i in range(len(sp))} for sp in splits]
     bcols = [f"{_BUCKET}_{i}" for i in range(len(specs))]
     tagged = df
     for c, e in zip(bcols, bucket_exprs):
@@ -419,11 +617,22 @@ def multi_global_rank(
     all_mask = (1 << len(bcols)) - 1
     total = None
     out = tagged
+    rank_specs = []
     for i, (name, order) in enumerate(specs):
         gid = all_mask & ~(1 << (len(bcols) - 1 - i))
         counts_i: dict[int, int] = {
             r[bcols[i]]: int(r["__cnt"]) for r in gagg if r["__gid"] == gid
         }
+
+        def recount(t: DataFrame, c: str = bcols[i]) -> dict[int, int]:
+            rows = t.groupBy(c).agg(F.count(F.lit(1)).alias("__cnt")).collect()
+            return {r[c]: int(r["__cnt"]) for r in rows}
+
+        out, counts_i = _refine_loop(
+            out, bcols[i], order, n, counts_i, tie_sets[i], recount
+        )
+        rank_specs.append((name, order, counts_i))
+    for i, (name, order, counts_i) in enumerate(rank_specs):
         nb = (max(counts_i) + 1) if counts_i else 1
         counts = [counts_i.get(b, 0) for b in range(nb)]
         t = sum(counts)

@@ -258,3 +258,221 @@ def test_running_agg_unsupported_agg_rejected(spark):
     df = _people(spark, [1.0, 2.0])
     with pytest.raises(ValueError, match="supports agg"):
         global_running_agg(df, [("v", True), ("id", True)], "v", "avg")
+
+
+# ---------------------------------------------------------------------------
+# NaN leading keys (round-3 advisor finding): Spark orders NaN GREATEST
+# in both directions, but negating the projection for descending turns
+# -NaN into NaN — which used to land NaN rows in the LAST bucket while
+# the in-bucket .desc() sort puts NaN FIRST.  The NaN→+inf mapping in
+# _bucket_key must make both directions agree with Window exactly.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ascending", [True, False])
+def test_global_rank_nan_matches_window_both_directions(spark, ascending):
+    nan = float("nan")
+    vals = [1.0, nan, 2.0, 3.0, nan, 0.5, nan, -1.0, 2.0]
+    df = _people(spark, vals)
+    o = F.col("v").asc() if ascending else F.col("v").desc()
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy(o, F.col("id"))).alias("rn")
+        ).collect()
+    }
+    gr = global_rank(df, [("v", ascending), ("id", True)], num_buckets=4)
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+
+
+def test_running_max_nan_desc_matches_window(spark):
+    nan = float("nan")
+    df = _people(spark, [5.0, nan, 1.0, nan, 3.0]).withColumn(
+        "m", F.col("id").cast("double")
+    )
+    w = Window.orderBy(F.col("v").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    expect = {
+        r["id"]: r["b"]
+        for r in df.select("id", F.max("m").over(w).alias("b")).collect()
+    }
+    out = global_running_agg(
+        df, [("v", False), ("id", True)], "m", "max", out_col="b", num_buckets=3
+    )
+    assert {r["id"]: r["b"] for r in out.collect()} == expect
+
+
+# ---------------------------------------------------------------------------
+# Tie-skew refinement (the round-3 verdict's scale-killer): a leading
+# key whose mode class dominates the table must not collapse into one
+# bucket.  The skew floor is patched to 0 so test-sized inputs take the
+# refinement path; the 500k test in test_scale_stress.py exercises it
+# at the real thresholds.
+# ---------------------------------------------------------------------------
+
+
+def _no_skew_floor(monkeypatch):
+    from big_data_fknn_spark.operators import rank
+
+    monkeypatch.setattr(rank, "_MIN_SKEW_ROWS", 0)
+    return rank
+
+
+def _max_bucket(by_bucket) -> int:
+    return max(int(r["__cnt"]) for r in by_bucket.values())
+
+
+def test_tie_refinement_exact_and_balanced_numeric_tiebreak(spark, monkeypatch):
+    rank = _no_skew_floor(monkeypatch)
+    n = 2000
+    # 60% of rows tied on the leading key; numeric tiebreaker
+    df = spark.range(n).select(
+        "id",
+        F.when(F.col("id") % 5 < 3, F.lit(7.0))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    order = [("v", True), ("id", True)]
+    gr = rank.global_rank(df, order, num_buckets=8)
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+        ).collect()
+    }
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+    tagged, by_bucket, total = rank._tag_balanced(df, order, 8, [], "t")
+    assert total == n
+    assert _max_bucket(by_bucket) <= 4 * (n / 8), sorted(
+        int(r["__cnt"]) for r in by_bucket.values()
+    )
+
+
+@pytest.mark.parametrize("tie_asc", [True, False])
+def test_tie_refinement_string_tiebreaker_with_nulls(spark, monkeypatch, tie_asc):
+    """The j44 shape: Zipfian counts ranked desc with a string token
+    tiebreaker — refinement goes through the 6-byte binary-prefix code.
+    Includes NULL tiebreakers (mapped to ±inf to match Spark's
+    NULLS FIRST asc / NULLS LAST desc) and shared prefixes."""
+    rank = _no_skew_floor(monkeypatch)
+    n = 1500
+    df = spark.range(n).select(
+        "id",
+        # 50% of rows at cnt=1 (the singleton class), rest distinct-ish
+        F.when(F.col("id") % 2 == 0, F.lit(1))
+        .otherwise((F.col("id") % 97) + 2)
+        .cast("long")
+        .alias("cnt"),
+        F.when(F.col("id") % 151 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("tok_"), F.lpad((F.col("id") * 37 % n).cast("string"), 6, "0"))
+        ).alias("token"),
+    )
+    o2 = F.col("token").asc() if tie_asc else F.col("token").desc()
+    order = [("cnt", False), ("token", tie_asc), ("id", True)]
+    gr = rank.global_rank(df, order, num_buckets=8)
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), o2, F.col("id")))
+            .alias("rn"),
+        ).collect()
+    }
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+    tagged, by_bucket, total = rank._tag_balanced(df, order, 8, [], "t")
+    assert total == n
+    assert _max_bucket(by_bucket) <= 4 * (n / 8), sorted(
+        int(r["__cnt"]) for r in by_bucket.values()
+    )
+
+
+def test_tie_refinement_two_levels_deep(spark, monkeypatch):
+    """Leading key constant AND second key heavily tied: refinement
+    must recurse to the third order column (even/odd sub-buckets keep
+    deeper tie classes refinable)."""
+    rank = _no_skew_floor(monkeypatch)
+    n = 1200
+    df = spark.range(n).select(
+        "id",
+        F.lit(1.0).alias("a"),
+        (F.col("id") % 3).cast("double").alias("b"),
+    )
+    order = [("a", True), ("b", True), ("id", True)]
+    gr = rank.global_rank(df, order, num_buckets=6)
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("a", "b", "id")).alias("rn")
+        ).collect()
+    }
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+    tagged, by_bucket, total = rank._tag_balanced(df, order, 6, [], "t")
+    assert _max_bucket(by_bucket) <= 4 * (n / 6), sorted(
+        int(r["__cnt"]) for r in by_bucket.values()
+    )
+
+
+def test_tie_refinement_running_sum_and_multi(spark, monkeypatch):
+    """running_sum offsets and multi_global_rank's per-spec counts must
+    come from the REFINED buckets (a recount runs after every remap)."""
+    rank = _no_skew_floor(monkeypatch)
+    n = 1000
+    df = spark.range(n).select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.lit(5.0))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+        ((F.col("id") * 13) % 41).cast("double").alias("m"),
+    )
+    # running sum with a tied leading key
+    w = Window.orderBy(F.col("v").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    expect = {
+        r["id"]: r["c"]
+        for r in df.select("id", F.sum("m").over(w).alias("c")).collect()
+    }
+    gr = rank.global_rank(
+        df, [("v", False), ("id", True)], running_sum=("m", "c"), num_buckets=8
+    )
+    got = {r["id"]: r["c"] for r in gr.df.collect()}
+    assert got == pytest.approx(expect)
+    # multi: one skewed metric, one smooth
+    out, total = rank.multi_global_rank(
+        df,
+        [
+            ("rv", [("v", True), ("id", True)]),
+            ("rm", [("m", False), ("id", True)]),
+        ],
+        num_buckets=8,
+    )
+    assert total == n
+    ref = df.select(
+        "id",
+        F.row_number().over(Window.orderBy("v", "id")).alias("ev"),
+        F.row_number().over(Window.orderBy(F.col("m").desc(), "id")).alias("em"),
+    )
+    j = out.join(ref, "id")
+    assert (
+        j.where((F.col("rv") != F.col("ev")) | (F.col("rm") != F.col("em"))).count()
+        == 0
+    )
+
+
+def test_string_prefix_code_is_monotone(spark):
+    """The 6-byte binary-prefix code must be non-strictly monotone
+    under Spark's UTF8 binary string order — including short strings,
+    shared prefixes, multi-byte UTF-8, and the empty string."""
+    from big_data_fknn_spark.operators.rank import _bucket_key
+
+    vals = ["", "a", "ab", "aba", "abac", "ac", "b", "ba", "zzzzzzz",
+            "zzzzzzzz", "étoile", "étoile", "中文", "中", "\x01", "aaaaaaA"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    key = _bucket_key(df, F.col("s"), True, allow_string=True)
+    rows = df.select("s", key.alias("k")).collect()
+    got = {r["s"]: r["k"] for r in rows}
+    ordered = [r["s"] for r in df.orderBy("s").collect()]
+    for a, b in zip(ordered, ordered[1:]):
+        assert got[a] <= got[b], (a, b, got[a], got[b])

@@ -384,6 +384,55 @@ def test_global_rank_500k_balanced_and_exact(spark):
     assert {r["d"]: r["c"] for r in dec} == {i: n // 10 for i in range(1, 11)}
 
 
+def test_global_rank_500k_tied_leading_key_balanced_and_exact(spark):
+    """Round-4 tie-skew criterion: 500k rows where 50% share ONE
+    leading-key value (the j44 Zipf-singleton shape: cnt desc with a
+    string token tiebreaker).  At the REAL skew thresholds (no
+    monkeypatching) the refinement must (a) keep ranks exact against
+    row_number() on a sample, and (b) hold the largest FINAL bucket
+    within 4× the ideal n/B — the tied mode class must not serialize
+    into one task."""
+    from big_data_fknn_spark.operators.rank import _tag_balanced, global_rank
+
+    n = 500_000
+    df = (
+        spark.range(n)
+        .select(
+            "id",
+            # half the table tied at cnt=1; the rest a long-ish tail
+            F.when(F.col("id") % 2 == 0, F.lit(1))
+            .otherwise((F.col("id") % 4096) + 2)
+            .cast("long")
+            .alias("cnt"),
+            F.concat(F.lit("tok_"), F.md5(F.col("id").cast("string"))).alias("token"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    order = [("cnt", False), ("token", True), ("id", True)]
+
+    gr = global_rank(df, order, rank_col="r", num_buckets=32)
+    assert gr.total == n
+
+    # (a) exactness vs the reference rank on a 1/500 sample
+    from pyspark.sql import Window
+
+    ref = df.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "token", "id"))
+        .alias("rn"),
+    ).where(F.col("id") % 500 == 0)
+    joined = gr.df.where(F.col("id") % 500 == 0).join(ref, "id")
+    assert joined.where(F.col("r") != F.col("rn")).count() == 0
+
+    # (b) final bucket balance at real thresholds: the 250k tie class
+    # must have been sub-split on the token prefix code
+    _tagged, by_bucket, total = _tag_balanced(df, order, 32, [], "stress")
+    assert total == n
+    sizes = sorted(int(r["__cnt"]) for r in by_bucket.values())
+    assert sizes[-1] <= 4 * (n / 32), f"tie-bucket skew survived: {sizes[-3:]}"
+
+
 def test_scan_parallelism_is_file_bound_not_plan_bound(spark, tmp_path):
     """Evidence for SCALE.md's bench-floor claim: the sf0.1 tables are
     ONE file with ONE row group, so a scan cannot split — Spark reads
