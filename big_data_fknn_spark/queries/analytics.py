@@ -336,10 +336,9 @@ def x7_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive reading implies.  avg() here is only a FILTER bound, not an
     output, so double-avg ulp drift cannot flip a row: the nearest
     c_acctbal is ~0.01 away."""
-    import uuid
-
-    cv = f"customer_{uuid.uuid4().hex[:8]}"
-    ov = f"orders_{uuid.uuid4().hex[:8]}"
+    # fixed names (x54's pattern): repeated invocation REPLACES the
+    # same catalog entries instead of leaking a uuid-named pair per call
+    cv, ov = "x7_customer_src", "x7_orders_src"
     t(spark, sf_dir, "customer").createOrReplaceTempView(cv)
     t(spark, sf_dir, "orders").createOrReplaceTempView(ov)
     return spark.sql(f"""
@@ -1749,17 +1748,15 @@ def x39_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("p_partkey") - 1) / 4).alias("parent"),
         )
     )
-    import uuid
-
-    sfx = uuid.uuid4().hex[:8]
-    kids.createOrReplaceTempView(f"kids_{sfx}")
+    # fixed name (x54's pattern): no uuid-view leak on repeat calls
+    kids.createOrReplaceTempView("x39_kids_src")
     return spark.sql(
-        f"""
+        """
 WITH RECURSIVE tree AS (
   SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
   UNION ALL
   SELECT k.node, t.depth + 1
-  FROM kids_{sfx} k JOIN tree t ON k.parent = t.node
+  FROM x39_kids_src k JOIN tree t ON k.parent = t.node
 )
 SELECT depth, count(*) AS n, min(node) AS first_node, max(node) AS last_node
 FROM tree GROUP BY depth
@@ -1861,9 +1858,8 @@ def x41_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     Like x12, the SAME SQL text (modulo the ::DOUBLE result cast)
     runs on both engines; proof the surface speaks the current SQL
     dialect intersection, not just classic ANSI."""
-    import uuid
-
-    v = f"lineitem_{uuid.uuid4().hex[:8]}"
+    # fixed name (x54's pattern): no uuid-view leak on repeat calls
+    v = "x41_lineitem_src"
     t(spark, sf_dir, "lineitem").createOrReplaceTempView(v)
     return spark.sql(_X41_SQL.format(table=v)).withColumn(
         "qty", F.col("qty").cast("double")

@@ -546,7 +546,7 @@ def x22_time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     view = f"x22_ev_{uuid4().hex}"  # unique per call — concurrent-safe
     ev.createOrReplaceTempView(view)
-    return spark.sql(
+    out = spark.sql(
         f"""
 SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
             WHEN grouping(d) = 0 THEN 'day'
@@ -558,6 +558,11 @@ FROM {view}
 GROUP BY GROUPING SETS ((h), (d), (m))
 """
     ).withColumn("total", F.col("total").cast("double"))
+    # spark.sql analyzed the plan eagerly — the DataFrame is bound to
+    # the resolved relation, so dropping the view leaks no catalog
+    # entry per call while staying concurrent-safe (unique name)
+    spark.catalog.dropTempView(view)
+    return out
 
 
 @register(

@@ -1000,17 +1000,16 @@ def c11_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as e1_topk_window, so the WindowGroupLimit map-side prune still
     applies at 100 TB.  Deterministic: (c_acctbal DESC, c_custkey)
     is a unique order."""
-    import uuid as _uuid
-
-    sfx = _uuid.uuid4().hex[:8]
-    t(spark, sf_dir, "nation").createOrReplaceTempView(f"nation_{sfx}")
-    t(spark, sf_dir, "customer").createOrReplaceTempView(f"customer_{sfx}")
+    # fixed names (x54's pattern): repeated invocation REPLACES the
+    # same catalog entries instead of leaking a uuid-named pair per call
+    t(spark, sf_dir, "nation").createOrReplaceTempView("c11_nation_src")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("c11_customer_src")
     return spark.sql(
-        f"""
+        """
 SELECT n.n_name, tc.c_custkey, tc.c_acctbal
-FROM nation_{sfx} n,
+FROM c11_nation_src n,
 LATERAL (
-  SELECT c_custkey, c_acctbal FROM customer_{sfx} c
+  SELECT c_custkey, c_acctbal FROM c11_customer_src c
   WHERE c.c_nationkey = n.n_nationkey
   ORDER BY c_acctbal DESC, c_custkey
   LIMIT 2

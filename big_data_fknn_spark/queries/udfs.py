@@ -10,8 +10,6 @@ noted with its cost model.
 
 from __future__ import annotations
 
-import uuid
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -131,8 +129,10 @@ def k4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(w) - 1):
                 yield doc_id, i + 1, f"{w[i]} {w[i + 1]}"
 
-    fn = f"bigrams_{uuid.uuid4().hex[:8]}"
-    view = f"docs_{uuid.uuid4().hex[:8]}"
+    # fixed names (x54's pattern): spark.udtf.register and
+    # createOrReplaceTempView both REPLACE an existing entry, so
+    # repeated invocation adds zero catalog/function-registry entries
+    fn, view = "k4_bigrams_udtf", "k4_docs_src"
     spark.udtf.register(fn, BigramEmitter)
     t(spark, sf_dir, "documents").createOrReplaceTempView(view)
     return spark.sql(

@@ -498,3 +498,32 @@ def test_no_single_partition_window_over_entities(spark):
         f"stale whitelist entries (plan no longer single-partition): "
         f"{whitelisted_clean}"
     )
+
+
+def test_temp_view_registrations_do_not_accumulate(spark):
+    """Round-3 verdict item 3 / round-2 advisor: queries that register
+    temp views (or UDTFs) must not leak a catalog entry per call — a
+    long-lived session serving many queries would accumulate metadata
+    forever.  Fixed names are REPLACED on repeat calls; uuid-named
+    views must be dropped after spark.sql analyzes the plan.  Each
+    query runs twice; the second call must add ZERO temp views."""
+    view_users = [
+        "x7_subqueries",
+        "x22_time_rollup_multires",
+        "x39_recursive_cte",
+        "x41_group_by_all",
+        "x54_grouping_sets",
+        "c11_lateral_topk",
+        "k4_udtf",
+    ]
+    missing = [k for k in view_users if k not in DEFS]
+    assert not missing, f"leak-test key list is stale: {missing}"
+    for key in view_users:
+        DEFS[key].fn(spark, SF_DIR)  # warm: registers any fixed names
+        before = {v.name for v in spark.catalog.listTables()}
+        DEFS[key].fn(spark, SF_DIR)
+        after = {v.name for v in spark.catalog.listTables()}
+        assert after == before, (
+            f"{key} leaked catalog entries on repeat invocation: "
+            f"{sorted(after - before)}"
+        )
