@@ -97,6 +97,13 @@ def main() -> None:
         timings[key] = round(best[0], 3)
         split[key] = {"construct_s": round(best[1], 3), "exec_s": round(best[2], 3)}
 
+    # diagnostic only (no clock change): j31's construct time is the
+    # connected-components rounds, each a real cluster job — record
+    # how many the last run took so the number is attributable.
+    from big_data_fknn_spark.operators import graph  # noqa: E402
+
+    diagnostics = {"j31_cc_rounds": graph.LAST_RUN_ROUNDS}
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -107,6 +114,7 @@ def main() -> None:
         # for the kNN kernel / connected components / global_rank
         # does real cluster jobs) vs final execution.
         "queries_split": split,
+        "diagnostics": diagnostics,
         "sf": sf,
         # round 1 timed execution only; from round 2 the timer also
         # wraps plan construction (the kNN kernel's chunk-fetch jobs

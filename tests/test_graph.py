@@ -69,3 +69,21 @@ def test_random_graphs_match_union_find(spark):
         got = _cc(spark, edges)
         want = union_find(n, edges)
         assert got == want, f"seed={seed}"
+
+
+def test_rounds_counter_and_nonconvergence_raise(spark):
+    # a 6-chain converges well inside 16 rounds and the counter
+    # reflects single-digit rounds; with max_iter too small for the
+    # diameter the call must raise, never return non-fixpoint labels
+    import pytest
+
+    from big_data_fknn_spark.operators import graph
+
+    chain = [(i, i + 1) for i in range(1, 7)]
+    got = _cc(spark, chain)
+    assert got == {i: 1 for i in range(1, 8)}
+    assert 1 <= graph.LAST_RUN_ROUNDS <= 8
+
+    df = spark.createDataFrame(chain, "src: bigint, dst: bigint")
+    with pytest.raises(ValueError, match="did not converge"):
+        graph.connected_components(df, max_iter=1)
