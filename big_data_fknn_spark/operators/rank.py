@@ -14,13 +14,16 @@ internally for ``ORDER BY``):
 1. ONE pass computes ~equi-depth split points of the leading order
    key (``percentile_approx`` — a partial-combinable aggregate, so
    map-side combined, tiny shuffle).
-2. Each row gets a bucket id as a PURE FUNCTION of its key value:
-   ``#splits<key + #splits≤key``.  Purity matters: every
-   re-evaluation of the plan assigns identical buckets, so no
-   exchange-reuse or checkpoint is needed for consistency — unlike
-   ``spark_partition_id()`` after ``repartitionByRange``.  The
-   even/odd form gives every split VALUE a dedicated bucket (odd
-   ids), isolating heavy tie-classes — see "Ties" below.
+2. Each row gets a bucket id as a PURE FUNCTION of its key value.
+   Purity matters: every re-evaluation of the plan assigns identical
+   buckets, so no exchange-reuse or checkpoint is needed for
+   consistency — unlike ``spark_partition_id()`` after
+   ``repartitionByRange``.  Smooth keys (no duplicate raw splits —
+   provably no threshold-grade tie class) use the plain strict-``<``
+   count; keys with duplicate splits use ``#splits<key +
+   #splits≤key``, whose even/odd form gives every split VALUE a
+   dedicated bucket (odd ids), isolating heavy tie-classes — see
+   "Ties" below.
 3. ONE pass counts rows per bucket (≤ 2·num_buckets rows — collected
    to the driver exactly like RangePartitioner collects its sampled
    boundaries) → cumulative offsets as literal arrays.  The same
@@ -200,28 +203,55 @@ def _dedupe(raw) -> list[float]:
     return sorted({float(s) for s in (raw or []) if s is not None})
 
 
-def _collect_splits(df: DataFrame, key: Column, n: int) -> list[float]:
-    """ONE splits job → deduped sorted split points (possibly empty)."""
+def _scheme(raw) -> tuple[list[float], bool]:
+    """(deduped sorted splits, need tie buckets?).
+
+    A value's tie class can only exceed the skew threshold (4×ideal)
+    if its mass is > 4/n of the total — but any value with mass
+    ≥ ~2/n already straddles TWO percentile grid points and therefore
+    appears ≥2× in the RAW (pre-dedup) percentile output.  So when
+    the raw splits are all distinct, no tie class can come near the
+    threshold and the cheaper strict-``<`` bucketing (no tie buckets,
+    half the ids, smallest expression) is provably sufficient; the
+    even/odd tie-bucket scheme is reserved for keys that show
+    duplicate splits."""
+    vals = [float(s) for s in (raw or []) if s is not None]
+    sp = sorted(set(vals))
+    return sp, len(vals) != len(sp)
+
+
+def _collect_splits(df: DataFrame, key: Column, n: int) -> tuple[list[float], bool]:
+    """ONE splits job → (deduped sorted split points, tie flag)."""
     if n <= 1:
-        return []
+        return [], False
     row = df.select(_splits_agg(key, n, "s")).first()
-    return _dedupe(row["s"]) if row is not None else []
+    return _scheme(row["s"]) if row is not None else ([], False)
 
 
-def _bucket_expr(splits: list[float], key: Column) -> Column:
-    """Bucket id from DEDUPED split points: ``#splits<key +
-    #splits≤key`` — a pure function of the VALUE, so every plan
-    re-evaluation assigns identical buckets.  Rows strictly between
-    splits i-1 and i get even id 2i; rows EQUAL to split i get odd id
-    2i+1 — so every split value owns a dedicated tie bucket, which is
-    what makes heavy-tie sub-splitting order-correct (all its rows are
-    equal on the key)."""
+def _bucket_expr(splits: list[float], key: Column, tie_buckets: bool) -> Column:
+    """Bucket id from DEDUPED split points — a pure function of the
+    VALUE, so every plan re-evaluation assigns identical buckets.
+
+    ``tie_buckets=False`` (smooth key — no duplicate raw splits):
+    plain count of splits strictly below the key.
+
+    ``tie_buckets=True``: ``#splits<key + #splits≤key`` — rows
+    strictly between splits i-1 and i get even id 2i; rows EQUAL to
+    split i get odd id 2i+1, so every split value owns a dedicated
+    tie bucket, which is what makes heavy-tie sub-splitting
+    order-correct (all its rows are equal on the key).  Computed as
+    ``2·#(<key) + array_contains`` — one lambda pass, not two (the
+    second filter's py4j/codegen cost was measurable at bench).
+    NULL key (the pre-raise path for a NULL leading key) lands in
+    bucket 0 under both schemes."""
     if not splits:
         return F.lit(0)
     arr = F.array(*[F.lit(float(s)) for s in splits])
     below = F.size(F.filter(arr, lambda s: s < key))
-    at_or_below = F.size(F.filter(arr, lambda s: s <= key))
-    return below + at_or_below
+    if not tie_buckets:
+        return below
+    at = F.coalesce(F.array_contains(arr, key).cast("int"), F.lit(0))
+    return below * 2 + at
 
 
 def _bucket_col(df: DataFrame, leading: Column, ascending: bool, n: int) -> Column:
@@ -233,7 +263,8 @@ def _bucket_col(df: DataFrame, leading: Column, ascending: bool, n: int) -> Colu
     exact order is re-established inside each bucket.
     """
     key = _bucket_key(df, leading, ascending)
-    return _bucket_expr(_collect_splits(df, key, n), key)
+    splits, tie = _collect_splits(df, key, n)
+    return _bucket_expr(splits, key, tie)
 
 
 def _refine_loop(
@@ -286,30 +317,34 @@ def _refine_loop(
             .agg(_splits_agg(key, sub_n, "s"))
             .collect()
         )
-        subsplits = {r[bcol]: _dedupe(r["s"]) for r in srows}
-        if not any(subsplits.get(b) for b in oversized):
+        subsplits = {r[bcol]: _scheme(r["s"]) for r in srows}
+        if not any(subsplits.get(b, ([], False))[0] for b in oversized):
             continue
         # remap: untouched buckets keep one slot; each oversized tie
-        # bucket expands to 2·|subsplits|+1 slots (even/odd again, so
-        # deeper tie levels stay refinable)
+        # bucket expands to |subsplits|+1 slots (smooth next key) or
+        # 2·|subsplits|+1 slots (even/odd again when the next key
+        # shows duplicate splits, so deeper tie levels stay refinable)
         nb = max(counts) + 1
         over = set(oversized)
         base, slot, new_tie = [], 0, set()
         for b in range(nb):
             base.append(slot)
             if b in over:
-                sp = subsplits.get(b) or []
-                new_tie.update(slot + 2 * i + 1 for i in range(len(sp)))
-                slot += 2 * len(sp) + 1
+                sp, sub_tie = subsplits.get(b, ([], False))
+                if sub_tie:
+                    new_tie.update(slot + 2 * i + 1 for i in range(len(sp)))
+                    slot += 2 * len(sp) + 1
+                else:
+                    slot += len(sp) + 1
             else:
                 slot += 1
         sub = F.lit(0)
         for b in oversized:
-            sp = subsplits.get(b)
+            sp, sub_tie = subsplits.get(b, ([], False))
             if sp:
-                sub = F.when(F.col(bcol) == int(b), _bucket_expr(sp, key)).otherwise(
-                    sub
-                )
+                sub = F.when(
+                    F.col(bcol) == int(b), _bucket_expr(sp, key, sub_tie)
+                ).otherwise(sub)
         base_arr = F.element_at(
             F.array(*[F.lit(x) for x in base]), F.col(bcol) + 1
         )
@@ -334,8 +369,8 @@ def _tag_balanced(
     leading, lead_asc = order[0]
     lead = _resolve(leading)
     key0 = _bucket_key(df, lead, lead_asc)
-    splits = _collect_splits(df, key0, n)
-    tagged = df.withColumn(_BUCKET, _bucket_expr(splits, key0))
+    splits, tie = _collect_splits(df, key0, n)
+    tagged = df.withColumn(_BUCKET, _bucket_expr(splits, key0, tie))
     aggs = [
         F.count(F.lit(1)).alias("__cnt"),
         # the non-null contract checked for free inside the counts job:
@@ -359,7 +394,7 @@ def _tag_balanced(
             "range bucketing requires a non-null leading key (filter or "
             "coalesce first)"
         )
-    tie_ids = {2 * i + 1 for i in range(len(splits))}
+    tie_ids = {2 * i + 1 for i in range(len(splits))} if tie else set()
     tagged, _ = _refine_loop(tagged, _BUCKET, order, n, counts, tie_ids, recount)
     rows_by_bucket = state["rows"]
     total = sum(int(r["__cnt"]) for r in rows_by_bucket.values())
@@ -576,14 +611,19 @@ def multi_global_rank(
         row = df.select(
             *[_splits_agg(k, n, f"s{i}") for i, k in enumerate(keys)]
         ).first()
-        splits = [
-            _dedupe(row[f"s{i}"]) if row is not None else []
+        schemes = [
+            _scheme(row[f"s{i}"]) if row is not None else ([], False)
             for i in range(len(keys))
         ]
     else:
-        splits = [[] for _ in keys]
-    bucket_exprs = [_bucket_expr(sp, k) for sp, k in zip(splits, keys)]
-    tie_sets = [{2 * i + 1 for i in range(len(sp))} for sp in splits]
+        schemes = [([], False) for _ in keys]
+    bucket_exprs = [
+        _bucket_expr(sp, k, tie) for (sp, tie), k in zip(schemes, keys)
+    ]
+    tie_sets = [
+        {2 * i + 1 for i in range(len(sp))} if tie else set()
+        for sp, tie in schemes
+    ]
     bcols = [f"{_BUCKET}_{i}" for i in range(len(specs))]
     tagged = df
     for c, e in zip(bcols, bucket_exprs):
