@@ -14,6 +14,7 @@ from big_data_fknn_spark.plans.inspect import (
     has_operator,
     pushed_filters,
     read_schema_width,
+    single_partition_consumers,
     single_partition_window_feeds,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "has_operator",
     "pushed_filters",
     "read_schema_width",
+    "single_partition_consumers",
     "single_partition_window_feeds",
 ]

@@ -115,6 +115,32 @@ def single_partition_window_feeds(
     return hits
 
 
+_CODEGEN_PREFIX = re.compile(r"^\*\(\d+\) ")
+
+
+def single_partition_consumers(plan: str) -> list[str]:
+    """The DIRECT parent operator of every ``Exchange SinglePartition``
+    in the plan.  At scale the only legitimate consumers are
+    global-scalar aggregate finals (``keys=[]`` — one partial row per
+    task crosses the exchange, the canonical two-phase global
+    sum/avg/min) and the bounded final Sorts/Windows separately
+    policed by :func:`single_partition_window_feeds` + its whitelist.
+    tests/test_plans.py asserts registry-wide that nothing else ever
+    consumes one (an SP exchange feeding a join, project chain, or
+    keyed aggregate would funnel real data through one task)."""
+    parsed = [_depth_and_name(l) for l in plan.splitlines()]
+    out: list[str] = []
+    for i, (d, name) in enumerate(parsed):
+        if not name.startswith("Exchange SinglePartition"):
+            continue
+        for j in range(i - 1, -1, -1):
+            dj, nj = parsed[j]
+            if dj == d - 1:
+                out.append(_CODEGEN_PREFIX.sub("", nj))
+                break
+    return out
+
+
 def explain_summary(df: DataFrame) -> str:
     """One line per interesting operator — the 100 TB code-review view."""
     lines = []

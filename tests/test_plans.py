@@ -461,11 +461,26 @@ def test_no_single_partition_window_over_entities(spark):
     New queries that reintroduce the shape fail here and must either
     use global_rank/global_running_agg or justify a whitelist entry
     above (genuinely tiny windowed input only)."""
-    from big_data_fknn_spark.plans import single_partition_window_feeds
+    import re
+
+    from big_data_fknn_spark.plans import (
+        single_partition_consumers,
+        single_partition_window_feeds,
+    )
+
+    # an SP exchange's DIRECT consumer may only be a global-scalar
+    # aggregate final (keys=[] — one partial row per task crosses) or
+    # a Sort/Window, which the whitelist above separately polices.
+    # Anything else (join, project chain, KEYED aggregate) would
+    # funnel real data through one task.
+    _SCALAR_FINAL = re.compile(
+        r"^(HashAggregate|ObjectHashAggregate|SortAggregate)\(keys=\[\]"
+    )
 
     violations: dict[str, list[str]] = {}
     whitelisted_clean: list[str] = []
     cartesians: list[str] = []
+    bad_consumers: dict[str, list[str]] = {}
     for key in sorted(DEFS):
         df = DEFS[key].fn(spark, SF_DIR)
         if df.isStreaming:
@@ -483,6 +498,17 @@ def test_no_single_partition_window_over_entities(spark):
         # which is fine and not matched here)
         if "CartesianProduct" in plan:
             cartesians.append(key)
+        for consumer in single_partition_consumers(plan):
+            if _SCALAR_FINAL.match(consumer) or consumer.startswith(
+                ("Sort ", "Sort[", "Window")
+            ):
+                continue
+            bad_consumers.setdefault(key, []).append(consumer[:80])
+    assert not bad_consumers, (
+        "Exchange SinglePartition feeding something other than a "
+        f"global-scalar aggregate final or policed Sort/Window: "
+        f"{bad_consumers}"
+    )
     assert not cartesians, (
         f"CartesianProduct in executed plans: {cartesians} — route "
         "through a derived equi-key (band/bucket/block) candidate "
