@@ -99,8 +99,11 @@ __all__ = [
 ]
 
 _BUCKET = "__gr_bucket"
-# percentile_approx accuracy: rank error ≤ total/_ACCURACY, i.e. ~0.3%
-# of a bucket at 32 buckets — far below the skew threshold.
+# percentile_approx accuracy floor: rank error ≤ total/accuracy.  The
+# effective accuracy auto-scales as max(_ACCURACY, 20·num_buckets) so
+# the split error stays ≤ ~ideal/20 even for very large bucket counts
+# (at B=4096 a fixed 10k accuracy would give ~0.4·ideal error);
+# percentile_approx state is O(accuracy), still tiny either way.
 _ACCURACY = 10_000
 # a bucket is "oversized" above max(_SKEW_FACTOR × total/B, _MIN_SKEW_ROWS);
 # the absolute floor keeps test-scale inputs from paying refinement jobs
@@ -194,8 +197,9 @@ def _bucket_key(
 
 def _splits_agg(key: Column, n: int, alias: str) -> Column:
     fracs = [i / n for i in range(1, n)]
+    accuracy = max(_ACCURACY, 20 * n)
     return F.percentile_approx(
-        key, F.array(*[F.lit(f) for f in fracs]), F.lit(_ACCURACY)
+        key, F.array(*[F.lit(f) for f in fracs]), F.lit(accuracy)
     ).alias(alias)
 
 

@@ -476,3 +476,53 @@ def test_string_prefix_code_is_monotone(spark):
     ordered = [r["s"] for r in df.orderBy("s").collect()]
     for a, b in zip(ordered, ordered[1:]):
         assert got[a] <= got[b], (a, b, got[a], got[b])
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_global_rank_fuzz_adversarial_mixes(spark, monkeypatch, seed):
+    """Seeded fuzz over the corner-case INTERACTIONS the pointed tests
+    cover one at a time: a heavy tie class + NaN rows + discrete
+    clusters + continuous tail on the leading key, a string tiebreaker
+    with NULLs / empty strings / shared 6-byte prefixes / multi-byte
+    UTF-8, all four asc/desc direction combinations, with the skew
+    floor at 0 so refinement always engages.  Ground truth is Spark's
+    own single-partition Window at test size."""
+    import random
+
+    rank = _no_skew_floor(monkeypatch)
+    rng = random.Random(seed)
+    n = 400
+    rows = []
+    specials = [None, "", "aa", "ab", "aaaaaaa", "aaaaaab", "z", "étoile", "中文"]
+    for i in range(n):
+        r = rng.random()
+        if r < 0.40:
+            v = 7.0  # dominant tie class → refinement path
+        elif r < 0.50:
+            v = float("nan")
+        elif r < 0.62:
+            v = float(rng.choice([1, 2, 3]))
+        else:
+            v = round(rng.uniform(0.0, 100.0), 3)
+        if rng.random() < 0.30:
+            s = rng.choice(specials)
+        else:
+            s = f"k{rng.randrange(40):03d}"
+        rows.append((i, v, s))
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    for asc_v in (True, False):
+        for asc_s in (True, False):
+            ov = F.col("v").asc() if asc_v else F.col("v").desc()
+            os_ = F.col("s").asc() if asc_s else F.col("s").desc()
+            expect = {
+                r["id"]: r["rn"]
+                for r in df.select(
+                    "id",
+                    F.row_number().over(Window.orderBy(ov, os_, "id")).alias("rn"),
+                ).collect()
+            }
+            gr = rank.global_rank(
+                df, [("v", asc_v), ("s", asc_s), ("id", True)], num_buckets=7
+            )
+            got = {r["id"]: r["rank"] for r in gr.df.collect()}
+            assert got == expect, f"seed={seed} asc_v={asc_v} asc_s={asc_s}"
