@@ -553,3 +553,49 @@ def test_temp_view_registrations_do_not_accumulate(spark):
             f"{key} leaked catalog entries on repeat invocation: "
             f"{sorted(after - before)}"
         )
+
+
+# Measured at sf0.001 (pre-AQE executed plans, pyspark 4.1.2); a
+# regression that adds a shuffle to a headline query fails here.
+# Bounds are ceilings — improvements only lower them.
+_HEADLINE_SHUFFLE_BOUNDS = {
+    "d1_hashagg": 1,          # one map-combined agg shuffle
+    "c5_sort_merge": 3,       # two sort-merge sides + final agg
+    "e1_topk_window": 1,      # WindowGroupLimit prunes below it
+    "i1_tumbling": 1,
+    "j1_knn_crisp": 1,        # BLAS kernel: broadcast + one agg
+    "j3_fknn_stage2": 8,
+    "j8_dedup_near": 11,      # minhash bands + verify joins
+    "j9_sim_search": 1,
+    "j9b_sim_search_ivf": 3,  # cluster assign + equi-join + topk
+    "j10_text_tfidf": 4,
+    "x32_tpch_q8": 1,         # 7 broadcast dims, ONE fact shuffle
+    "j31_dedup_survivors": 0, # CC rounds run at construct (checkpoints)
+    "j46_fpgrowth": 0,        # MLlib fit at construct
+    "x65_rfm_segmentation": 4,  # 1 orders agg + 3 bucketed windows
+}
+
+
+def test_headline_shuffle_counts_do_not_regress(spark):
+    """Shuffle-count ceilings for the bench headline queries: every
+    `Exchange hash/range/Single` in the pre-AQE executed plan is a
+    real shuffle at scale, and the current counts encode deliberate
+    design (broadcast dims, map-side combines, below-shuffle top-k
+    prunes, construct-time checkpoints).  A new exchange appearing in
+    one of these plans is a scale regression even if results stay
+    correct — fail loudly with the diff."""
+    import re
+
+    import bench
+
+    assert set(_HEADLINE_SHUFFLE_BOUNDS) == set(bench.HEADLINE), (
+        "bounds table out of sync with bench.HEADLINE"
+    )
+    over: dict[str, tuple[int, int]] = {}
+    for key, bound in _HEADLINE_SHUFFLE_BOUNDS.items():
+        df = DEFS[key].fn(spark, SF_DIR)
+        plan = executed_plan(df)
+        n = len(re.findall(r"\bExchange (hash|range|Single)", plan))
+        if n > bound:
+            over[key] = (n, bound)
+    assert not over, f"shuffle-count regressions (got, ceiling): {over}"
