@@ -526,3 +526,49 @@ def test_global_rank_fuzz_adversarial_mixes(spark, monkeypatch, seed):
             )
             got = {r["id"]: r["rank"] for r in gr.df.collect()}
             assert got == expect, f"seed={seed} asc_v={asc_v} asc_s={asc_s}"
+
+
+def test_global_rank_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "id long, v double")
+    gr = global_rank(empty, [("v", True), ("id", True)], num_buckets=4)
+    assert gr.total == 0 and gr.df.count() == 0
+    one = _people(spark, [42.0])
+    gr1 = global_rank(
+        one, [("v", False), ("id", True)], running_sum=("v", "c"), num_buckets=4
+    )
+    rows = gr1.df.collect()
+    assert gr1.total == 1 and len(rows) == 1
+    assert rows[0]["rank"] == 1 and rows[0]["c"] == 42.0
+    assert gr1.running_total == 42.0
+
+
+def test_boolean_leading_key_and_timestamp_tiebreak_refinement(spark, monkeypatch):
+    """Boolean leading keys are maximal tie classes by construction
+    (two values); refinement must engage and sub-split on a TIMESTAMP
+    tiebreaker through the unix_micros projection."""
+    rank = _no_skew_floor(monkeypatch)
+    n = 600
+    df = spark.range(n).select(
+        "id",
+        (F.col("id") % 3 == 0).alias("flag"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") * 37) % 500).alias(
+            "ts"
+        ),
+    )
+    order = [("flag", False), ("ts", True), ("id", True)]
+    gr = rank.global_rank(df, order, num_buckets=6)
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("flag").desc(), "ts", "id"))
+            .alias("rn"),
+        ).collect()
+    }
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+    tagged, by_bucket, total = rank._tag_balanced(df, order, 6, [], "t")
+    assert total == n
+    assert _max_bucket(by_bucket) <= 4 * (n / 6), sorted(
+        int(r["__cnt"]) for r in by_bucket.values()
+    )
