@@ -84,6 +84,12 @@ def connected_components(
     prev_sum = _label_sum(labels)
     rounds = 1
     converged = False
+    # near-dup clusters converge in 2-3 plain rounds; a component
+    # deeper than that gets pointer jumping (label ← label's label,
+    # one extra label-keyed self-join per round) from round 4 on, so
+    # convergence is O(log diameter) instead of O(diameter) and
+    # max_iter=16 covers any realistic component
+    _JUMP_AFTER = 3
     for _ in range(max_iter):
         msgs = sym.join(labels.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"), "lab"
@@ -95,8 +101,15 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint()
         )
+        if rounds >= _JUMP_AFTER:
+            hop = labels.select(
+                F.col("node").alias("lab"), F.col("lab").alias("lab2")
+            )
+            labels = labels.join(hop, "lab", "left").select(
+                "node", F.least("lab", F.coalesce("lab2", "lab")).alias("lab")
+            )
+        labels = labels.localCheckpoint()
         rounds += 1
         s = _label_sum(labels)
         if s == prev_sum:

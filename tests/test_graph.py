@@ -87,3 +87,15 @@ def test_rounds_counter_and_nonconvergence_raise(spark):
     df = spark.createDataFrame(chain, "src: bigint, dst: bigint")
     with pytest.raises(ValueError, match="did not converge"):
         graph.connected_components(df, max_iter=1)
+
+
+def test_deep_chain_converges_via_pointer_jumping(spark):
+    # diameter 299: plain min-label propagation needs ~299 rounds, far
+    # past max_iter=16 — the adaptive pointer-jumping (label <- label's
+    # label from round 4) must converge in O(log d) rounds instead
+    from big_data_fknn_spark.operators import graph
+
+    chain = [(i, i + 1) for i in range(1, 300)]
+    got = _cc(spark, chain)
+    assert got == {i: 1 for i in range(1, 301)}
+    assert graph.LAST_RUN_ROUNDS <= 16
