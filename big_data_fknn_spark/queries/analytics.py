@@ -2536,17 +2536,28 @@ def x54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
         .select("n_name", "o_orderpriority", "o_totalprice")
     )
-    # fixed view name + createOrReplace: repeated invocations reuse
-    # one catalog entry instead of leaking a uuid-named view per call
-    j.createOrReplaceTempView(view := "x54_grouping_sets_src")
-    return spark.sql(f"""
-        SELECT coalesce(n_name, '(all)') AS nation,
-               coalesce(o_orderpriority, '(all)') AS priority,
-               count(*) AS n_orders,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 6) AS DOUBLE) AS total
-        FROM {view}
-        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
-    """)
+    # DataFrame groupingSets API (Spark 4) — no temp view at all, so
+    # nothing touches the (session-shared) catalog and concurrent
+    # invocations cannot clobber each other
+    return (
+        j.groupingSets(
+            [["n_name"], ["o_orderpriority"], ["n_name", "o_orderpriority"]],
+            "n_name",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,10)")), 6
+            ).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
 
 
 # --------------------------------------- X55. bitmap distinct days

@@ -599,3 +599,26 @@ def test_headline_shuffle_counts_do_not_regress(spark):
         if n > bound:
             over[key] = (n, bound)
     assert not over, f"shuffle-count regressions (got, ceiling): {over}"
+
+
+def test_single_partition_consumers_helper(spark):
+    """The helper must name the DIRECT parent of each SP exchange:
+    a global scalar aggregate final for df.agg(sum), and the Sort
+    Spark inserts for an unpartitioned window."""
+    from big_data_fknn_spark.plans import single_partition_consumers
+
+    df = spark.range(100).agg(F.sum("id").alias("s"))
+    consumers = single_partition_consumers(executed_plan(df))
+    assert consumers and all(
+        c.startswith("HashAggregate(keys=[]") for c in consumers
+    ), consumers
+
+    from pyspark.sql import Window
+
+    w = spark.range(100).select(
+        "id", F.row_number().over(Window.orderBy("id")).alias("r")
+    )
+    consumers = single_partition_consumers(executed_plan(w))
+    assert consumers and any(c.startswith(("Sort", "Window")) for c in consumers), (
+        consumers
+    )
