@@ -588,6 +588,15 @@ def test_headline_shuffle_counts_do_not_regress(spark):
 
     import bench
 
+    # hermetic plan shapes: helper frames cached by earlier test files
+    # change executed plans (a cached subtree can lose its output
+    # partitioning and force an extra Exchange above it), so measure
+    # against a cache-free session like the bench's first run
+    from big_data_fknn_spark.cache import release_query_caches
+
+    release_query_caches()
+    spark.catalog.clearCache()
+
     assert set(_HEADLINE_SHUFFLE_BOUNDS) == set(bench.HEADLINE), (
         "bounds table out of sync with bench.HEADLINE"
     )

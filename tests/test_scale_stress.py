@@ -459,3 +459,77 @@ def test_scan_parallelism_is_file_bound_not_plan_bound(spark, tmp_path):
         )
 
     assert agg(src) == agg(multi)
+
+
+def test_multi_and_running_500k_tied_at_real_thresholds(spark):
+    """The other two public rank entry points at 500k rows with a
+    50%-tied metric and REAL skew thresholds: multi_global_rank (the
+    RFM shape — one tie-heavy metric, one smooth) must produce exact
+    ranks for both metrics, and global_running_agg's running sum over
+    the tie-heavy order must match the window ground truth.  Balance
+    of the shared machinery is proven by the global_rank stress; this
+    pins the offsets/per-bucket-aggregate recomputation after
+    refinement at scale."""
+    from pyspark.sql import Window
+
+    from big_data_fknn_spark.operators.rank import (
+        global_running_agg,
+        multi_global_rank,
+    )
+
+    n = 500_000
+    df = (
+        spark.range(n)
+        .select(
+            "id",
+            # 50% tied at f=1 (small-integer frequency shape)
+            F.when(F.col("id") % 2 == 0, F.lit(1))
+            .otherwise((F.col("id") % 97) + 2)
+            .cast("long")
+            .alias("f"),
+            # smooth monetary-style metric
+            (
+                F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+                .cast("double")
+                / F.lit(float(16**8))
+            ).alias("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    out, total = multi_global_rank(
+        df,
+        [
+            ("rf", [("f", True), ("id", True)]),
+            ("rm", [("m", False), ("id", True)]),
+        ],
+        num_buckets=32,
+    )
+    assert total == n
+    sample = F.col("id") % 500 == 0
+    # global ranks must come from the FULL frame; sample only the join
+    full_ref = df.select(
+        "id",
+        F.row_number().over(Window.orderBy("f", "id")).alias("ef"),
+        F.row_number().over(Window.orderBy(F.col("m").desc(), "id")).alias("em"),
+    ).where(sample)
+    j = out.where(sample).join(full_ref, "id")
+    assert (
+        j.where((F.col("rf") != F.col("ef")) | (F.col("rm") != F.col("em"))).count()
+        == 0
+    )
+
+    run = global_running_agg(
+        df,
+        [("f", True), ("id", True)],
+        "m",
+        "sum",
+        out_col="c",
+        exclusive=False,
+        num_buckets=32,
+    )
+    w = Window.orderBy("f", "id").rowsBetween(Window.unboundedPreceding, 0)
+    truth = df.select("id", F.sum("m").over(w).alias("t")).where(sample)
+    jj = run.where(sample).join(truth, "id")
+    bad = jj.where(F.abs(F.col("c") - F.col("t")) > 1e-6).count()
+    assert bad == 0
