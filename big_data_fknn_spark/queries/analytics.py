@@ -2299,8 +2299,13 @@ def x50_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: frontier ⋈ edges is an equi-join on src — partition the
     edge list by src once and every superstep shuffles only the
     frontier (≤ |V|), not the edges.  Like connected components
-    (operators/graph.py) the loop would checkpoint every few rounds
-    to cut lineage; 6 bounded rounds keep the demo plan flat.
+    (operators/graph.py) every superstep ``localCheckpoint``s its
+    frontier and distance table: WITHOUT that, each round's lazy plan
+    embeds the previous round's whole plan in TWO places (the
+    improvement join and the union), so execution re-computes round 1
+    ~3^depth times — measured 40 s to BFS this 100-node graph at
+    sf0.01, vs well under a second checkpointed.  An emptied frontier
+    exits early (all shortest paths found; deeper rounds add nothing).
     """
     li = t(spark, sf_dir, "lineitem")
     edges = cached(
@@ -2324,11 +2329,15 @@ def x50_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(dist.alias("d"), "node", "left")
             .where(F.col("d.hops").isNull() | (F.col("r.hops") < F.col("d.hops")))
             .select("node", F.col("r.hops").alias("hops"))
+            .localCheckpoint(eager=True)
         )
+        if improved.isEmpty():
+            break
         dist = (
             dist.unionByName(improved)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
         )
         frontier = improved
     return dist
