@@ -572,3 +572,46 @@ def test_boolean_leading_key_and_timestamp_tiebreak_refinement(spark, monkeypatc
     assert _max_bucket(by_bucket) <= 4 * (n / 6), sorted(
         int(r["__cnt"]) for r in by_bucket.values()
     )
+
+
+def test_two_level_bucket_expr_matches_window_large_b(spark):
+    """Above _TWO_LEVEL_MIN splits the bucket id switches to the
+    two-level √B lookup (chunk bounds → one chunk scan) — same pure
+    function, O(2√B) per row instead of O(B).  Pin it against Spark's
+    window on a smooth key (full distinct split array) and a
+    tie-heavy key (duplicate raw splits → even/odd tie buckets ride
+    the two-level path too), at a bucket count big enough that the
+    clamped-last-chunk and short-final-chunk edges are exercised."""
+    from big_data_fknn_spark.operators.rank import _TWO_LEVEL_MIN
+
+    n = 5000
+    buckets = 4 * _TWO_LEVEL_MIN  # well into the two-level regime
+    smooth = spark.range(n).select(
+        "id", ((F.col("id") * 2654435761) % 1000003).cast("double").alias("v")
+    )
+    tied = spark.range(n).select(
+        "id",
+        F.when(F.col("id") % 2 == 0, 7.0)
+        .otherwise((F.col("id") % 40).cast("double"))
+        .alias("v"),
+    )
+    for df in (smooth, tied):
+        expect = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+            ).collect()
+        }
+        gr = global_rank(df, [("v", True), ("id", True)], num_buckets=buckets)
+        assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+        desc = global_rank(df, [("v", False), ("id", True)], num_buckets=buckets)
+        expect_d = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id",
+                F.row_number()
+                .over(Window.orderBy(F.col("v").desc(), "id"))
+                .alias("rn"),
+            ).collect()
+        }
+        assert {r["id"]: r["rank"] for r in desc.df.collect()} == expect_d
