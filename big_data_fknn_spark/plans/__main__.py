@@ -17,6 +17,7 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 from big_data_fknn_spark.plans import explain_summary  # noqa: E402
+from big_data_fknn_spark.plans.inspect import executed_plan  # noqa: E402
 from big_data_fknn_spark.queries import load_all  # noqa: E402
 from big_data_fknn_spark.session import get_spark  # noqa: E402
 
@@ -62,6 +63,13 @@ KEYS = (
     "x57_skyline",
     "x69_abc_pareto",
     "j44_vocab_build",
+    # round-4: exec-profile rewrites with plan-level claims — x63's
+    # brackets now come from lead() over observations + explode
+    # (no grid join, no grid-wide ignore-nulls windows); x50's BFS
+    # supersteps are localCheckpointed so the final frame's plan is
+    # shallow instead of ~3^depth re-executions
+    "x63_gap_fill_interp",
+    "x50_bfs_hops",
 )
 
 SF = "/root/testdata/sf0.01"
@@ -75,7 +83,16 @@ def main() -> None:
     print(f"Interesting operators only (plans/inspect.py), at {SF}.\n")
     for k in KEYS:
         print(f"## {k}\n\n```")
-        print(explain_summary(reg[k].fn(spark, SF)))
+        df = reg[k].fn(spark, SF)
+        summary = explain_summary(df)
+        if not summary:
+            # no "interesting" operator at all — e.g. x50's final
+            # frame is a scan of its localCheckpointed superstep
+            # result; show the raw (shallow) plan as the evidence
+            summary = "\n".join(
+                l.strip()[:160] for l in executed_plan(df).splitlines() if l.strip()
+            )
+        print(summary)
         print("```\n")
     spark.stop()
 
