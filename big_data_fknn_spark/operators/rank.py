@@ -56,6 +56,17 @@ a Zipfian token-frequency rank (most tokens at cnt=1) would serialize
   a bucket, the in-bucket sort restores exact order).  No skew → no
   extra jobs.
 
+  "EQUAL on the order prefix" is guaranteed by the projection only
+  where the projection is INJECTIVE — a tie bucket on a LOSSY
+  projection (6-byte string prefixes, NaN's +∞ image when real ±∞
+  rows share the bucket, longs/timestamp-micros beyond 2^53,
+  decimals past 15 digits) can conflate genuinely different values,
+  and refining it deeper would interleave them.  Each bucket job
+  therefore also collects per-bucket injectivity EVIDENCE
+  (``_inj_evidence``) and the driver only lets provably-equal tie
+  buckets into the next refinement level; ungated buckets keep their
+  correct one-level sub-split and at worst stay oversized.
+
 ntile / percent_rank derive from the exact rank and the (driver-
 known) total; a prefix-combine of any commutative aggregate (max,
 sum) over "all preceding rows" works the same way: local running
@@ -205,9 +216,7 @@ def _bucket_key(
 def _splits_agg(key: Column, n: int, alias: str) -> Column:
     fracs = [i / n for i in range(1, n)]
     accuracy = max(_ACCURACY, 20 * n)
-    return F.percentile_approx(
-        key, F.array(*[F.lit(f) for f in fracs]), F.lit(accuracy)
-    ).alias(alias)
+    return F.percentile_approx(key, F.lit(fracs), F.lit(accuracy)).alias(alias)
 
 
 def _dedupe(raw) -> list[float]:
@@ -295,6 +304,73 @@ def _bucket_expr(splits: list[float], key: Column, tie_buckets: bool) -> Column:
     return below * 2 + at
 
 
+#: |value| bound under which long/timestamp-micros survive the cast
+#: to double exactly (doubles hold integers up to 2^53).
+_EXACT_ABS = float(1 << 53)
+
+
+def _inj_evidence(df: DataFrame, col: Column, tag: str = ""):
+    """(extra agg columns, per-bucket gate) guarding tie-bucket
+    REFINEMENT — the correctness condition the round-4 fuzz caught:
+
+    A "tie bucket" holds rows equal on the PROJECTED key.  Sub-
+    splitting it on the NEXT order column is order-correct only when
+    its rows are equal on the TRUE column — which the projection
+    guarantees only where it is injective.  The 6-byte string prefix
+    code is not ('aaaaaab' and 'aaaaaaa' share a code; refining their
+    shared bucket on the next column interleaves them).  Neither is
+    the NaN→+∞ map when real ±∞ values share the bucket, a long /
+    timestamp-micros beyond 2^53 (double cast rounds), or a decimal
+    with precision > 15 digits.  Rather than assume, the bucket jobs
+    that already run collect per-bucket EVIDENCE and the driver gates
+    which tie buckets may be refined deeper; ungated buckets keep
+    their (correct, possibly oversized) one-level sub-split — the
+    in-bucket sort on the true columns restores exact order either
+    way, only balance is at stake.
+
+    Returns ``([], gate)`` with a constant gate for types whose
+    projection is injective by construction (int/date/boolean,
+    decimal ≤ 15 digits) or provably never (decimal > 15 digits);
+    otherwise one or two tiny aggregate columns (aliased with
+    ``tag`` so multi-metric jobs can carry several) plus a gate
+    reading them.  NULL rows never count as lossy: they map to ±∞ in
+    a domain no gated real value reaches."""
+    from pyspark.sql import types as T
+
+    dt = df.select(col.alias("__k")).schema[0].dataType
+    if isinstance(
+        dt, (T.DateType, T.BooleanType, T.ByteType, T.ShortType, T.IntegerType)
+    ):
+        return [], lambda r: True
+    if isinstance(dt, T.DecimalType):
+        # ≤ 15 significant digits round-trip through double uniquely
+        ok = dt.precision <= 15
+        return [], lambda r, ok=ok: ok
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        d = col.cast("double")
+        aggs = [
+            F.sum(F.isnan(d).cast("long")).alias(f"__nan{tag}"),
+            F.sum((F.abs(d) == float("inf")).cast("long")).alias(f"__inf{tag}"),
+        ]
+        # NaN's +∞ image collides only with a real ±∞ in the bucket;
+        # an all-NaN (or all-inf) tie bucket is genuinely all-equal
+        return aggs, lambda r: not (
+            int(r[f"__nan{tag}"] or 0) and int(r[f"__inf{tag}"] or 0)
+        )
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        ind = F.unix_micros(col).between(-_EXACT_ABS, _EXACT_ABS)
+    elif isinstance(dt, T.LongType):
+        ind = col.between(-_EXACT_ABS, _EXACT_ABS)
+    elif isinstance(dt, T.StringType):
+        # ≤ 6 UTF-8 bytes round-trip the prefix code uniquely — except
+        # a trailing NUL, which the zero-padding conflates
+        ind = (F.octet_length(col) <= 6) & ~F.contains(col, F.lit("\x00"))
+    else:
+        return [], lambda r: False
+    aggs = [F.sum((~ind).cast("long")).alias(f"__lossy{tag}")]
+    return aggs, lambda r: int(r[f"__lossy{tag}"] or 0) == 0
+
+
 def _bucket_col(df: DataFrame, leading: Column, ascending: bool, n: int) -> Column:
     """Pure-function bucket id for the leading order key (initial,
     pre-refinement tagging — used directly by scale tests).
@@ -326,6 +402,14 @@ def _refine_loop(
     aggregates after a remap.  Extra jobs (one grouped splits
     aggregate + one recount per level) run ONLY when skew is detected;
     the loop walks at most len(order)-1 levels.
+
+    Tie buckets created at THIS level hold rows equal on the
+    level-column's PROJECTION; they enter the next level's
+    ``tie_ids`` only when the per-bucket injectivity evidence
+    (collected inside the same grouped splits job, see
+    :func:`_inj_evidence`) proves the true values are equal too —
+    otherwise refining them would interleave rows the projection
+    conflated (the 6-byte-prefix / NaN-vs-∞ / 2^53 cases).
     """
     level = 1
     while level < len(order) and tie_ids:
@@ -352,19 +436,22 @@ def _refine_loop(
         sub_n = min(n, math.ceil(max(counts[b] for b in oversized) / ideal))
         if sub_n < 2:
             break
+        inj_aggs, inj_gate = _inj_evidence(tagged, _resolve(next_col))
         srows = (
             tagged.where(F.col(bcol).isin([int(b) for b in oversized]))
             .groupBy(bcol)
-            .agg(_splits_agg(key, sub_n, "s"))
+            .agg(_splits_agg(key, sub_n, "s"), *inj_aggs)
             .collect()
         )
         subsplits = {r[bcol]: _scheme(r["s"]) for r in srows}
+        refinable = {r[bcol]: inj_gate(r) for r in srows}
         if not any(subsplits.get(b, ([], False))[0] for b in oversized):
             continue
         # remap: untouched buckets keep one slot; each oversized tie
         # bucket expands to |subsplits|+1 slots (smooth next key) or
-        # 2·|subsplits|+1 slots (even/odd again when the next key
-        # shows duplicate splits, so deeper tie levels stay refinable)
+        # 2·|subsplits|+1 slots (even/odd again — deeper tie levels
+        # stay refinable ONLY when this level's projection is
+        # injective over the bucket, see _inj_evidence)
         nb = max(counts) + 1
         over = set(oversized)
         base, slot, new_tie = [], 0, set()
@@ -373,7 +460,8 @@ def _refine_loop(
             if b in over:
                 sp, sub_tie = subsplits.get(b, ([], False))
                 if sub_tie:
-                    new_tie.update(slot + 2 * i + 1 for i in range(len(sp)))
+                    if refinable.get(b, False):
+                        new_tie.update(slot + 2 * i + 1 for i in range(len(sp)))
                     slot += 2 * len(sp) + 1
                 else:
                     slot += len(sp) + 1
@@ -410,12 +498,14 @@ def _tag_balanced(
     key0 = _bucket_key(df, lead, lead_asc)
     splits, tie = _collect_splits(df, key0, n)
     tagged = df.withColumn(_BUCKET, _bucket_expr(splits, key0, tie))
+    inj_aggs, inj_gate = _inj_evidence(df, lead)
     aggs = [
         F.count(F.lit(1)).alias("__cnt"),
         # the non-null contract checked for free inside the counts job:
         # a NULL leading key would silently land in bucket 0 — correct
         # only for ASC NULLS FIRST, wrong for DESC — so fail loudly
         F.sum(lead.isNull().cast("long")).alias("__nulls"),
+        *inj_aggs,
         *extra_aggs,
     ]
     state: dict = {}
@@ -433,7 +523,15 @@ def _tag_balanced(
             "range bucketing requires a non-null leading key (filter or "
             "coalesce first)"
         )
+    # a LEADING-key tie bucket may be refined only when the bucket's
+    # rows are provably equal on the TRUE column, not just on its
+    # projection (NaN vs real ∞, 2^53-rounded longs, > 15-digit
+    # decimals) — same gate as deeper levels, evidence from the
+    # counts job already collected above
     tie_ids = {2 * i + 1 for i in range(len(splits))} if tie else set()
+    if tie_ids:
+        rows0 = state["rows"]
+        tie_ids = {b for b in tie_ids if b not in rows0 or inj_gate(rows0[b])}
     tagged, _ = _refine_loop(tagged, _BUCKET, order, n, counts, tie_ids, recount)
     rows_by_bucket = state["rows"]
     total = sum(int(r["__cnt"]) for r in rows_by_bucket.values())
@@ -669,6 +767,10 @@ def multi_global_rank(
     # one Expand; grouping_id tells the sets apart.  NULL leading
     # keys are counted in the same job and rejected (see global_rank).
     sets = [[c] for c in bcols]
+    inj = [
+        _inj_evidence(df, _resolve(order[0][0]), tag=f"_{i}")
+        for i, (_, order) in enumerate(specs)
+    ]
     gagg = (
         tagged.groupingSets(sets, *bcols)
         .agg(
@@ -679,6 +781,7 @@ def multi_global_rank(
                     F.lit(0),
                 )
             ).alias("__nulls"),
+            *[a for aggs, _ in inj for a in aggs],
             F.grouping_id(*bcols).alias("__gid"),
         )
         .collect()
@@ -697,8 +800,13 @@ def multi_global_rank(
     rank_specs = []
     for i, (name, order) in enumerate(specs):
         gid = all_mask & ~(1 << (len(bcols) - 1 - i))
-        counts_i: dict[int, int] = {
-            r[bcols[i]]: int(r["__cnt"]) for r in gagg if r["__gid"] == gid
+        rows_i = {r[bcols[i]]: r for r in gagg if r["__gid"] == gid}
+        counts_i: dict[int, int] = {b: int(r["__cnt"]) for b, r in rows_i.items()}
+        # same leading-key refinement gate as _tag_balanced, from the
+        # shared GROUPING SETS job's per-(metric, bucket) evidence
+        gate_i = inj[i][1]
+        tie_i = {
+            b for b in tie_sets[i] if b not in rows_i or gate_i(rows_i[b])
         }
 
         def recount(t: DataFrame, c: str = bcols[i]) -> dict[int, int]:
@@ -706,7 +814,7 @@ def multi_global_rank(
             return {r[c]: int(r["__cnt"]) for r in rows}
 
         out, counts_i = _refine_loop(
-            out, bcols[i], order, n, counts_i, tie_sets[i], recount
+            out, bcols[i], order, n, counts_i, tie_i, recount
         )
         rank_specs.append((name, order, counts_i))
     for i, (name, order, counts_i) in enumerate(rank_specs):

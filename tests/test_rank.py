@@ -521,8 +521,12 @@ def test_global_rank_fuzz_adversarial_mixes(spark, monkeypatch, seed):
                     F.row_number().over(Window.orderBy(ov, os_, "id")).alias("rn"),
                 ).collect()
             }
+            # alternate bucket counts across the single-level (7) and
+            # two-level (> _TWO_LEVEL_MIN splits possible) regimes so
+            # the fuzz mixes also drive the chunked lookup
+            buckets = 7 if asc_v == asc_s else rank._TWO_LEVEL_MIN * 2
             gr = rank.global_rank(
-                df, [("v", asc_v), ("s", asc_s), ("id", True)], num_buckets=7
+                df, [("v", asc_v), ("s", asc_s), ("id", True)], num_buckets=buckets
             )
             got = {r["id"]: r["rank"] for r in gr.df.collect()}
             assert got == expect, f"seed={seed} asc_v={asc_v} asc_s={asc_s}"
@@ -615,3 +619,82 @@ def test_two_level_bucket_expr_matches_window_large_b(spark):
             ).collect()
         }
         assert {r["id"]: r["rank"] for r in desc.df.collect()} == expect_d
+
+
+def test_lossy_projection_tie_buckets_are_not_refined(spark, monkeypatch):
+    """Regression (round-4 fuzz find): a tie bucket created from a
+    LOSSY projection holds rows equal on the projection but not on
+    the true column — refining it on the next order column would
+    interleave them.  Distilled shapes:
+
+    * strings sharing a 6-byte prefix ('aaaaaab' vs 'aaaaaaa' share
+      the prefix code) under a dominant leading tie, ranked with the
+      string DESC so the conflated rows sit at a bucket boundary;
+    * a double leading key mixing NaN with real ±inf (both project
+      to the same bucket key, but Spark sorts NaN greatest);
+
+    and the positive case: an ALL-NaN tie class (no real inf) is
+    genuinely all-equal, so the gate must still allow refining it."""
+    rank = _no_skew_floor(monkeypatch)
+
+    # shared 6-byte prefix: many rows at v=7.0, tiebreaker strings
+    # that only differ at byte 7 — plus strings with embedded NULs
+    n = 300
+    rows = [
+        (i, 7.0, ("aaaaaab" if i % 3 == 0 else "aaaaaaa" if i % 3 == 1 else "aaaaaa\x00x"))
+        for i in range(n - 50)
+    ] + [(i, float(i), f"k{i}") for i in range(n - 50, n)]
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    for asc_s in (True, False):
+        os_ = F.col("s").asc() if asc_s else F.col("s").desc()
+        expect = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy("v", os_, "id")).alias("rn")
+            ).collect()
+        }
+        gr = rank.global_rank(
+            df, [("v", True), ("s", asc_s), ("id", True)], num_buckets=32
+        )
+        assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+
+    # NaN mixed with real infinities on the leading key
+    vals = ([float("nan")] * 40 + [float("inf")] * 40 + [float("-inf")] * 5
+            + [float(i) for i in range(35)])
+    df2 = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    for asc in (True, False):
+        ov = F.col("v").asc() if asc else F.col("v").desc()
+        expect = {
+            r["id"]: r["rn"]
+            for r in df2.select(
+                "id", F.row_number().over(Window.orderBy(ov, "id")).alias("rn")
+            ).collect()
+        }
+        gr = rank.global_rank(df2, [("v", asc), ("id", True)], num_buckets=8)
+        assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect, f"asc={asc}"
+
+    # all-NaN tie class with NO real inf: the gate must not block
+    # refinement (rows genuinely equal on the leading column)
+    vals3 = [float("nan")] * 160 + [float(i) for i in range(40)]
+    df3 = spark.createDataFrame(
+        [(i, v, float(i % 7)) for i, v in enumerate(vals3)],
+        "id long, v double, w double",
+    )
+    expect = {
+        r["id"]: r["rn"]
+        for r in df3.select(
+            "id", F.row_number().over(Window.orderBy("v", "w", "id")).alias("rn")
+        ).collect()
+    }
+    gr = rank.global_rank(
+        df3, [("v", True), ("w", True), ("id", True)], num_buckets=8
+    )
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+    # and it actually refined: the 160-row NaN class must not sit in
+    # one bucket (threshold 4 * 200/8 = 100 < 160 with the floor at 0)
+    tagged, by_bucket, _ = rank._tag_balanced(
+        df3, [("v", True), ("w", True), ("id", True)], 8, [], "t"
+    )
+    assert _max_bucket(by_bucket) < 160
