@@ -698,3 +698,64 @@ def test_lossy_projection_tie_buckets_are_not_refined(spark, monkeypatch):
         df3, [("v", True), ("w", True), ("id", True)], 8, [], "t"
     )
     assert _max_bucket(by_bucket) < 160
+
+
+def test_decimal_leading_key_tie_refinement_and_gate(spark, monkeypatch):
+    """Decimal keys are what the registered queries actually rank
+    (revenue/acctbal).  Two regimes of the injectivity gate:
+
+    * DECIMAL(12,2) — 12 significant digits round-trip the double
+      projection uniquely, so a dominant tie class MUST be sub-split
+      on the next order column (balance) and stay exact;
+    * DECIMAL(30,10) — past 15 digits the projection can conflate
+      distinct values, so tie buckets must NOT refine deeper: ranks
+      stay exact (in-bucket sort uses the true column) but the tie
+      class keeps its single bucket."""
+    from decimal import Decimal
+
+    rank = _no_skew_floor(monkeypatch)
+    n = 400
+    rows = [
+        (i, Decimal("7.50") if i % 5 < 3 else Decimal(i) / 4, float(i % 13))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, v decimal(12,2), w double")
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "w", "id")).alias("rn")
+        ).collect()
+    }
+    order = [("v", True), ("w", True), ("id", True)]
+    gr = rank.global_rank(df, order, num_buckets=8)
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+    _, by_bucket, total = rank._tag_balanced(df, order, 8, [], "t")
+    assert total == n
+    # the 240-row tie class refined: threshold 4 * 400/8 = 200 < 240
+    assert _max_bucket(by_bucket) < 240, sorted(
+        int(r["__cnt"]) for r in by_bucket.values()
+    )
+
+    # DECIMAL(30,10): same shape, values that need > 15 digits —
+    # distinct in decimal, equal after the double cast
+    base = Decimal("12345678901234.5678901234")
+    rows30 = [
+        (
+            i,
+            Decimal("7.5") if i % 5 < 3 else base + Decimal(i) * Decimal("1e-10"),
+            float(i % 13),
+        )
+        for i in range(n)
+    ]
+    df30 = spark.createDataFrame(rows30, "id long, v decimal(30,10), w double")
+    expect30 = {
+        r["id"]: r["rn"]
+        for r in df30.select(
+            "id", F.row_number().over(Window.orderBy("v", "w", "id")).alias("rn")
+        ).collect()
+    }
+    gr30 = rank.global_rank(df30, order, num_buckets=8)
+    assert {r["id"]: r["rank"] for r in gr30.df.collect()} == expect30
+    _, by_bucket30, _ = rank._tag_balanced(df30, order, 8, [], "t")
+    # gate blocked refinement: the 240-row tie class stays one bucket
+    assert _max_bucket(by_bucket30) >= 240
