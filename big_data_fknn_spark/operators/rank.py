@@ -49,23 +49,31 @@ a Zipfian token-frequency rank (most tokens at cnt=1) would serialize
   extra grouped-percentile job computes equi-depth sub-splits of the
   next key inside each oversized bucket and the bucket ids are
   remapped (still a pure function of the row's key values).  The
-  refinement iterates down the order columns while skew persists —
-  string tiebreakers are projected through a fixed-width binary-
-  prefix code (first 6 UTF-8 bytes, zero-padded, as a 48-bit int —
-  monotone under UTF8 binary collation; prefix collisions only share
-  a bucket, the in-bucket sort restores exact order).  No skew → no
+  refinement iterates down the order columns while skew persists.
+  String tiebreakers are projected through a fixed-width binary-
+  prefix code (6 UTF-8 bytes at a window offset, zero-padded, as a
+  48-bit int — monotone under UTF8 binary collation); a tie bucket
+  on one window CONTINUES on the next 6-byte window of the SAME
+  column (always order-correct: rows tied on windows 1..k are
+  ordered by window k+1 consistently with the full string), so long
+  shared prefixes — URL corpora, subword vocabularies — refine
+  arbitrarily deep instead of stalling at one level.  No skew → no
   extra jobs.
 
   "EQUAL on the order prefix" is guaranteed by the projection only
   where the projection is INJECTIVE — a tie bucket on a LOSSY
-  projection (6-byte string prefixes, NaN's +∞ image when real ±∞
-  rows share the bucket, longs/timestamp-micros beyond 2^53,
-  decimals past 15 digits) can conflate genuinely different values,
-  and refining it deeper would interleave them.  Each bucket job
-  therefore also collects per-bucket injectivity EVIDENCE
-  (``_inj_evidence``) and the driver only lets provably-equal tie
-  buckets into the next refinement level; ungated buckets keep their
-  correct one-level sub-split and at worst stay oversized.
+  projection (NaN's +∞ image when real ±∞ rows share the bucket,
+  longs/timestamp-micros beyond 2^53, decimals past 15 digits, a
+  string window with NUL bytes or unconsumed suffix) can conflate
+  genuinely different values, and refining it on the NEXT ORDER
+  COLUMN would interleave them.  Each bucket job therefore also
+  collects per-bucket EVIDENCE (``_inj_evidence``; no-NUL +
+  fully-consumed for string windows) and the driver only lets
+  provably-equal tie buckets advance past their column; ineligible
+  buckets keep their correct sub-splits so far and at worst stay
+  oversized.  An order column with NO monotone projection (arrays,
+  structs) stops refinement outright — skipping it would interleave
+  the skipped column's order.
 
 ntile / percent_rank derive from the exact rank and the (driver-
 known) total; a prefix-combine of any commutative aggregate (max,
@@ -128,6 +136,12 @@ _MIN_SKEW_ROWS = 10_000
 # (measured); two-level cuts it to O(2√#splits).  Small B keeps the
 # smaller single-level expression (cheaper codegen, same semantics).
 _TWO_LEVEL_MIN = 64
+# hard cap on refinement stages (each is 2 extra jobs, only run while
+# skew persists): bounds the string-continuation walk on adversarial
+# data — 24 stages cover >100 bytes of shared prefix plus every order
+# column; past it the residual bucket stays oversized (correct, the
+# in-bucket sort is exact) rather than paying unbounded construct jobs.
+_MAX_REFINE_STAGES = 24
 
 
 def _resolve(c: Column | str) -> Column:
@@ -148,6 +162,7 @@ def _bucket_key(
     allow_string: bool = False,
     null_as_extreme: bool = False,
     soft: bool = False,
+    str_offset: int = 1,
 ) -> Column | None:
     """Monotone numeric projection of an order key for bucketing.
 
@@ -187,16 +202,27 @@ def _bucket_key(
     elif isinstance(dt, T.NumericType):
         key = leading.cast("double")
     elif allow_string and isinstance(dt, T.StringType):
-        # Fixed-width binary-prefix code: first 6 UTF-8 bytes, zero-
-        # padded, read as a 48-bit big-endian integer (exact in a
-        # double).  Monotone (non-strict) under UTF8 binary collation:
-        # right-padding with 0x00 — the smallest byte — preserves the
-        # prefix comparison, and strings sharing a 6-byte prefix merely
-        # share a bucket.
+        # Fixed-width binary-prefix code: 6 UTF-8 bytes starting at
+        # ``str_offset`` (1-based), zero-padded, read as a 48-bit
+        # big-endian integer (exact in a double).  Monotone
+        # (non-strict) under UTF8 binary collation: right-padding with
+        # 0x00 — the smallest byte — preserves the prefix comparison,
+        # and strings sharing the window merely share a bucket.
+        # ``str_offset`` > 1 is the CONTINUATION window used by the
+        # refinement loop on buckets whose rows are equal on all
+        # earlier windows — there the window comparison equals the
+        # suffix comparison, so it stays monotone.  Strings consumed
+        # before the window (substring empty past the 6-byte pad) code
+        # to 0, same as an all-pad window.
         six = F.substring(
-            F.concat(F.encode(leading, "UTF-8"), F.lit(b"\x00" * 6)), 1, 6
+            F.concat(F.encode(leading, "UTF-8"), F.lit(b"\x00" * 6)),
+            int(str_offset),
+            6,
         )
-        key = F.conv(F.hex(six), 16, 10).cast("double")
+        raw = F.conv(F.hex(six), 16, 10).cast("double")
+        key = F.when(leading.isNull(), F.lit(None).cast("double")).otherwise(
+            F.coalesce(raw, F.lit(0.0))
+        )
     else:
         if soft:
             return None
@@ -316,12 +342,13 @@ def _inj_evidence(df: DataFrame, col: Column, tag: str = ""):
     A "tie bucket" holds rows equal on the PROJECTED key.  Sub-
     splitting it on the NEXT order column is order-correct only when
     its rows are equal on the TRUE column — which the projection
-    guarantees only where it is injective.  The 6-byte string prefix
-    code is not ('aaaaaab' and 'aaaaaaa' share a code; refining their
-    shared bucket on the next column interleaves them).  Neither is
-    the NaN→+∞ map when real ±∞ values share the bucket, a long /
+    guarantees only where it is injective.  The NaN→+∞ map is not
+    when real ±∞ values share the bucket; neither is a long /
     timestamp-micros beyond 2^53 (double cast rounds), or a decimal
-    with precision > 15 digits.  Rather than assume, the bucket jobs
+    with precision > 15 digits.  (String windows collect their own
+    no-NUL + fully-consumed evidence in the refinement loop, which
+    also lets them CONTINUE on deeper windows of the same column
+    without any gate.)  Rather than assume, the bucket jobs
     that already run collect per-bucket EVIDENCE and the driver gates
     which tie buckets may be refined deeper; ungated buckets keep
     their (correct, possibly oversized) one-level sub-split — the
@@ -361,11 +388,10 @@ def _inj_evidence(df: DataFrame, col: Column, tag: str = ""):
         ind = F.unix_micros(col).between(-_EXACT_ABS, _EXACT_ABS)
     elif isinstance(dt, T.LongType):
         ind = col.between(-_EXACT_ABS, _EXACT_ABS)
-    elif isinstance(dt, T.StringType):
-        # ≤ 6 UTF-8 bytes round-trip the prefix code uniquely — except
-        # a trailing NUL, which the zero-padding conflates
-        ind = (F.octet_length(col) <= 6) & ~F.contains(col, F.lit("\x00"))
     else:
+        # strings never reach here — the refinement loop collects its
+        # own window evidence (no-NUL + fully-consumed) and leading
+        # keys reject strings outright
         return [], lambda r: False
     aggs = [F.sum((~ind).cast("long")).alias(f"__lossy{tag}")]
     return aggs, lambda r: int(r[f"__lossy{tag}"] or 0) == 0
@@ -403,65 +429,119 @@ def _refine_loop(
     aggregate + one recount per level) run ONLY when skew is detected;
     the loop walks at most len(order)-1 levels.
 
-    Tie buckets created at THIS level hold rows equal on the
-    level-column's PROJECTION; they enter the next level's
-    ``tie_ids`` only when the per-bucket injectivity evidence
-    (collected inside the same grouped splits job, see
-    :func:`_inj_evidence`) proves the true values are equal too —
-    otherwise refining them would interleave rows the projection
-    conflated (the 6-byte-prefix / NaN-vs-∞ / 2^53 cases).
+    Tie buckets created at a level hold rows equal on that level's
+    PROJECTION.  Two refinement moves exist, with different proof
+    obligations:
+
+    * CONTINUATION (string columns only): refine the same column on
+      its next 6-byte window.  Always order-correct — rows tied on
+      windows 1..k are ordered by window k+1 consistently with the
+      full string comparison — so no evidence is needed; the loop
+      walks windows while some oversized bucket still has bytes left.
+    * NEXT COLUMN: refine on ``order[level+1]``.  Correct only when
+      the bucket's rows are equal on the TRUE current column, which
+      the projection guarantees only where injective — so each bucket
+      carries an eligibility flag from per-bucket evidence collected
+      inside the same grouped splits job (:func:`_inj_evidence` for
+      numeric projections; no-NUL + fully-consumed for string
+      windows).  Unflagged buckets stay oversized rather than risk
+      interleaving conflated values.
+
+    An order column whose type has NO monotone projection (arrays,
+    structs, ...) STOPS refinement outright: skipping it and
+    sub-splitting on a later column would interleave rows that still
+    differ on the skipped column (a reproduced rank inversion, see
+    tests/test_rank.py::test_unprojectable_middle_column_stops_refinement).
     """
+    from pyspark.sql import types as T
+
     level = 1
-    while level < len(order) and tie_ids:
+    off = 1  # 1-based byte offset of the current string window
+    cont = False  # are tie_ids continuation ties of order[level] itself?
+    flags = {b: True for b in tie_ids}  # may advance past their column
+    stages = 0
+    while level < len(order) and tie_ids and stages < _MAX_REFINE_STAGES:
+        stages += 1
         total = sum(counts.values())
         threshold = max(_SKEW_FACTOR * total / max(n, 1), float(_MIN_SKEW_ROWS))
+        eligible = (
+            tie_ids if cont else {b for b in tie_ids if flags.get(b, False)}
+        )
         oversized = sorted(
-            b for b, c in counts.items() if b in tie_ids and c > threshold
+            b for b, c in counts.items() if b in eligible and c > threshold
         )
         if not oversized:
             break
         next_col, next_asc = order[level]
-        level += 1
+        col = _resolve(next_col)
+        is_str = isinstance(
+            tagged.select(col.alias("__k")).schema[0].dataType, T.StringType
+        )
         key = _bucket_key(
             tagged,
-            _resolve(next_col),
+            col,
             next_asc,
             allow_string=True,
             null_as_extreme=True,
             soft=True,
+            str_offset=off,
         )
         if key is None:
-            continue  # unprojectable tiebreaker type: try the next one
+            break  # unprojectable column: cannot be skipped (see above)
         ideal = max(total / max(n, 1), 1.0)
         sub_n = min(n, math.ceil(max(counts[b] for b in oversized) / ideal))
         if sub_n < 2:
             break
-        inj_aggs, inj_gate = _inj_evidence(tagged, _resolve(next_col))
+        if is_str:
+            # evidence for (a) advancing past this column — every row
+            # consumed within the covered windows and NUL-free, so
+            # tied-on-all-windows ⇒ equal strings — and (b) whether a
+            # deeper window can still discriminate (__over > 0).
+            # NULL rows are neither: they map to ±∞, a bucket no real
+            # string shares.
+            ev_aggs = [
+                F.sum(F.contains(col, F.lit("\x00")).cast("long")).alias("__nul"),
+                F.sum((F.octet_length(col) > off + 5).cast("long")).alias(
+                    "__over"
+                ),
+            ]
+
+            def ev_gate(r):
+                return (
+                    int(r["__nul"] or 0) == 0 and int(r["__over"] or 0) == 0
+                )
+
+        else:
+            ev_aggs, ev_gate = _inj_evidence(tagged, col)
         srows = (
             tagged.where(F.col(bcol).isin([int(b) for b in oversized]))
             .groupBy(bcol)
-            .agg(_splits_agg(key, sub_n, "s"), *inj_aggs)
+            .agg(_splits_agg(key, sub_n, "s"), *ev_aggs)
             .collect()
         )
         subsplits = {r[bcol]: _scheme(r["s"]) for r in srows}
-        refinable = {r[bcol]: inj_gate(r) for r in srows}
+        refinable = {r[bcol]: ev_gate(r) for r in srows}
+        has_more = (
+            {r[bcol]: int(r["__over"] or 0) > 0 for r in srows} if is_str else {}
+        )
         if not any(subsplits.get(b, ([], False))[0] for b in oversized):
-            continue
+            break  # degenerate splits: no progress possible here
         # remap: untouched buckets keep one slot; each oversized tie
         # bucket expands to |subsplits|+1 slots (smooth next key) or
-        # 2·|subsplits|+1 slots (even/odd again — deeper tie levels
-        # stay refinable ONLY when this level's projection is
-        # injective over the bucket, see _inj_evidence)
+        # 2·|subsplits|+1 slots (even/odd again) — sub-tie buckets
+        # inherit their parent's advance-eligibility evidence
         nb = max(counts) + 1
         over = set(oversized)
-        base, slot, new_tie = [], 0, set()
+        base, slot, new_tie, new_flags = [], 0, set(), {}
         for b in range(nb):
             base.append(slot)
             if b in over:
                 sp, sub_tie = subsplits.get(b, ([], False))
                 if sub_tie:
-                    if refinable.get(b, False):
-                        new_tie.update(slot + 2 * i + 1 for i in range(len(sp)))
+                    ids = [slot + 2 * i + 1 for i in range(len(sp))]
+                    new_tie.update(ids)
+                    for t_ in ids:
+                        new_flags[t_] = refinable.get(b, False)
                     slot += 2 * len(sp) + 1
                 else:
                     slot += len(sp) + 1
@@ -476,8 +556,15 @@ def _refine_loop(
                 ).otherwise(sub)
         base_arr = F.element_at(F.lit(base), F.col(bcol) + 1)
         tagged = tagged.withColumn(bcol, (base_arr + sub).cast("int"))
-        tie_ids = new_tie
+        tie_ids, flags = new_tie, new_flags
         counts = recount(tagged)
+        if is_str and any(has_more.get(b, False) for b in oversized):
+            off += 6  # stay on this column: deeper window next
+            cont = True
+        else:
+            level += 1
+            off = 1
+            cont = False
     return tagged, counts
 
 

@@ -624,12 +624,15 @@ def test_two_level_bucket_expr_matches_window_large_b(spark):
 def test_lossy_projection_tie_buckets_are_not_refined(spark, monkeypatch):
     """Regression (round-4 fuzz find): a tie bucket created from a
     LOSSY projection holds rows equal on the projection but not on
-    the true column — refining it on the next order column would
+    the true column — refining it on the NEXT ORDER COLUMN would
     interleave them.  Distilled shapes:
 
     * strings sharing a 6-byte prefix ('aaaaaab' vs 'aaaaaaa' share
-      the prefix code) under a dominant leading tie, ranked with the
-      string DESC so the conflated rows sit at a bucket boundary;
+      the first window code) under a dominant leading tie, ranked
+      with the string DESC so the conflated rows sit at a bucket
+      boundary — these now refine CORRECTLY via window continuation
+      (bytes 7-12), and the embedded-NUL rows must never let the
+      loop advance past the string column;
     * a double leading key mixing NaN with real ±inf (both project
       to the same bucket key, but Spark sorts NaN greatest);
 
@@ -759,3 +762,104 @@ def test_decimal_leading_key_tie_refinement_and_gate(spark, monkeypatch):
     _, by_bucket30, _ = rank._tag_balanced(df30, order, 8, [], "t")
     # gate blocked refinement: the 240-row tie class stays one bucket
     assert _max_bucket(by_bucket30) >= 240
+
+
+def test_unprojectable_middle_column_stops_refinement(spark, monkeypatch):
+    """Regression (round-4 find, reproduced with 320/400 rank
+    inversions before the fix): when an order column has no monotone
+    numeric projection (here an array), the refinement loop used to
+    SKIP it and sub-split the same tie buckets on a LATER column —
+    but the bucket's rows still differ on the skipped column, so the
+    later column's buckets invert the global order.  The loop must
+    stop refining instead (the fat bucket stays correct via its
+    in-bucket sort)."""
+    rank = _no_skew_floor(monkeypatch)
+    n = 400
+    # heavy tie on v; the array column deliberately DISAGREES with w
+    rows = [
+        (i, 7.0 if i % 5 < 4 else float(i), [n - i], float(i % 50))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, a array<int>, w double")
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number().over(Window.orderBy("v", "a", "w", "id")).alias("rn"),
+        ).collect()
+    }
+    gr = rank.global_rank(
+        df, [("v", True), ("a", True), ("w", True), ("id", True)], num_buckets=8
+    )
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+
+
+def test_string_continuation_refines_long_shared_prefixes(spark, monkeypatch):
+    """The j44 worst case the one-level scheme could not balance: a
+    dominant cnt=1 tie class whose token strings share a LONG common
+    prefix (URL corpora, subword vocabularies).  The first 6-byte
+    window is all-equal, so refinement must CONTINUE across windows
+    (bytes 7-12, 13-18, ...) until the discriminating bytes, then
+    split — exact ranks and a tie class broken below the skew
+    threshold."""
+    rank = _no_skew_floor(monkeypatch)
+    n = 2000
+    rows = [
+        (i, 1 if i % 5 < 4 else i, f"https://site.example/{i * 37 % n:06d}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, cnt long, token string")
+    order = [("cnt", False), ("token", True), ("id", True)]
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "token", "id"))
+            .alias("rn"),
+        ).collect()
+    }
+    gr = rank.global_rank(df, order, num_buckets=8)
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+    _, by_bucket, total = rank._tag_balanced(df, order, 8, [], "t")
+    assert total == n
+    # 1600-row tie class, threshold 4 * 2000/8 = 1000: without
+    # continuation the all-equal first window left it whole
+    assert _max_bucket(by_bucket) <= 1000, sorted(
+        int(r["__cnt"]) for r in by_bucket.values()
+    )
+
+
+def test_string_continuation_exhausts_then_next_column_refines(spark, monkeypatch):
+    """Tie class whose strings are IDENTICAL (10 bytes — beyond one
+    window, so the loop walks a continuation window first): once the
+    windows are consumed the bucket is provably equal on the true
+    string and must advance to the numeric third column to balance."""
+    rank = _no_skew_floor(monkeypatch)
+    n = 1200
+    rows = [
+        (
+            i,
+            7.0 if i % 4 < 3 else float(i),
+            "tok4567890" if i % 4 < 3 else f"z{i:08d}x",
+            float((i * 13) % 101),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, s string, w double")
+    order = [("v", True), ("s", True), ("w", True), ("id", True)]
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number().over(Window.orderBy("v", "s", "w", "id")).alias("rn"),
+        ).collect()
+    }
+    gr = rank.global_rank(df, order, num_buckets=8)
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+    _, by_bucket, _ = rank._tag_balanced(df, order, 8, [], "t")
+    # the 900-row identical-string class refined on w: threshold
+    # 4 * 1200/8 = 600 < 900
+    assert _max_bucket(by_bucket) <= 600, sorted(
+        int(r["__cnt"]) for r in by_bucket.values()
+    )
