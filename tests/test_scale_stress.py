@@ -533,3 +533,50 @@ def test_multi_and_running_500k_tied_at_real_thresholds(spark):
     jj = run.where(sample).join(truth, "id")
     bad = jj.where(F.abs(F.col("c") - F.col("t")) > 1e-6).count()
     assert bad == 0
+
+
+def test_global_rank_500k_long_shared_prefix_continuation(spark):
+    """Round-4 continuation criterion at the REAL thresholds: the
+    tied mode class's string tiebreakers share a 25-byte common
+    prefix (the URL-corpus shape), so the first FOUR 6-byte windows
+    are all-equal and refinement must walk continuation windows to
+    the discriminating bytes — without continuation the one-level
+    scheme leaves the whole 250k class in a single bucket."""
+    from pyspark.sql import Window
+
+    from big_data_fknn_spark.operators.rank import _tag_balanced, global_rank
+
+    n = 500_000
+    df = (
+        spark.range(n)
+        .select(
+            "id",
+            F.when(F.col("id") % 2 == 0, F.lit(1))
+            .otherwise((F.col("id") % 4096) + 2)
+            .cast("long")
+            .alias("cnt"),
+            F.concat(
+                F.lit("https://site.example/doc-"),
+                F.md5(F.col("id").cast("string")),
+            ).alias("token"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    order = [("cnt", False), ("token", True), ("id", True)]
+
+    gr = global_rank(df, order, rank_col="r", num_buckets=32)
+    assert gr.total == n
+
+    ref = df.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "token", "id"))
+        .alias("rn"),
+    ).where(F.col("id") % 500 == 0)
+    joined = gr.df.where(F.col("id") % 500 == 0).join(ref, "id")
+    assert joined.where(F.col("r") != F.col("rn")).count() == 0
+
+    _tagged, by_bucket, total = _tag_balanced(df, order, 32, [], "cont")
+    assert total == n
+    sizes = sorted(int(r["__cnt"]) for r in by_bucket.values())
+    assert sizes[-1] <= 4 * (n / 32), f"prefix tie class survived: {sizes[-3:]}"
