@@ -493,7 +493,27 @@ def test_global_rank_fuzz_adversarial_mixes(spark, monkeypatch, seed):
     rng = random.Random(seed)
     n = 400
     rows = []
-    specials = [None, "", "aa", "ab", "aaaaaaa", "aaaaaab", "z", "étoile", "中文"]
+    specials = [
+        None,
+        "",
+        "aa",
+        "ab",
+        "aaaaaaa",
+        "aaaaaab",
+        "z",
+        "étoile",
+        "中文",
+        # continuation-window shapes: long shared prefixes differing
+        # past one (or two) 6-byte windows, embedded/trailing NULs,
+        # and a pair equal through every byte of the shorter one
+        "sharedprefix-A",
+        "sharedprefix-B",
+        "sharedprefix",
+        "sharedprefix-A-longer",
+        "nul\x00mid",
+        "nul\x00mid\x00",
+        "sharedprefix-A\x00",
+    ]
     for i in range(n):
         r = rng.random()
         if r < 0.40:
@@ -504,7 +524,7 @@ def test_global_rank_fuzz_adversarial_mixes(spark, monkeypatch, seed):
             v = float(rng.choice([1, 2, 3]))
         else:
             v = round(rng.uniform(0.0, 100.0), 3)
-        if rng.random() < 0.30:
+        if rng.random() < 0.40:
             s = rng.choice(specials)
         else:
             s = f"k{rng.randrange(40):03d}"
