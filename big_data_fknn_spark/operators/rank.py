@@ -504,6 +504,14 @@ def _refine_loop(
                 F.sum((F.octet_length(col) > off + 5).cast("long")).alias(
                     "__over"
                 ),
+                # min/max power the WINDOW JUMP: by the lexicographic
+                # sandwich property every row between a bucket's min
+                # and max shares their common byte prefix, so the
+                # driver can read off the first divergent byte and
+                # skip the all-equal windows in one hop instead of
+                # walking them 6 bytes at a time
+                F.min(col).alias("__mn"),
+                F.max(col).alias("__mx"),
             ]
 
             def ev_gate(r):
@@ -524,6 +532,49 @@ def _refine_loop(
         has_more = (
             {r[bcol]: int(r["__over"] or 0) > 0 for r in srows} if is_str else {}
         )
+        if is_str:
+            # a bucket whose window is all-equal (splits collapse to
+            # one tied value) gains nothing from a remap; when EVERY
+            # oversized bucket is like that, jump the offset straight
+            # to the first byte where some bucket's strings diverge
+            # (1 job spent on discovery instead of a remap+recount
+            # pair per 6-byte window of shared prefix)
+            def _disc(r):
+                mn, mx = r["__mn"], r["__mx"]
+                if mn is None or mx is None or mn == mx:
+                    return None
+                bmn, bmx = mn.encode("utf-8"), mx.encode("utf-8")
+                k = 0
+                lim = min(len(bmn), len(bmx))
+                while k < lim and bmn[k] == bmx[k]:
+                    k += 1
+                return k + 1  # 1-based first divergent byte
+
+            degenerate = {
+                b: (len(subsplits.get(b, ([], False))[0]) == 1
+                    and subsplits.get(b, ([], False))[1])
+                for b in oversized
+            }
+            if all(degenerate.values()):
+                disc = {r[bcol]: _disc(r) for r in srows}
+                jumps = [
+                    d for b in oversized
+                    if (d := disc.get(b)) is not None and d > off + 5
+                ]
+                if jumps:
+                    off = min(jumps)
+                    cont = True
+                    continue
+                # no bucket diverges deeper: rows are equal on the
+                # whole column (min==max, or all NULL) — PROOF of
+                # column equality, stronger than the window evidence,
+                # so these buckets also become advance-eligible
+                for b in oversized:
+                    flags[b] = True
+                level += 1
+                off = 1
+                cont = False
+                continue
         if not any(subsplits.get(b, ([], False))[0] for b in oversized):
             break  # degenerate splits: no progress possible here
         # remap: untouched buckets keep one slot; each oversized tie
