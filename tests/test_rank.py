@@ -883,3 +883,40 @@ def test_string_continuation_exhausts_then_next_column_refines(spark, monkeypatc
     assert _max_bucket(by_bucket) <= 600, sorted(
         int(r["__cnt"]) for r in by_bucket.values()
     )
+
+
+def test_window_jump_reaches_divergent_byte_within_few_stages(spark, monkeypatch):
+    """Pins the min/max window JUMP: with the stage budget clamped to
+    3, a 25-byte shared prefix can only balance if the driver jumps
+    straight to the first divergent byte — walking 6-byte windows
+    would burn 5 stages on all-equal windows first."""
+    rank = _no_skew_floor(monkeypatch)
+    monkeypatch.setattr(rank, "_MAX_REFINE_STAGES", 3)
+    n = 1500
+    rows = [
+        (
+            i,
+            1 if i % 5 < 4 else i,
+            f"https://site.example/doc-{i * 37 % n:06d}",
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, cnt long, token string")
+    order = [("cnt", False), ("token", True), ("id", True)]
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "token", "id"))
+            .alias("rn"),
+        ).collect()
+    }
+    gr = rank.global_rank(df, order, num_buckets=8)
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+    _, by_bucket, _ = rank._tag_balanced(df, order, 8, [], "t")
+    # 1200-row tie class, threshold 4 * 1500/8 = 750: balanced only
+    # if the jump landed within the 3-stage budget
+    assert _max_bucket(by_bucket) <= 750, sorted(
+        int(r["__cnt"]) for r in by_bucket.values()
+    )
