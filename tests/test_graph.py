@@ -60,14 +60,19 @@ def test_random_graphs_match_union_find(spark):
                 out[v] = m
         return out
 
-    for seed, n, m in [(1, 12, 8), (2, 30, 45), (3, 50, 20), (4, 8, 28)]:
+    for seed, n, m in [(1, 12, 8), (2, 30, 45), (3, 50, 20), (4, 8, 28), (5, 80, 120)]:
         rng = random.Random(seed)
         edges = [
             (rng.randrange(n), rng.randrange(n)) for _ in range(m)
         ]
-        edges = [(a, b) for a, b in edges if a != b]
+        # self-loops and duplicate/bidirectional edges stay IN: the
+        # operator must tolerate them (a self-loop node with no other
+        # edge is its own component)
         got = _cc(spark, edges)
-        want = union_find(n, edges)
+        want = union_find(n, [(a, b) for a, b in edges if a != b])
+        for a, b in edges:
+            if a == b and a not in want:
+                want[a] = a
         assert got == want, f"seed={seed}"
 
 
