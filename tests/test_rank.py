@@ -920,3 +920,46 @@ def test_window_jump_reaches_divergent_byte_within_few_stages(spark, monkeypatch
     assert _max_bucket(by_bucket) <= 750, sorted(
         int(r["__cnt"]) for r in by_bucket.values()
     )
+
+
+def test_multi_global_rank_string_tiebreak_continuation(spark, monkeypatch):
+    """multi_global_rank shares _refine_loop, but its per-metric tie
+    sets and flags come from the shared GROUPING SETS job — pin that
+    path with one tie-heavy metric whose string tiebreaker needs
+    window continuation (shared 9-byte prefix) and one smooth
+    metric."""
+    from big_data_fknn_spark.operators.rank import multi_global_rank
+
+    rank = _no_skew_floor(monkeypatch)
+    n = 900
+    rows = [
+        (
+            i,
+            1 if i % 3 < 2 else i,
+            f"prefix-xx{i * 31 % n:05d}",
+            float((i * 17) % 251),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, cnt long, tok string, m double")
+    out, total = multi_global_rank(
+        df,
+        [
+            ("rc", [("cnt", False), ("tok", True), ("id", True)]),
+            ("rm", [("m", True), ("id", True)]),
+        ],
+        num_buckets=8,
+    )
+    assert total == n
+    ref = df.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "tok", "id"))
+        .alias("ec"),
+        F.row_number().over(Window.orderBy("m", "id")).alias("em"),
+    )
+    j = out.join(ref, "id")
+    assert (
+        j.where((F.col("rc") != F.col("ec")) | (F.col("rm") != F.col("em"))).count()
+        == 0
+    )
