@@ -963,3 +963,38 @@ def test_multi_global_rank_string_tiebreak_continuation(spark, monkeypatch):
         j.where((F.col("rc") != F.col("ec")) | (F.col("rm") != F.col("em"))).count()
         == 0
     )
+
+
+def test_running_sum_string_tiebreak_continuation(spark, monkeypatch):
+    """global_running_agg under window continuation: the per-bucket
+    prefix sums are re-collected at every refinement remap, so a
+    tie-heavy order whose string tiebreaker needs continuation (and a
+    jump) must still produce the exact inclusive running sum."""
+    rank = _no_skew_floor(monkeypatch)
+    n = 800
+    rows = [
+        (
+            i,
+            1.0 if i % 4 < 3 else float(i),
+            f"deep/shared/prefix/{i * 23 % n:05d}",
+            float((i * 7) % 97),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, s string, m double")
+    w = Window.orderBy("v", "s", "id").rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        r["id"]: r["t"]
+        for r in df.select("id", F.sum("m").over(w).alias("t")).collect()
+    }
+    out = rank.global_running_agg(
+        df,
+        [("v", True), ("s", True), ("id", True)],
+        "m",
+        "sum",
+        out_col="c",
+        exclusive=False,
+        num_buckets=8,
+    )
+    got = {r["id"]: r["c"] for r in out.collect()}
+    assert got == pytest.approx(expect)
