@@ -39,6 +39,15 @@ def _periodic_cache_release():
         release_query_caches()
 
 
+def test_registry_frozen_at_round3_counts():
+    """The round-3 verdict froze the registry: 249 keys, 236 of them
+    value-oracled.  Accidental additions/removals (or an oracle
+    silently dropped to rows-only) should fail loudly, not drift."""
+    assert len(DEFS) == 249, len(DEFS)
+    oracled = sum(1 for d in DEFS.values() if d.oracle is not None)
+    assert oracled == 236, oracled
+
+
 @pytest.mark.parametrize("key", sorted(DEFS))
 def test_query(spark, con, key):
     d = DEFS[key]
