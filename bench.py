@@ -100,9 +100,17 @@ def main() -> None:
     # diagnostic only (no clock change): j31's construct time is the
     # connected-components rounds, each a real cluster job — record
     # how many the last run took so the number is attributable.
-    from big_data_fknn_spark.operators import graph  # noqa: E402
+    from big_data_fknn_spark.operators import graph, rank  # noqa: E402
 
-    diagnostics = {"j31_cc_rounds": graph.LAST_RUN_ROUNDS}
+    # x65 (the last headline query) is also the last rank.py caller,
+    # so LAST_REFINE_STAGES is its final metric's refinement stage
+    # count — expected 0 at bench sf: no tie bucket crosses the
+    # max(4x ideal, 10k rows) skew floor, i.e. the smooth-key fast
+    # path really runs zero extra jobs.
+    diagnostics = {
+        "j31_cc_rounds": graph.LAST_RUN_ROUNDS,
+        "x65_refine_stages": rank.LAST_REFINE_STAGES,
+    }
 
     out = {
         "metric": "headline_queries_total",
