@@ -47,3 +47,9 @@ def test_bench_emits_contract_json():
         assert t >= 0 and s["construct_s"] >= 0 and s["exec_s"] >= 0
         # split components must reassemble the combined time (rounding slop)
         assert abs((s["construct_s"] + s["exec_s"]) - t) < 0.05, (k, s, t)
+    diag = out["diagnostics"]
+    # j31 ran connected components at least once; x65's quintile keys
+    # never cross the skew floor at any bench sf, so the rank fast
+    # path must record ZERO refinement stages (extra construct jobs)
+    assert diag["j31_cc_rounds"] >= 1, diag
+    assert diag["x65_refine_stages"] == 0, diag
