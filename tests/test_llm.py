@@ -76,3 +76,65 @@ def test_reshard_is_total_and_balanced(spark):
     n_docs = t(spark, SF_DIR, "documents").count()
     assert sum(r["n_docs"] for r in rep) == n_docs
     assert all(0 <= r["shard_id"] < 32 for r in rep)
+
+
+def test_j44_vocab_refines_zipf_shared_prefix_tokens(spark, tmp_path, monkeypatch):
+    """End-to-end j44 over a synthetic Zipf corpus whose singleton
+    tokens share a long URL-style prefix — the 100 TB shape the
+    round-3 verdict flagged.  With the skew floor lowered so the
+    refinement engages at test size, token ids and coverage must
+    still match the single-partition ground truth exactly (the query
+    itself, not just the rank primitive)."""
+    import pytest as _pytest
+    from pyspark.sql import Window
+
+    from big_data_fknn_spark.operators import rank
+    from big_data_fknn_spark.queries.llm import j44_vocab_build
+
+    monkeypatch.setattr(rank, "_MIN_SKEW_ROWS", 0)
+
+    # 120 docs; each doc holds one frequent token and a handful of
+    # singleton URL tokens sharing the 21-byte prefix
+    docs = []
+    for d in range(120):
+        toks = [f"common{d % 4}"]
+        toks += [
+            f"https://site.example/{(d * 7 + j) % 997:05d}" for j in range(5)
+        ]
+        docs.append((d, " ".join(toks), "en", "synth", sum(map(len, toks))))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = j44_vocab_build(spark, sf_dir).collect()
+    got = {r["token"]: (r["token_id"], r["cnt"], r["coverage"]) for r in out}
+
+    # ground truth via a plain window over the same counts
+    from pyspark.sql import functions as FF
+
+    tok = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(FF.col("text") != "")
+        .select(FF.explode(FF.split("text", " ")).alias("token"))
+    )
+    counts = tok.groupBy("token").agg(FF.count(FF.lit(1)).alias("cnt"))
+    n_total = counts.agg(FF.sum("cnt")).first()[0]
+    w = Window.orderBy(FF.col("cnt").desc(), "token")
+    ref = counts.select(
+        "token",
+        "cnt",
+        FF.row_number().over(w).alias("token_id"),
+        FF.round(
+            FF.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            * 1.0
+            / FF.lit(float(n_total)),
+            6,
+        ).alias("coverage"),
+    ).collect()
+    want = {r["token"]: (r["token_id"], r["cnt"], r["coverage"]) for r in ref}
+    assert len(got) == len(want)
+    for tkn, (tid, cnt, cov) in want.items():
+        gtid, gcnt, gcov = got[tkn]
+        assert (gtid, gcnt) == (tid, cnt), tkn
+        assert gcov == _pytest.approx(cov, abs=1e-9), tkn
