@@ -580,3 +580,91 @@ def test_global_rank_500k_long_shared_prefix_continuation(spark):
     assert total == n
     sizes = sorted(int(r["__cnt"]) for r in by_bucket.values())
     assert sizes[-1] <= 4 * (n / 32), f"prefix tie class survived: {sizes[-3:]}"
+
+
+def test_x65_rfm_refines_tied_frequency_metric(spark, tmp_path, monkeypatch):
+    """End-to-end x65 over a synthetic orders table where 70% of
+    customers share ONE order count (the tie-heavy frequency metric
+    the round-3 verdict flagged), with the skew floor lowered so
+    multi_global_rank's refinement engages: the segment rollup must
+    match a plain three-window ntile computation exactly."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from big_data_fknn_spark.operators import rank
+    from big_data_fknn_spark.queries.analytics import x65_rfm_segmentation
+
+    monkeypatch.setattr(rank, "_MIN_SKEW_ROWS", 0)
+
+    rows = []
+    ok = 0
+    for c in range(400):
+        n_orders = 3 if c % 10 < 7 else (c % 6) + 1  # 70% tied at 3
+        for j in range(n_orders):
+            ok += 1
+            rows.append(
+                (
+                    ok,
+                    c,
+                    "O",
+                    float(((c * 37 + j * 11) % 9000) + 100) / 7.0,
+                    datetime.datetime(2024, (c + j) % 12 + 1, (c * 3 + j) % 28 + 1),
+                    "1-URGENT",
+                )
+            )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{sf_dir}/orders.parquet")
+
+    got = {
+        r["segment"]: (r["n_customers"], r["avg_monetary"], r["sample_custkey"])
+        for r in x65_rfm_segmentation(spark, sf_dir).collect()
+    }
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mx = o.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "ck",
+            F.datediff(
+                F.col("mx").cast("date"), F.col("last_order").cast("date")
+            ).alias("recency_d"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = base.select(
+        "ck",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_d").desc(), "ck"))
+        .alias("r_q"),
+        F.ntile(5).over(Window.orderBy("frequency", "ck")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy("monetary", "ck")).alias("m_q"),
+    )
+    want = {
+        r["segment"]: (r["n_customers"], r["avg_monetary"], r["sample_custkey"])
+        for r in scored.groupBy(
+            F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum("monetary").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_monetary"),
+            F.min("ck").alias("sample_custkey"),
+        )
+        .collect()
+    }
+    assert got == want
