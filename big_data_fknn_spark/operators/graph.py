@@ -45,10 +45,24 @@ LAST_RUN_ROUNDS: int = 0
 def _label_sum(labels: DataFrame):
     """Exact decimal sum of labels — the convergence fingerprint.
     decimal(38,0) cannot overflow (10⁹ nodes × 10⁹ max id ≪ 10³⁸)
-    and is exact, unlike a double sum."""
-    return labels.agg(
-        F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
-    ).first()["s"]
+    and is exact, unlike a double sum.  Any NULL label (a NULL node
+    id slipping through the edges) would poison the fingerprint —
+    ``sum`` skips NULLs, so two rounds could compare equal while the
+    NULL rows churn, and an all-NULL sum would compare None == None
+    and fake convergence after one propagation — so NULL labels
+    raise; the check rides the same O(|V|) scan."""
+    row = labels.agg(
+        F.sum(F.col("lab").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("lab").isNull() | F.col("node").isNull()).cast("long")
+        ).alias("nn"),
+    ).first()
+    if int(row["nn"] or 0):
+        raise ValueError(
+            "connected_components: NULL node ids / labels in the "
+            "propagation — edge endpoints must be non-null integers"
+        )
+    return row["s"]
 
 
 def connected_components(
@@ -69,6 +83,26 @@ def connected_components(
     returning wrong labels.
     """
     global LAST_RUN_ROUNDS
+    from pyspark.sql import types as T
+
+    # The convergence fingerprint and the min-label lattice both need
+    # node ids that survive the decimal cast exactly: a string/md5 id
+    # sums to NULL (faking convergence, caught again in _label_sum)
+    # and a fractional double can alias distinct nodes under the
+    # round-to-integer cast — so reject anything non-integral up
+    # front.  Callers with digest ids map them through a 64-bit hash
+    # (e.g. ``conv(substring(md5(x), 1, 15), 16, 10)``) first, which
+    # the dedup pipeline already does.
+    for endpoint in (src, dst):
+        dt = edges.schema[endpoint].dataType
+        if not isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"connected_components: node id column {endpoint!r} has "
+                f"type {dt.simpleString()} — integral node ids required "
+                "(map string/digest ids through a 64-bit hash first)"
+            )
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).unionByName(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     )

@@ -367,8 +367,11 @@ def _inj_evidence(df: DataFrame, col: Column, tag: str = ""):
     decimal ≤ 15 digits) or provably never (decimal > 15 digits);
     otherwise one or two tiny aggregate columns (aliased with
     ``tag`` so multi-metric jobs can carry several) plus a gate
-    reading them.  NULL rows never count as lossy: they map to ±∞ in
-    a domain no gated real value reaches."""
+    reading them.  NULL rows count as lossy only for float/double:
+    every other projection maps NULL to ±∞ in a domain no gated real
+    value reaches, but a real double -Infinity DOES reach the NULL
+    tiebreaker image (asc and desc both), so the double gate also
+    fails when NULLs coexist with real infinities."""
     from pyspark.sql import types as T
 
     dt = df.select(col.alias("__k")).schema[0].dataType
@@ -385,11 +388,19 @@ def _inj_evidence(df: DataFrame, col: Column, tag: str = ""):
         aggs = [
             F.sum(F.isnan(d).cast("long")).alias(f"__nan{tag}"),
             F.sum((F.abs(d) == float("inf")).cast("long")).alias(f"__inf{tag}"),
+            F.sum(col.isNull().cast("long")).alias(f"__nulv{tag}"),
         ]
-        # NaN's +∞ image collides only with a real ±∞ in the bucket;
-        # an all-NaN (or all-inf) tie bucket is genuinely all-equal
+        # Two lossy collisions exist for float/double, both involving
+        # a real ±∞ in the bucket: NaN's +∞ image, and NULL's ±∞
+        # tiebreaker image (``null_as_extreme`` maps NULL to -∞ asc /
+        # +∞ desc — exactly where a real -Infinity lands after the
+        # sign handling, while every other type's NULL image sits
+        # outside the reachable domain).  An all-NaN / all-inf /
+        # all-NULL tie bucket is genuinely all-equal, so only the
+        # coexistence cases fail the gate.
         return aggs, lambda r: not (
-            int(r[f"__nan{tag}"] or 0) and int(r[f"__inf{tag}"] or 0)
+            int(r[f"__inf{tag}"] or 0)
+            and (int(r[f"__nan{tag}"] or 0) or int(r[f"__nulv{tag}"] or 0))
         )
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         ind = F.unix_micros(col).between(-_EXACT_ABS, _EXACT_ABS)
@@ -568,24 +579,44 @@ def _refine_loop(
             }
             if all(degenerate.values()):
                 disc = {r[bcol]: _disc(r) for r in srows}
-                jumps = [
-                    d for b in oversized
-                    if (d := disc.get(b)) is not None and d > off + 5
+                divergent = [
+                    d for b in oversized if (d := disc.get(b)) is not None
                 ]
-                if jumps:
-                    off = min(jumps)
-                    cont = True
+                if not divergent:
+                    # NO bucket diverges anywhere: rows are equal on
+                    # the whole column (min==max, or all NULL) — PROOF
+                    # of column equality, stronger than the window
+                    # evidence, so these buckets also become
+                    # advance-eligible.  Degenerate splits alone are
+                    # NOT that proof: a value holding ~(1-1/sub_n) of
+                    # a bucket's mass collapses every percentile frac
+                    # onto itself while the remaining rows still
+                    # diverge INSIDE the current window.
+                    for b in oversized:
+                        flags[b] = True
+                    level += 1
+                    off = 1
+                    cont = False
                     continue
-                # no bucket diverges deeper: rows are equal on the
-                # whole column (min==max, or all NULL) — PROOF of
-                # column equality, stronger than the window evidence,
-                # so these buckets also become advance-eligible
-                for b in oversized:
-                    flags[b] = True
-                level += 1
-                off = 1
-                cont = False
-                continue
+                if min(divergent) > off + 5:
+                    # every divergent bucket first diverges PAST the
+                    # current window: jump straight to the earliest
+                    # divergent byte (buckets with a later one are
+                    # equal on the jumped window — still monotone;
+                    # disc=None buckets are equal on the whole
+                    # column, safe under any window).  tie_ids are
+                    # NOT remapped here, so ``cont`` must stay as-is:
+                    # on a level entered with cont=False they still
+                    # carry the previous column's evidence, and a
+                    # flags=False bucket excluded this iteration must
+                    # stay excluded on the jumped window too.
+                    off = min(divergent)
+                    continue
+                # else: some bucket diverges WITHIN the current window
+                # despite the collapsed splits (dominant-value skew).
+                # Fall through to the remap — the single tied split
+                # still separates <v / =v / >v, which is real
+                # progress for exactly those buckets.
         if not any(subsplits.get(b, ([], False))[0] for b in oversized):
             break  # degenerate splits: no progress possible here
         # remap: untouched buckets keep one slot; each oversized tie

@@ -104,3 +104,27 @@ def test_deep_chain_converges_via_pointer_jumping(spark):
     got = _cc(spark, chain)
     assert got == {i: 1 for i in range(1, 301)}
     assert graph.LAST_RUN_ROUNDS <= 16
+
+
+def test_non_integral_and_null_node_ids_rejected(spark):
+    """ADVICE r4 (low): string ids sum to NULL under the fingerprint's
+    decimal cast — the old convergence check compared None == None and
+    declared convergence after one round with wrong labels; fractional
+    doubles can alias distinct nodes under the round-to-integer cast.
+    Both are rejected up front now, and NULL endpoints raise from the
+    fingerprint scan instead of silently becoming a 'NULL node'."""
+    import pytest
+
+    from big_data_fknn_spark.operators import graph
+
+    s = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src: string, dst: string"
+    )
+    with pytest.raises(TypeError, match="integral node ids"):
+        graph.connected_components(s)
+    d = spark.createDataFrame([(1.25, 2.5)], "src: double, dst: double")
+    with pytest.raises(TypeError, match="integral node ids"):
+        graph.connected_components(d)
+    nl = spark.createDataFrame([(1, 2), (3, None)], "src: bigint, dst: bigint")
+    with pytest.raises(ValueError, match="non-null"):
+        graph.connected_components(nl)

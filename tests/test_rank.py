@@ -998,3 +998,118 @@ def test_running_sum_string_tiebreak_continuation(spark, monkeypatch):
     )
     got = {r["id"]: r["c"] for r in out.collect()}
     assert got == pytest.approx(expect)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ADVICE regressions: three driver-logic holes in the
+# refinement loop, each reproduced end-to-end against the plain
+# window truth.
+# ---------------------------------------------------------------------------
+
+
+def test_dominant_value_in_window_refines_instead_of_advancing(spark, monkeypatch):
+    """ADVICE r4 (high): percentile splits collapse to ONE tied value
+    whenever a dominant value holds ~(1-1/sub_n) of a bucket's mass —
+    which is NOT proof the bucket's strings are equal on the whole
+    column.  98% 'the' + 2% 'theZ...' diverge at byte 4, INSIDE the
+    first window; the old shortcut advanced to the id column and
+    interleaved them.  The fixed loop falls through to the remap (the
+    single tied split still separates <v / =v / >v), then proves
+    column equality on the consumed window before advancing."""
+    rank = _no_skew_floor(monkeypatch)
+    n = 2000
+    rows = []
+    for i in range(n):
+        if i % 10 < 7:  # 70% tie class on the leading key
+            s = f"theZ-{i:08d}-suffix" if i % 50 == 2 else "the"
+            rows.append((i, -1.0, s))
+        else:
+            rows.append((i, float(i), f"w{i:06d}"))
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    order = [("v", True), ("s", True), ("id", True)]
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "s", "id")).alias("rn")
+        ).collect()
+    }
+    gr = rank.global_rank(df, order, num_buckets=8)
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+    # the 'the' mode class (~1372 rows) must end up refined on id,
+    # not parked in one oversized bucket by the bogus advance
+    _, by_bucket, total = rank._tag_balanced(df, order, 8, [], "t")
+    assert total == n
+    assert _max_bucket(by_bucket) <= 4 * (n / 8), sorted(
+        int(r["__cnt"]) for r in by_bucket.values()
+    )
+
+
+def test_window_jump_keeps_flags_gate_for_lossy_buckets(spark, monkeypatch):
+    """ADVICE r4 (medium): the window JUMP does not remap tie_ids, so
+    a flags=False bucket (here: longs beyond 2^53 conflated by the
+    double projection) excluded before the jump must stay excluded
+    after it.  The old path set cont=True on the jump, which made
+    eligibility unconditional and sub-split the lossy bucket on the
+    string windows — interleaving rows that differ on the TRUE long
+    column (string order is built to conflict with long order)."""
+    rank = _no_skew_floor(monkeypatch)
+    n = 2000
+    big0, big1 = (1 << 60), (1 << 60) + 1  # equal after cast to double
+    rows = []
+    for i in range(n):
+        if i % 5 < 2:  # 40%: lossy-long class; string order CONFLICTS
+            big = big0 if i % 2 == 0 else big1
+            tail = "Z" if i % 2 == 0 else "A"
+            rows.append((i, 0.0, big, f"pppppppppppp{tail}{i:06d}"))
+        elif i % 5 < 4:  # 40%: clean class with a 12-byte shared prefix
+            rows.append((i, 1.0, 5, f"PREFIXPREFIX{i * 13 % n:06d}"))
+        else:
+            rows.append((i, 2.0 + i, int(i), f"x{i:06d}"))
+    df = spark.createDataFrame(rows, "id long, g double, big long, s string")
+    order = [("g", True), ("big", True), ("s", True), ("id", True)]
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy("g", "big", "s", "id"))
+            .alias("rn"),
+        ).collect()
+    }
+    gr = rank.global_rank(df, order, num_buckets=32)
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+
+
+def test_null_and_real_negative_infinity_tiebreak_not_conflated(spark, monkeypatch):
+    """ADVICE r4 (medium): the NULL tiebreaker image (-inf asc) is the
+    one place a REAL double value reaches it.  A tie bucket mixing
+    NULL and -Infinity rows passed the old NaN-only gate and was
+    refined on id — interleaving NULLS-FIRST rows with -inf rows.
+    The fixed gate fails on inf+NULL coexistence, so the bucket stays
+    whole (possibly oversized — the documented trade) and the
+    in-bucket sort keeps NULLs first."""
+    rank = _no_skew_floor(monkeypatch)
+    n = 2000
+    neg_inf = float("-inf")
+    rows = []
+    for i in range(n):
+        if i % 10 < 7:  # 70% tie class on the leading key
+            if i % 10 < 2:
+                d = None
+            elif i % 10 < 4:
+                d = neg_inf
+            else:
+                d = float((i * 7) % 500)
+            rows.append((i, -1.0, d))
+        else:
+            rows.append((i, float(i), float(i)))
+    df = spark.createDataFrame(rows, "id long, v double, d double")
+    order = [("v", True), ("d", True), ("id", True)]
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "d", "id")).alias("rn")
+        ).collect()
+    }
+    gr = rank.global_rank(df, order, num_buckets=32)
+    assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
