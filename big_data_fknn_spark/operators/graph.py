@@ -91,8 +91,9 @@ def connected_components(
     # and a fractional double can alias distinct nodes under the
     # round-to-integer cast — so reject anything non-integral up
     # front.  Callers with digest ids map them through a 64-bit hash
-    # (e.g. ``conv(substring(md5(x), 1, 15), 16, 10)``) first, which
-    # the dedup pipeline already does.
+    # first — note Spark's ``conv`` returns a STRING, so the cast is
+    # required: ``conv(substring(md5(x), 1, 15), 16, 10).cast("long")``
+    # — which the dedup pipeline already does.
     for endpoint in (src, dst):
         dt = edges.schema[endpoint].dataType
         if not isinstance(

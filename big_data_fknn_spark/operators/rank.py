@@ -526,6 +526,13 @@ def _refine_loop(
                 F.sum((F.octet_length(col) > off + 5).cast("long")).alias(
                     "__over"
                 ),
+                # NULL count powers the mixed-bucket check in _disc:
+                # F.min/F.max skip NULLs, so min==max alone cannot
+                # prove column equality for a bucket holding both NULL
+                # and non-null rows — those differ on THIS column
+                # (NULLS FIRST/LAST), and advancing past it would
+                # interleave them on a later column's sub-split
+                F.sum(F.isnull(col).cast("long")).alias("__nulv"),
                 # min/max power the WINDOW JUMP: by the lexicographic
                 # sandwich property every row between a bucket's min
                 # and max shares their common byte prefix, so the
@@ -563,7 +570,18 @@ def _refine_loop(
             # pair per 6-byte window of shared prefix)
             def _disc(r):
                 mn, mx = r["__mn"], r["__mx"]
-                if mn is None or mx is None or mn == mx:
+                if mn is None or mx is None:
+                    return None  # all-NULL bucket: equal on the column
+                if int(r["__nulv"] or 0) > 0:
+                    # NULL rows coexist with non-null rows: they
+                    # diverge INSIDE every window (NULL maps to ±∞ in
+                    # the remap key, a bucket no real string shares),
+                    # regardless of min==max on the non-null side.
+                    # Returning the window start blocks both the
+                    # PROOF-advance and the jump, forcing the remap —
+                    # which separates NULLs order-correctly.
+                    return off
+                if mn == mx:
                     return None
                 bmn, bmx = mn.encode("utf-8"), mx.encode("utf-8")
                 k = 0
@@ -584,7 +602,9 @@ def _refine_loop(
                 ]
                 if not divergent:
                     # NO bucket diverges anywhere: rows are equal on
-                    # the whole column (min==max, or all NULL) — PROOF
+                    # the whole column (null-free with min==max, or
+                    # all NULL — a NULL/non-null mix counts as
+                    # divergent above, since min/max skip NULLs) — PROOF
                     # of column equality, stronger than the window
                     # evidence, so these buckets also become
                     # advance-eligible.  Degenerate splits alone are

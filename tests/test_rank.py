@@ -1113,3 +1113,48 @@ def test_null_and_real_negative_infinity_tiebreak_not_conflated(spark, monkeypat
     }
     gr = rank.global_rank(df, order, num_buckets=32)
     assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
+
+
+def test_null_mixed_with_single_value_bucket_is_not_proven_equal(
+    spark, monkeypatch
+):
+    """ADVICE r5 (medium): F.min/F.max skip NULLs, so a tie bucket
+    mixing NULL strings with ONE repeated non-null value showed
+    min==max and the degenerate-splits branch declared PROOF of
+    column equality — advancing to the id column and interleaving
+    NULLS-FIRST rows with value rows.  The fixed _disc counts NULLs
+    (__nulv) and treats the NULL/value mix as divergent INSIDE the
+    window, falling through to the remap where NULL maps to ±inf and
+    separates order-correctly."""
+    rank = _no_skew_floor(monkeypatch)
+    n = 2000
+    rows = []
+    for i in range(n):
+        if i % 10 < 7:  # 70% tie class on the leading key
+            s = None if i % 33 == 0 else "the"  # ~3% NULLs + one value
+            rows.append((i, -1.0, s))
+        else:
+            rows.append((i, float(i), f"w{i:06d}"))
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    order = [("v", True), ("s", True), ("id", True)]
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "s", "id")).alias("rn")
+        ).collect()
+    }
+    for asc_s in (True, False):
+        ov = [("v", True), ("s", asc_s), ("id", True)]
+        os_ = F.col("s").asc() if asc_s else F.col("s").desc()
+        exp = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id",
+                F.row_number()
+                .over(Window.orderBy("v", os_, "id"))
+                .alias("rn"),
+            ).collect()
+        }
+        gr = rank.global_rank(df, ov, num_buckets=8)
+        got = {r["id"]: r["rank"] for r in gr.df.collect()}
+        assert got == exp, f"asc_s={asc_s}"
