@@ -62,10 +62,22 @@ HEADLINE = (
 )
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-minute system load — lets a reader adjudicate machine
+    contention without re-running the bench (absolute timings on this
+    shared host have swung ±30% round-over-round on identical code)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    load_start = _loadavg()
 
     spark = get_spark(app_name="bench")
     registry = load_all()
@@ -76,8 +88,10 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # steady-state: best of two executions per query (first run pays
-    # one-off plan compilation / codegen; production queries run hot).
+    # steady-state: best of three executions per query (first run pays
+    # one-off plan compilation / codegen; production queries run hot;
+    # min-of-3 — up from min-of-2 in r02-r05 — damps the transient
+    # machine-contention spikes that inflated r04/r05 absolutes).
     # The timer wraps plan CONSTRUCTION as well as execution: some
     # operators do real cluster work at build time (the kNN kernel's
     # chunk fetches, connected-components' localCheckpoint rounds),
@@ -86,7 +100,7 @@ def main() -> None:
     split: dict[str, dict[str, float]] = {}
     for key in HEADLINE:
         runs = []  # (total, construct, exec) per attempt
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = registry[key].fn(spark, sf_dir)
             t1 = time.perf_counter()
@@ -123,12 +137,16 @@ def main() -> None:
         # does real cluster jobs) vs final execution.
         "queries_split": split,
         "diagnostics": diagnostics,
+        # system 1/5/15-min load sampled before the warm-up and after
+        # the last query: high or rising load means the absolutes are
+        # contention-inflated and only controlled A/B deltas count.
+        "loadavg": {"start": load_start, "end": _loadavg()},
         "sf": sf,
         # round 1 timed execution only; from round 2 the timer also
         # wraps plan construction (the kNN kernel's chunk-fetch jobs
         # and connected-components' checkpoint rounds do real cluster
         # work at build time) — compare r1 numbers with that in mind.
-        "note": "timing=construct+exec min-of-2 (same as r02); r01 timed exec only; queries_split attributes construct vs exec",
+        "note": "timing=construct+exec min-of-3 (r02-r05 used min-of-2; r01 timed exec only); queries_split attributes construct vs exec; loadavg flags contention",
     }
     print(json.dumps(out))
     spark.stop()
