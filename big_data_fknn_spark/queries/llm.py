@@ -1887,62 +1887,234 @@ def j33_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- J34. fuzzy edit-dist dedup
+
+_J34_Q = 8  # shingle length (chars).  Gram LENGTH is the lever that
+# keeps buckets honest: 4-grams have a ~|alphabet|⁴ vocabulary, so
+# the corpus-wide md5-minimal grams are FREQUENT grams (' the',
+# 'tion') and unrelated docs containing them share minhash minima —
+# measured max block 542 on a 64k Zipf corpus.  8-grams push the
+# vocabulary to ~|alphabet|⁸: a shared gram now implies a shared
+# 8-char substring, so collisions mean genuine local similarity.
+_J34_NH = 24  # minhashes over prefix 8-grams
+_J34_R = 2  # rows/band → 12 bands; P(catch) ≈ 1-(1-J²)¹² per pair:
+# ≈ .98 at gram-jac .54 (an edit-dist-2 pair of 60-char prefixes),
+# ≈ 1-2e-5 at .8.
+#
+# BINNED rows (one-permutation-hashing style): row j of a band takes
+# its min over ONLY the grams whose content hash lands in bin j, not
+# over all grams.  With plain banding a single POPULAR shared gram
+# (every "<Zipf-token> w…" prefix shares one 8-gram) can win ALL r
+# rows of a band whenever its fixed md5 happens to be small — the
+# value is corpus-constant, so one lucky (hash, gram) combo captures
+# a constant FRACTION of that gram's Zipf mass into one bucket
+# (measured: a 567-doc block from md5('12#tok008 w') starting
+# '01c8…').  Disjoint bins make that structurally impossible: a
+# shared gram determines at most ONE row; the other row's min comes
+# from the doc's remaining grams, which differ across the mass.  A
+# full band key is shared only by docs sharing ≥ r grams in DISTINCT
+# bins — genuine local similarity — while near-dup recall keeps the
+# ≈ J^r per-band rate (per-bin min-match probability is ≈ J).
+
+_J34_MAXDF = 64  # stop-gram cap: grams occurring in more than this
+# many documents are dropped before minhashing.  A Zipf-shared prefix
+# REGION spawns a geometric hierarchy of semi-popular grams
+# ("tok000 w" in 17% of docs, "ok000 w2" in 1.7%, …), so even binned
+# rows can be captured together by two lucky-small (hash, gram)
+# md5s — measured: a 108-doc block from exactly that pairing.  With
+# the cap, any gram that can drive a bucket collision is shared by
+# ≤ 64 docs, so shared-gram blocks are bounded by a CONSTANT
+# independent of corpus size and Σ|block|² is provably linear
+# (lucky-event count ∝ #grams ∝ n, each contributing ≤ 64²).  Docs
+# whose every gram is that frequent are boilerplate-prefixed: their
+# pair set is output-quadratic by definition and belongs to exact /
+# whole-document dedup (j7/j8), not edit-distance blocking — they
+# emit no candidates here.
+
+# bin of a gram: first md5 hex digit mod r — cheap, content-derived,
+# identical in both engines
+_J34_BIN_SQL = (
+    "(strpos('0123456789abcdef', substr(md5('bin#' || s), 1, 1)) - 1) % {r}"
+).format(r=_J34_R)
+
+
+def _j34_minhash_sql():
+    mins = ",\n         ".join(
+        f"min(CASE WHEN bin = {i % _J34_R} THEN md5('{i}#' || s) END) AS h{i}"
+        for i in range(_J34_NH)
+    )
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({cat}) AS key FROM mh".format(
+            b=b,
+            cat=" || '|' || ".join(
+                f"coalesce(h{_J34_R * b + r}, 'x')" for r in range(_J34_R)
+            ),
+        )
+        for b in range(_J34_NH // _J34_R)
+    )
+    return mins, bands
+
+
+_J34_MINS, _J34_BANDS = _j34_minhash_sql()
+
+
+def _j34_band_table(d: DataFrame) -> DataFrame:
+    """(doc_id, prefix) → (doc_id, band, key): 8-gram shingles →
+    bin-partitioned minhash rows → one md5 band key per band.  Shared
+    by the j34 query and the Zipf block-size stress so the stress
+    measures the exact key the query joins on."""
+    tokd = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(prefix) - {_J34_Q - 1}, 1)),"
+                    f" i -> substring(prefix, i, {_J34_Q}))"
+                )
+            )
+        ).alias("s"),
+    )
+    rare = tokd.groupBy("s").count().where(F.col("count") <= _J34_MAXDF).select("s")
+    tok = tokd.join(rare, "s").withColumn(
+        "bin",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("bin#"), F.col("s"))), 1, 1), 16, 10
+        ).cast("int")
+        % _J34_R,
+    )
+    mh = tok.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("bin") == i % _J34_R,
+                    F.md5(F.concat(F.lit(f"{i}#"), F.col("s"))),
+                )
+            ).alias(f"h{i}")
+            for i in range(_J34_NH)
+        ]
+    )
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.coalesce(F.col(f"h{_J34_R * b + r}"), F.lit("x"))
+                        for r in range(_J34_R)
+                    ],
+                )
+            )
+            for b in range(_J34_NH // _J34_R)
+        ]
+    )
+    return mh.select("doc_id", F.posexplode(band_arr).alias("band", "key"))
+
+
 @register(
     "j34_fuzzy_editdist",
-    oracle="""
-WITH b AS (
-  SELECT doc_id, lang, split_part(text, ' ', 1) AS tok1,
-         substr(text, 1, 60) AS prefix
-  FROM documents
-)
-SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-       levenshtein(a.prefix, c.prefix) AS edit_dist
-FROM b a JOIN b c
-  ON a.lang = c.lang AND a.tok1 = c.tok1 AND a.doc_id < c.doc_id
-WHERE levenshtein(a.prefix, c.prefix) <= 30
+    oracle=f"""
+WITH b0 AS (
+  SELECT doc_id, lang, substr(text, 1, 60) AS prefix FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest([substr(prefix, i, {_J34_Q})
+                 for i in generate_series(1, greatest(len(prefix) - {_J34_Q - 1}, 1))]) AS s
+  FROM b0
+),
+tokd AS (
+  SELECT DISTINCT doc_id, s FROM tok
+),
+rare AS (
+  SELECT s FROM tokd GROUP BY s HAVING count(*) <= {_J34_MAXDF}
+),
+tb AS (
+  SELECT doc_id, s, {_J34_BIN_SQL} AS bin FROM tokd JOIN rare USING (s)
+),
+mh AS (
+  SELECT doc_id,
+         {_J34_MINS}
+  FROM tb GROUP BY doc_id),
+bands AS (
+{_J34_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+  FROM bands a JOIN bands c ON a.band = c.band AND a.key = c.key
+  JOIN b0 x ON x.doc_id = a.doc_id
+  JOIN b0 y ON y.doc_id = c.doc_id
+  WHERE a.doc_id < c.doc_id AND x.lang = y.lang)
+SELECT cand.i AS doc_a, cand.j AS doc_b,
+       levenshtein(x.prefix, y.prefix) AS edit_dist
+FROM cand JOIN b0 x ON x.doc_id = cand.i JOIN b0 y ON y.doc_id = cand.j
+WHERE levenshtein(x.prefix, y.prefix) <= 30
 """,
 )
 def j34_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup detection: Levenshtein over 60-char
-    document prefixes, with a (lang, first-token) blocking key so the
-    quadratic comparison runs per block, never corpus-wide — the
-    classic record-linkage shape.
+    document prefixes, with LSH blocking — character 8-gram shingles
+    of the prefix → 24 MinHashes → 12 bands of 2 → candidates share a
+    (lang, band, key) bucket → exact Levenshtein ≤ 30 verify.
 
-    Scale, measured honestly: the equi-join co-partitions blocks
-    across executors and AQE splits skewed blocks, but cost is
-    Σ|block|² and THIS synthetic corpus has a ~31-token vocabulary,
-    so block count is fixed and block size grows WITH the corpus —
-    measured sf0.01→sf0.1: max block 12→93, Σ|block|² 2710→220k
-    (quadratic), and the OUTPUT pair count is itself quadratic
-    (7→356), so no plan shape can make these semantics subquadratic.
-    The operator is scale-safe exactly when the blocking key bounds
-    block size independent of corpus size (real corpora: first token
-    is near-uniform; or tighten to lang + simhash band, see j8c)
-    before the Levenshtein pass.  Spark's thresholded
-    levenshtein(a, b, 30) was measured SLOWER than the plain DP here
-    (12.2 s vs 7.8 s at sf0.1 — per-row banding overhead), so the
-    plain form stays.  ASCII corpus → Spark's char-based and DuckDB's
-    distances agree exactly."""
+    Scale: this replaces the r2–r5 (lang, first-token) blocking key,
+    whose block sizes are Zipfian on real text (sentence-initial
+    tokens follow Zipf, so the top block grows linearly with the
+    corpus and Σ|block|² is quadratic — measured sf0.01→sf0.1: max
+    block 12→93, Σ|block|² 2710→220k).  A MinHash band key is a
+    CONTENT-DERIVED value in a ~2^128 domain: two docs share one only
+    when every per-bin minimum matches (probability ≈ gram-Jaccard²
+    per band), so bucket sizes track true near-duplicate density, not
+    corpus size — the banded shape of j8, hardened three ways: 8-char
+    grams (not 4 — see _J34_Q: short grams make FREQUENT grams the
+    md5 minima), disjoint-bin rows (see _J34_R: plain banding lets
+    one popular shared gram with a lucky-small fixed md5 capture a
+    constant fraction of its Zipf mass into one bucket), and a
+    stop-gram document-frequency cap (see _J34_MAXDF: it bounds any
+    shared-gram block by a constant, making Σ|block|² provably
+    linear in corpus size).  A fixed-
+    width SimHash band (j8c) was NOT used: its 2^bits value domain is
+    fixed, so uniform hashing alone makes blocks grow ~n/2^bits and
+    Σ|block|² stays quadratic.  Candidate recall is probabilistic by
+    design (P(catch) ≈ 1-(1-J²)¹² per pair: ≈ .98 at gram-jac .54 —
+    an edit-dist-2 pair) and BOTH engines run the identical pipeline,
+    so parity is exact.
+    Spark's thresholded levenshtein(a, b, 30) was measured SLOWER
+    than the plain DP here (12.2 s vs 7.8 s at sf0.1 — per-row
+    banding overhead), so the plain form stays.  ASCII corpus →
+    Spark's char-based and DuckDB's distances agree exactly.
+    Block-size boundedness is pinned by the Zipf-first-token stress
+    (tests/test_scale_stress.py) at two corpus scales."""
     d = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok1"),
-        F.substring("text", 1, 60).alias("prefix"),
+        "doc_id", "lang", F.substring("text", 1, 60).alias("prefix")
     )
-    a, c = d.alias("a"), d.alias("c")
-    return (
+    d = cached(d)
+    bands = _j34_band_table(d).join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "band", "key"
+    )
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
         a.join(
             c,
-            (F.col("a.lang") == F.col("c.lang"))
-            & (F.col("a.tok1") == F.col("c.tok1"))
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.key") == F.col("c.key"))
+            & (F.col("a.lang") == F.col("c.lang"))
             & (F.col("a.doc_id") < F.col("c.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = d.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    y = d.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("c.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.prefix"), F.col("c.prefix")).alias("edit_dist"),
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("pa"), F.col("pb")).alias("edit_dist"),
         )
         .where(F.col("edit_dist") <= 30)
+        .select("doc_a", "doc_b", "edit_dist")
     )
 
 

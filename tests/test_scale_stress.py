@@ -668,3 +668,106 @@ def test_x65_rfm_refines_tied_frequency_metric(spark, tmp_path, monkeypatch):
         .collect()
     }
     assert got == want
+
+
+def test_j34_lsh_blocking_bounded_on_zipf_first_tokens(spark, tmp_path):
+    """Round-4/5 verdict: the old (lang, first-token) blocking key is
+    per-block quadratic on real text because sentence-initial tokens
+    are Zipfian — the top block grows linearly with the corpus.  j34
+    now blocks on MinHash bands of the prefix's character 4-grams
+    (content-derived ~2^256 band domain), so block size must track
+    near-duplicate density, not corpus size.  This synthesizes a
+    Zipf-first-token corpus at TWO scales (4× apart) and asserts:
+    (a) the old key's top block really is huge here (the corpus has
+    the property that killed it), (b) the new key's max block stays
+    small and does NOT grow with the corpus, (c) Σ|block|² grows
+    ~linearly (quadratic would be ~16× across a 4× scale-up), and
+    (d) the full j34 query end-to-end still catches planted
+    near-duplicate prefixes (edit distance 2)."""
+    import random
+
+    from big_data_fknn_spark.queries.llm import (
+        _J34_Q,
+        _j34_band_table,
+        j34_fuzzy_editdist,
+    )
+
+    def corpus(n, planted):
+        rng = random.Random(1234)
+        # Zipf over 200 sentence-initial tokens: p(rank r) ∝ 1/r —
+        # the top token starts ~17% of all documents.
+        vocab = [f"tok{i:03d}" for i in range(200)]
+        weights = [1.0 / (r + 1) for r in range(200)]
+        rows = []
+        for i in range(n):
+            first = rng.choices(vocab, weights)[0]
+            body = " ".join(
+                f"w{rng.randrange(10**9):09d}" for _ in range(12)
+            )
+            rows.append((i, f"{first} {body}", "en"))
+        for j in range(planted):
+            text = rows[j][1]
+            # two substitutions inside the 60-char prefix → edit dist 2
+            mut = text[:25] + "XY" + text[27:]
+            rows.append((n + j, mut, "en"))
+        return rows
+
+    metrics = {}
+    for label, n in (("small", 16_000), ("large", 64_000)):
+        planted = 60
+        sf_dir = str(tmp_path / label)
+        spark.createDataFrame(
+            corpus(n, planted), "doc_id long, text string, lang string"
+        ).repartition(8).write.parquet(f"{sf_dir}/documents.parquet")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        # (a) the corpus really is Zipf-first-token: the OLD blocking
+        # key's top block is enormous at this scale
+        old_max = (
+            docs.groupBy("lang", F.split_part(F.col("text"), F.lit(" "), F.lit(1)))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
+        # new blocking key's block-size distribution, computed with
+        # the exact band table the query joins on
+        assert _J34_Q >= 8, "gram length is the frequent-gram-leak lever"
+        d = docs.select(
+            "doc_id", "lang", F.substring("text", 1, 60).alias("prefix")
+        )
+        blocks = (
+            _j34_band_table(d)
+            .groupBy("band", "key")
+            .count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.sum(F.col("count") * F.col("count")).alias("ss"),
+            )
+            .collect()[0]
+        )
+        metrics[label] = (old_max, blocks["mx"], int(blocks["ss"]))
+
+        # (d) end-to-end: every planted pair is within the 6-band
+        # recall envelope (deterministic given the fixed seed/md5)
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in j34_fuzzy_editdist(spark, sf_dir)
+            .where(F.col("doc_b") >= n)
+            .collect()
+        }
+        # the 2-char mutation kills ≤16 of ~53 8-grams → gram-jac
+        # ≈ .54 → P(catch) ≈ .98/pair; deterministic given the seed
+        caught = sum((j, n + j) in got for j in range(planted))
+        assert caught >= planted - 10, f"{label}: caught {caught}/{planted}"
+
+    (old_s, new_s, ss_s) = metrics["small"]
+    (old_l, new_l, ss_l) = metrics["large"]
+    # (a) Zipf property holds: old key's top block ~17% of corpus
+    assert old_l > 8_000, f"corpus not Zipfian enough: old max block {old_l}"
+    # (b) new key: max block small and NOT growing with the corpus
+    assert new_l <= 16, f"LSH block blowup: max block {new_l}"
+    assert new_l <= new_s + 8, f"max block grew with corpus: {new_s}->{new_l}"
+    # (c) Σ|block|² ~linear: 4× corpus must stay well under the 16×
+    # a quadratic key would show (old key: Σ|block|² ∝ n²)
+    assert ss_l <= 8 * ss_s, f"sum-of-squares superlinear: {ss_s}->{ss_l}"
