@@ -541,6 +541,12 @@ def test_temp_view_registrations_do_not_accumulate(spark):
         "x54_grouping_sets",
         "c11_lateral_topk",
         "k4_udtf",
+        # streaming demos: run_to_memory must drop its uuid-named
+        # memory-sink table (which buffers result ROWS driver-side)
+        # before returning — round-4/5 verdict item.  a6 is the plain
+        # append sink, i4 the watermarked complete-mode agg.
+        "a6_stream_source",
+        "i4_watermark",
     ]
     missing = [k for k in view_users if k not in DEFS]
     assert not missing, f"leak-test key list is stale: {missing}"
