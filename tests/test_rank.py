@@ -1158,3 +1158,150 @@ def test_null_mixed_with_single_value_bucket_is_not_proven_equal(
         gr = rank.global_rank(df, ov, num_buckets=8)
         got = {r["id"]: r["rank"] for r in gr.df.collect()}
         assert got == exp, f"asc_s={asc_s}"
+
+
+# ---------------------------------------------------------------- property fuzz
+
+def _fuzz_column(rng, kind):
+    """Generator for one order-column value of the given kind, mixing
+    a dominant tie class (to force refinement at floor 0), NULLs, and
+    the lossy-projection hazards each type carries."""
+    import decimal
+
+    if kind == "double":
+        specials = [
+            float("nan"), float("inf"), float("-inf"), None,
+            0.0, -0.0, 1e308, -1e308, 5e-324,
+        ]
+        dominant = 7.25
+
+        def gen():
+            r = rng.random()
+            if r < 0.45:
+                return dominant
+            if r < 0.60:
+                return rng.choice(specials)
+            return round(rng.uniform(-50.0, 50.0), 3)
+
+        return "double", gen
+    if kind == "long_big":
+        # beyond 2^53: a double cast is lossy, so the injectivity
+        # evidence gate must keep these in the remap path
+        base = (1 << 53) + 7
+        specials = [None, -(1 << 62), (1 << 62), base, base + 1, base + 2]
+
+        def gen():
+            r = rng.random()
+            if r < 0.45:
+                return base
+            if r < 0.60:
+                return rng.choice(specials)
+            return rng.randrange(-(1 << 61), 1 << 61)
+
+        return "long", gen
+    if kind == "decimal_wide":
+        # > 15 significant digits: lossy under double projection
+        dom = decimal.Decimal("12345678901234567.123456789012345678")
+        near = dom + decimal.Decimal("1e-18")
+
+        def gen():
+            r = rng.random()
+            if r < 0.45:
+                return dom
+            if r < 0.55:
+                return near
+            if r < 0.62:
+                return None
+            return decimal.Decimal(rng.randrange(-(10 ** 20), 10 ** 20)) / (
+                10 ** 18
+            )
+
+        return "decimal(38,18)", gen
+    if kind == "string":
+        specials = [
+            None, "", "aa", "sharedprefix", "sharedprefix-A",
+            "sharedprefix-B", "sharedprefix-A-longer", "nul\x00mid",
+            "nul\x00mid\x00", "étoile", "中文", "the",
+        ]
+
+        def gen():
+            r = rng.random()
+            if r < 0.45:
+                return "the"
+            if r < 0.65:
+                return rng.choice(specials)
+            return f"w{rng.randrange(30):02d}"
+
+        return "string", gen
+    # int_small: heavy Zipfian ties
+    def gen():
+        r = rng.random()
+        if r < 0.05:
+            return None
+        return min(int(1.0 / max(rng.random(), 1e-6)), 40)
+
+    return "int", gen
+
+
+@pytest.mark.parametrize("seed", [101, 211, 307, 401, 503])
+def test_global_rank_property_fuzz_random_schemas(spark, monkeypatch, seed):
+    """Round-5 verdict item 3: rounds 4-5 found FOUR rank-order bugs by
+    targeted adversarial thought; this is the standing randomized net.
+    Each seed generates 4 scenarios: a random 2-4-column order over a
+    random mix of hazardous types (doubles with NaN/±Inf/NULL, longs
+    beyond 2^53, >15-digit decimals, strings with NULs / shared
+    prefixes / multi-byte / NULLs, Zipf-tied ints), random asc/desc per
+    column, skew floor 0 and a small/two-level bucket count — and
+    asserts global_rank equals the plain single-partition Window truth
+    row for row.  Any counterexample should be minimized into its own
+    named regression above."""
+    import random
+
+    rank = _no_skew_floor(monkeypatch)
+    kinds = ["double", "long_big", "decimal_wide", "string", "int_small"]
+    for scenario in range(4):
+        rng = random.Random(seed * 1000 + scenario)
+        n_cols = rng.randint(2, 4)
+        cols = []
+        for ci in range(n_cols):
+            # the bucketing contract requires a numeric/date/boolean
+            # LEADING key (strings refine, they don't bucket)
+            kind = (
+                rng.choice(kinds[:3] + ["int_small"])
+                if ci == 0
+                else rng.choice(kinds)
+            )
+            dt, gen = _fuzz_column(rng, kind)
+            if ci == 0:
+                # ...and a NON-NULL leading key (contract-enforced)
+                def gen(base_gen=gen):
+                    v = base_gen()
+                    while v is None:
+                        v = base_gen()
+                    return v
+
+            cols.append((f"c{ci}", dt, gen, rng.random() < 0.5))
+        n = 300
+        rows = [
+            tuple([i] + [gen() for (_, _, gen, _) in cols]) for i in range(n)
+        ]
+        schema = "id long, " + ", ".join(f"{nm} {dt}" for nm, dt, _, _ in cols)
+        df = spark.createDataFrame(rows, schema)
+        order = [(nm, asc) for nm, _, _, asc in cols] + [("id", True)]
+        worder = [
+            (F.col(nm).asc() if asc else F.col(nm).desc()) for nm, asc in order
+        ]
+        expect = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy(*worder)).alias("rn")
+            ).collect()
+        }
+        buckets = rng.choice([4, 7, rank._TWO_LEVEL_MIN * 2])
+        gr = rank.global_rank(df, order, num_buckets=buckets)
+        got = {r["id"]: r["rank"] for r in gr.df.collect()}
+        bad = {k: (got.get(k), expect[k]) for k in expect if got.get(k) != expect[k]}
+        assert not bad, (
+            f"seed={seed} scenario={scenario} order={order} "
+            f"buckets={buckets} first_bad={sorted(bad.items())[:5]}"
+        )
