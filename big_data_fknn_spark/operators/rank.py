@@ -777,6 +777,21 @@ def global_rank(
     order column when the counts job detects skew — see the module
     docstring.  No ``Exchange SinglePartition`` anywhere
     (tests/test_plans.py asserts this).
+
+    Tuning knobs:
+
+    * ``num_buckets`` — parallelism of the final per-bucket sort;
+      defaults to ``spark.sql.shuffle.partitions``.  Size it so
+      total/num_buckets rows fit one task comfortably (the same rule
+      as any shuffle partition); above 64 splits the per-row bucket
+      lookup automatically switches to a two-level √B scheme, so
+      large B costs O(2√B) per row, not O(B).
+    * Percentile accuracy self-tunes: the split job runs
+      ``percentile_approx`` at ``max(10_000, 20·num_buckets)``, so
+      bucket-boundary error stays ≤ ~ideal/20 at any B — there is no
+      accuracy parameter to set, and approximation NEVER affects rank
+      correctness (only balance): exactness comes from counting real
+      bucket sizes, and skewed buckets are detected and refined.
     """
     n = _num_buckets(df, num_buckets)
     sum_val = _resolve(running_sum[0]) if running_sum else None
@@ -852,7 +867,9 @@ def global_running_agg(
     value combines with the literal prefix-aggregate of all EARLIER
     buckets, which is exact for any commutative/associative agg.
     Supported: ``max``, ``min``, ``sum``.  ``sum_type`` pins the
-    accumulation type for sums (see :func:`global_rank`)."""
+    accumulation type for sums; ``num_buckets`` and the self-tuned
+    percentile accuracy behave exactly as documented on
+    :func:`global_rank`."""
     fns = {"max": (F.max, F.greatest), "min": (F.min, F.least)}
     if agg not in ("sum", *fns):
         raise ValueError(
@@ -933,6 +950,9 @@ def multi_global_rank(
     need no join-back to combine the rank columns.  Tie-skew is
     checked per metric from the shared counts; only a metric that IS
     skewed pays its own refinement jobs (see module docstring).
+    ``num_buckets`` and the self-tuned percentile accuracy behave
+    exactly as documented on :func:`global_rank` (shared across all
+    specs).
 
     Returns ``(df + one rank column per spec, total_rows)``.
     """
