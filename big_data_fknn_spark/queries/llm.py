@@ -112,6 +112,20 @@ def j7_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NH = 24  # minhash functions
 _BAND_R = 2  # rows per band → 12 bands; P(catch | jac=.8) ≈ 1 - 5e-6
 _TAU = 0.5  # exact-verify threshold (corpus gap: planted pairs ≥.8, noise <.2)
+_LSH_MAXDF = 64  # stop-shingle cap on the BANDING path (j34's lesson
+# applied to whole-document LSH): every doc in a band bucket contains
+# that band's argmin shingles, so bucket size ≤ the shingles' doc
+# frequency — capping DF bounds every bucket by a CONSTANT and makes
+# Σ|bucket|² linear in the corpus.  Without it, one popular shingle
+# ("one of the") whose fixed md5 lands lucky-small for both rows of a
+# band captures an e^(-g·α) fraction of its mass into ONE bucket (g =
+# shingles/doc — short documents are the exposed case), and the exact
+# verify then does |bucket|² work.  The cap applies to candidate
+# GENERATION only; exact-Jaccard verification always uses the full
+# shingle sets.  Testdata max shingle DF is 25 (sf0.1), so outputs
+# here are byte-identical with or without the cap; docs with no
+# sub-cap shingle are boilerplate and emit no candidates (route to
+# j7 exact dedup).
 
 
 def _minhash_exprs_spark():
@@ -134,6 +148,19 @@ def _minhash_sql_arms():
 
 _MINS, _BANDS = _minhash_sql_arms()
 
+# oracle arm for the DF-capped banding path: tokf keeps only sub-cap
+# shingles; signatures built from it feed the band join
+_TOKF_CTES = f"""rare AS (
+  SELECT s FROM tok GROUP BY s HAVING count(*) <= {_LSH_MAXDF}
+),
+tokf AS (
+  SELECT tok.doc_id, tok.s FROM tok JOIN rare USING (s)
+)"""
+
+# band arms reading the capped signatures (j53 keeps full `mh` for its
+# estimator and bands from `mhf`)
+_BANDS_F = _BANDS.replace("FROM mh", "FROM mhf")
+
 
 def _lsh_candidates(spark: SparkSession, sf_dir: str):
     """Shared j8/j51 LSH front half: (exploded shingle table,
@@ -146,7 +173,13 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str):
         .select("doc_id", F.explode("sh").alias("s"))
     )
     tok = cached(tok)
-    mh = tok.groupBy("doc_id").agg(*_minhash_exprs_spark())
+    # banding path only: drop stop-shingles (df > _LSH_MAXDF) so every
+    # band bucket is bounded by a constant — see _LSH_MAXDF.  The
+    # returned tok keeps the FULL shingle sets for exact verification.
+    rare = (
+        tok.groupBy("s").count().where(F.col("count") <= _LSH_MAXDF).select("s")
+    )
+    mh = tok.join(rare, "s").groupBy("doc_id").agg(*_minhash_exprs_spark())
     band_arr = F.array(
         *[
             F.concat(F.col(f"h{_BAND_R * b}"), F.col(f"h{_BAND_R * b + 1}"))
@@ -173,10 +206,11 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str):
     oracle=f"""
 WITH {_DOC_CTES},
 tok AS (SELECT doc_id, unnest(sh) AS s FROM sh3),
+{_TOKF_CTES},
 mh AS (
   SELECT doc_id,
          {_MINS}
-  FROM tok GROUP BY doc_id),
+  FROM tokf GROUP BY doc_id),
 bands AS (
 {_BANDS}
 ),
@@ -194,13 +228,16 @@ FROM verified WHERE jac >= {_TAU}
 """,
 )
 def j8_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: 3-word shingles → 24 MinHashes (lexico-min
-    of md5 strings) → 12 LSH bands of 2 → bucket-join candidates →
-    exact Jaccard verify ≥ 0.5.
+    """Near-dup detection: 3-word shingles → stop-shingle DF cap →
+    24 MinHashes (lexico-min of md5 strings) → 12 LSH bands of 2 →
+    bucket-join candidates → exact Jaccard verify ≥ 0.5 over the FULL
+    (uncapped) shingle sets.
 
     Scale: the only joins are equi-joins on (band, key) and on the
     shingle — docs collide only when a band matches, so cost tracks
-    true duplicate density, not |docs|².  Shingle ARRAYS never move:
+    true duplicate density, not |docs|², and the DF cap bounds every
+    band bucket by a constant (see _LSH_MAXDF; pinned by the
+    popular-shingle stress in tests/test_scale_stress.py).  Shingle ARRAYS never move:
     the exploded (doc, shingle) table is cached once and both the
     minhash signatures and the exact verify (inverted-index
     intersection count over candidate pairs only) derive from it.
@@ -2730,10 +2767,11 @@ def j50_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_DOC_CTES},
 tok AS (SELECT doc_id, unnest(sh) AS s FROM sh3),
+{_TOKF_CTES},
 mh AS (
   SELECT doc_id,
          {_MINS}
-  FROM tok GROUP BY doc_id),
+  FROM tokf GROUP BY doc_id),
 bands AS (
 {_BANDS}
 ),
@@ -2877,12 +2915,17 @@ _J53_MATCH_TERMS = " + ".join(
     oracle=f"""
 WITH {_DOC_CTES},
 tok AS (SELECT doc_id, unnest(sh) AS s FROM sh3),
+{_TOKF_CTES},
 mh AS (
   SELECT doc_id,
          {_MINS}
   FROM tok GROUP BY doc_id),
+mhf AS (
+  SELECT doc_id,
+         {_MINS}
+  FROM tokf GROUP BY doc_id),
 bands AS (
-{_BANDS}
+{_BANDS_F}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j

@@ -771,3 +771,92 @@ def test_j34_lsh_blocking_bounded_on_zipf_first_tokens(spark, tmp_path):
     # (c) Σ|block|² ~linear: 4× corpus must stay well under the 16×
     # a quadratic key would show (old key: Σ|block|² ∝ n²)
     assert ss_l <= 8 * ss_s, f"sum-of-squares superlinear: {ss_s}->{ss_l}"
+
+
+def test_j8_stop_shingle_cap_bounds_band_buckets(spark, tmp_path):
+    """j34's lesson applied to whole-document LSH (j8/j51/j53): a
+    POPULAR shingle whose fixed md5 lands lucky-small for both rows
+    of a band captures a constant fraction of its mass into one
+    bucket, and the exact verify then does |bucket|² work.  The
+    shingle here is pre-searched so md5('0#s') and md5('1#s') both
+    sit in the smallest ~0.8% of hash space (the lucky event, made
+    deterministic), and is planted in 30% of a 12k-doc corpus of
+    SHORT documents (20 words — small shingle count is the exposed
+    regime).  Asserts the uncapped banding really does blow up on
+    this corpus, and the shipped DF-capped pipeline (a) keeps every
+    band bucket ≤ _LSH_MAXDF as proven in its comment (every bucket
+    doc contains the band's argmin shingles, so bucket ≤ DF), and
+    (b) still catches planted near-duplicate pairs."""
+    import random
+
+    from big_data_fknn_spark.queries.llm import (
+        _LSH_MAXDF,
+        _lsh_candidates,
+        _minhash_exprs_spark,
+        _BAND_R,
+        _NH,
+    )
+
+    # md5('0#pop44924 of the') = 0077…, md5('1#…') = 00b5… (band 0)
+    pop = "pop44924 of the"
+    rng = random.Random(77)
+    n = 12_000
+    rows = []
+    for i in range(n):
+        words = [f"w{rng.randrange(10**8):08d}" for _ in range(20)]
+        if i % 10 < 3:  # 30% carry the popular shingle
+            at = rng.randrange(0, 18)
+            words[at : at + 3] = pop.split(" ")
+        rows.append((i, " ".join(words), "en"))
+    # 40 planted near-dup pairs (one word changed → jac ≈ .9)
+    for j in range(40):
+        w = rows[j][1].split(" ")
+        w[10] = "zz_mut"
+        rows.append((n + j, " ".join(w), "en"))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").repartition(
+        8
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    tok, cand = _lsh_candidates(spark, sf_dir)
+
+    # (a) the hazard is real: UNCAPPED banding on the same shingle
+    # table concentrates the popular-shingle mass into one bucket
+    mh_uncapped = tok.groupBy("doc_id").agg(*_minhash_exprs_spark())
+    band_arr = F.array(
+        *[
+            F.concat(F.col(f"h{_BAND_R * b}"), F.col(f"h{_BAND_R * b + 1}"))
+            for b in range(_NH // _BAND_R)
+        ]
+    )
+    uncapped_max = (
+        mh_uncapped.select(F.posexplode(band_arr).alias("band", "key"))
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert uncapped_max > 1_000, (
+        f"adversarial corpus lost its teeth: uncapped max bucket {uncapped_max}"
+    )
+
+    # (b) shipped pipeline: every band bucket bounded by the DF cap
+    rare = tok.groupBy("s").count().where(F.col("count") <= _LSH_MAXDF).select("s")
+    capped_max = (
+        tok.join(rare, "s")
+        .groupBy("doc_id")
+        .agg(*_minhash_exprs_spark())
+        .select(F.posexplode(band_arr).alias("band", "key"))
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert capped_max <= _LSH_MAXDF, f"bucket bound violated: {capped_max}"
+
+    # (c) recall survives the cap: planted pairs are still candidates
+    planted = cand.where(
+        (F.col("doc_j") - F.col("doc_i") == n) & (F.col("doc_i") < 40)
+    ).count()
+    assert planted >= 38, f"planted recall dropped: {planted}/40"
+    tok.unpersist()
