@@ -292,10 +292,18 @@ def j8b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A qualifying pair shares ≥ 1 shingle, so this is EXACTLY the
     naive all-pairs result, but work scales with Σ_shingle df²
-    (shingle collision mass, ≈ duplicate density) instead of
-    |docs|² — the all-pairs cross join stops completing at sf0.1,
-    this runs in ~1 s.  The same shape shards cleanly at 100 TB: the
-    join shuffles on the shingle hash."""
+    (shingle collision mass) instead of |docs|² — the all-pairs
+    cross join stops completing at sf0.1, this runs in ~1 s.  Cost
+    honesty: on real Zipfian text Σ df² is dominated by FREQUENT
+    shingles ("one of the"), and exact semantics require counting
+    them — a pair sharing only frequent shingles still contributes
+    to |∩|, so no stop-shingle cap is admissible here (unlike j8's
+    candidate generation, which IS capped).  This is the exact
+    ground-truth baseline, run on samples/shards like j8d; the
+    corpus-scale path is j8, and the known exact-join optimization
+    (prefix filtering: index each doc's rarest shingles only, bound
+    |∩| for the rest) trades this simplicity for it.  The join
+    shuffles on the shingle hash, so it shards cleanly either way."""
     sh = cached(_docs_with_shingles(spark, sf_dir))
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     tok = sh.select("doc_id", F.explode("sh").alias("s"))
