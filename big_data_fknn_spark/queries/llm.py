@@ -148,13 +148,15 @@ def _minhash_sql_arms():
 
 _MINS, _BANDS = _minhash_sql_arms()
 
-# oracle arm for the DF-capped banding path: tokf keeps only sub-cap
-# shingles; signatures built from it feed the band join
-_TOKF_CTES = f"""rare AS (
-  SELECT s FROM tok GROUP BY s HAVING count(*) <= {_LSH_MAXDF}
+# oracle arm for the DF-capped banding path: tokf drops stop-shingles
+# via an anti-join against the FREQUENT set — the Zipf head, the small
+# side (≤ instances/cap entries), which Spark broadcasts at scale;
+# joining against the rare set would ship the whole vocabulary
+_TOKF_CTES = f"""freq AS (
+  SELECT s FROM tok GROUP BY s HAVING count(*) > {_LSH_MAXDF}
 ),
 tokf AS (
-  SELECT tok.doc_id, tok.s FROM tok JOIN rare USING (s)
+  SELECT tok.doc_id, tok.s FROM tok ANTI JOIN freq USING (s)
 )"""
 
 # band arms reading the capped signatures (j53 keeps full `mh` for its
@@ -176,10 +178,21 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str):
     # banding path only: drop stop-shingles (df > _LSH_MAXDF) so every
     # band bucket is bounded by a constant — see _LSH_MAXDF.  The
     # returned tok keeps the FULL shingle sets for exact verification.
-    rare = (
-        tok.groupBy("s").count().where(F.col("count") <= _LSH_MAXDF).select("s")
+    # Anti-join against the FREQUENT set: it is the Zipf head — the
+    # small side in practice (vs the rare set = the whole
+    # vocabulary), so AQE converts this to a broadcast anti-join at
+    # runtime when its actual size allows, keeping tok's doc_id
+    # partitioning for the signature groupBy; when a pathological
+    # corpus makes the head big, the shuffle anti-join is the right
+    # plan anyway — no hint, the optimizer decides from real sizes.
+    freq = (
+        tok.groupBy("s").count().where(F.col("count") > _LSH_MAXDF).select("s")
     )
-    mh = tok.join(rare, "s").groupBy("doc_id").agg(*_minhash_exprs_spark())
+    mh = (
+        tok.join(freq, "s", "left_anti")
+        .groupBy("doc_id")
+        .agg(*_minhash_exprs_spark())
+    )
     band_arr = F.array(
         *[
             F.concat(F.col(f"h{_BAND_R * b}"), F.col(f"h{_BAND_R * b + 1}"))
@@ -2019,8 +2032,10 @@ def _j34_band_table(d: DataFrame) -> DataFrame:
             )
         ).alias("s"),
     )
-    rare = tokd.groupBy("s").count().where(F.col("count") <= _J34_MAXDF).select("s")
-    tok = tokd.join(rare, "s").withColumn(
+    # anti-join against the frequent set (the small Zipf head; AQE
+    # broadcasts it when runtime size allows — see _lsh_candidates)
+    freq = tokd.groupBy("s").count().where(F.col("count") > _J34_MAXDF).select("s")
+    tok = tokd.join(freq, "s", "left_anti").withColumn(
         "bin",
         F.conv(
             F.substring(F.md5(F.concat(F.lit("bin#"), F.col("s"))), 1, 1), 16, 10
@@ -2070,11 +2085,11 @@ tok AS (
 tokd AS (
   SELECT DISTINCT doc_id, s FROM tok
 ),
-rare AS (
-  SELECT s FROM tokd GROUP BY s HAVING count(*) <= {_J34_MAXDF}
+freq AS (
+  SELECT s FROM tokd GROUP BY s HAVING count(*) > {_J34_MAXDF}
 ),
 tb AS (
-  SELECT doc_id, s, {_J34_BIN_SQL} AS bin FROM tokd JOIN rare USING (s)
+  SELECT doc_id, s, {_J34_BIN_SQL} AS bin FROM tokd ANTI JOIN freq USING (s)
 ),
 mh AS (
   SELECT doc_id,

@@ -571,7 +571,13 @@ _HEADLINE_SHUFFLE_BOUNDS = {
     "i1_tumbling": 1,
     "j1_knn_crisp": 1,        # BLAS kernel: broadcast + one agg
     "j3_fknn_stage2": 8,
-    "j8_dedup_near": 11,      # minhash bands + verify joins
+    "j8_dedup_near": 15,      # minhash bands + verify joins; +4 in
+    # round 6 for the stop-shingle DF cap (count-by-shingle agg +
+    # static SMJ anti-join + re-shuffle to doc_id) — a deliberate
+    # linear pass that bounds every band bucket by a constant; at
+    # runtime AQE converts the anti-join to broadcast when the
+    # frequent set is small, collapsing most of the extra exchanges
+    # (measured: sf0.1 exec 0.4-0.5 s, within noise of pre-cap)
     "j9_sim_search": 1,
     "j9b_sim_search_ivf": 3,  # cluster assign + equi-join + topk
     "j10_text_tfidf": 4,
