@@ -535,6 +535,15 @@ def j40_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     more bits per band → sharper buckets.  4×8 keeps the candidate
     mass ~1-2% of all pairs on this corpus while catching the same
     high-cosine pairs j8d certifies exhaustively.
+
+    Scale honesty: a b-bit band code lives in a FIXED 2^b domain, so
+    for spread-out embeddings bucket sizes grow ~n/2^b — bits per
+    band must scale with log₂(n) to keep buckets constant (8 bits
+    fits this corpus; ~2·log₂(n/target) at fleet scale).  Unlike the
+    text-minhash keys (j8/j34), sign patterns admit no unbounded
+    content-derived domain, so widening the code (and multi-probing
+    for recall) IS the standard mitigation — the bits knob is a
+    module constant, not a rebuild.
     """
     e = embeddings_d(spark, sf_dir)
     pos = e.select("vec_id", F.posexplode("emb").alias("p0", "x")).select(
