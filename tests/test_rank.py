@@ -1305,3 +1305,130 @@ def test_global_rank_property_fuzz_random_schemas(spark, monkeypatch, seed):
             f"seed={seed} scenario={scenario} order={order} "
             f"buckets={buckets} first_bad={sorted(bad.items())[:5]}"
         )
+
+
+@pytest.mark.parametrize("seed", [613, 701, 809])
+def test_multi_global_rank_property_fuzz(spark, monkeypatch, seed):
+    """The multi-metric path (shared splits aggregate + GROUPING SETS
+    counts + per-metric refinement) under the same randomized net as
+    global_rank: 2-3 random specs over random hazardous-type columns,
+    each rank column checked against its own plain-Window truth."""
+    import random
+
+    rank = _no_skew_floor(monkeypatch)
+    kinds = ["double", "long_big", "decimal_wide", "string", "int_small"]
+    for scenario in range(2):
+        rng = random.Random(seed * 1000 + scenario)
+        # build a pool of 4 columns; specs draw their orders from it
+        cols = []
+        for ci in range(4):
+            kind = (
+                rng.choice(kinds[:3] + ["int_small"])
+                if ci < 2
+                else rng.choice(kinds)
+            )
+            dt, gen = _fuzz_column(rng, kind)
+            if ci < 2:
+                def gen(base_gen=gen):
+                    v = base_gen()
+                    while v is None:
+                        v = base_gen()
+                    return v
+
+            cols.append((f"c{ci}", dt, gen))
+        n = 300
+        rows = [tuple([i] + [gen() for (_, _, gen) in cols]) for i in range(n)]
+        schema = "id long, " + ", ".join(f"{nm} {dt}" for nm, dt, _ in cols)
+        df = spark.createDataFrame(rows, schema)
+        n_specs = rng.randint(2, 3)
+        specs = []
+        for si in range(n_specs):
+            lead = f"c{si % 2}"  # non-null numeric leading keys
+            extra = rng.sample(["c2", "c3"], rng.randint(0, 2))
+            order = [(lead, rng.random() < 0.5)] + [
+                (c, rng.random() < 0.5) for c in extra
+            ] + [("id", True)]
+            specs.append((f"r{si}", order))
+        out, total = rank.multi_global_rank(
+            df, specs, num_buckets=rng.choice([4, rank._TWO_LEVEL_MIN * 2])
+        )
+        assert total == n
+        got_rows = {r["id"]: r for r in out.collect()}
+        for name, order in specs:
+            worder = [
+                (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in order
+            ]
+            expect = {
+                r["id"]: r["rn"]
+                for r in df.select(
+                    "id", F.row_number().over(Window.orderBy(*worder)).alias("rn")
+                ).collect()
+            }
+            bad = {
+                k: (got_rows[k][name], expect[k])
+                for k in expect
+                if got_rows[k][name] != expect[k]
+            }
+            assert not bad, (
+                f"seed={seed} scenario={scenario} spec={name} order={order} "
+                f"first_bad={sorted(bad.items())[:5]}"
+            )
+
+
+@pytest.mark.parametrize("seed", [907, 1013])
+def test_global_running_agg_property_fuzz(spark, monkeypatch, seed):
+    """The running-aggregate path (in-bucket window + literal
+    prefix-aggregate of earlier buckets) under the randomized net:
+    random order, random agg in {max,min,sum}, exclusive and
+    inclusive, vs the plain-Window truth."""
+    import random
+
+    rank = _no_skew_floor(monkeypatch)
+    for scenario in range(3):
+        rng = random.Random(seed * 1000 + scenario)
+        _, lead_gen = _fuzz_column(rng, rng.choice(["double", "int_small"]))
+
+        def lead():
+            v = lead_gen()
+            while v is None:
+                v = lead_gen()
+            return float(v)  # int_small yields ints; schema says double
+
+        _, sgen = _fuzz_column(rng, "string")
+        n = 250
+        rows = [
+            (i, lead(), sgen(), float(rng.randrange(-100, 100)))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, v double, s string, val double")
+        agg = rng.choice(["max", "min", "sum"])
+        exclusive = rng.random() < 0.5
+        asc_v, asc_s = rng.random() < 0.5, rng.random() < 0.5
+        order = [("v", asc_v), ("s", asc_s), ("id", True)]
+        out = rank.global_running_agg(
+            df,
+            order,
+            "val",
+            agg,
+            out_col="run",
+            exclusive=exclusive,
+            num_buckets=rng.choice([4, 16]),
+        )
+        worder = [
+            F.col("v").asc() if asc_v else F.col("v").desc(),
+            F.col("s").asc() if asc_s else F.col("s").desc(),
+            F.col("id").asc(),
+        ]
+        hi = -1 if exclusive else 0
+        w = Window.orderBy(*worder).rowsBetween(Window.unboundedPreceding, hi)
+        fn = {"max": F.max, "min": F.min, "sum": F.sum}[agg]
+        expect = {
+            r["id"]: r["want"]
+            for r in df.select("id", fn("val").over(w).alias("want")).collect()
+        }
+        got = {r["id"]: r["run"] for r in out.collect()}
+        bad = {k: (got.get(k), expect[k]) for k in expect if got.get(k) != expect[k]}
+        assert not bad, (
+            f"seed={seed} scenario={scenario} agg={agg} excl={exclusive} "
+            f"asc=({asc_v},{asc_s}) first_bad={sorted(bad.items())[:5]}"
+        )
