@@ -2341,7 +2341,8 @@ WITH tok AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
   FROM documents WHERE text <> ''
 ),
-tr_doc AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 <> 0),
+tr_doc AS (SELECT doc_id, lang FROM documents
+           WHERE text <> '' AND doc_id % 5 <> 0),
 tr_tok AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
 classes AS (
   SELECT lang AS cls, ln(count(*) * 1.0 / (SELECT count(*) FROM tr_doc)) AS prior
@@ -2360,7 +2361,8 @@ lik AS (
 dflt AS (
   SELECT t.cls, ln(1.0 / (t.tot_c + vs.v)) AS l0 FROM tot t CROSS JOIN vsize vs
 ),
-te_doc AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0),
+te_doc AS (SELECT doc_id, lang FROM documents
+           WHERE text <> '' AND doc_id % 5 = 0),
 te_tok AS (SELECT doc_id, w FROM tok WHERE doc_id % 5 = 0),
 seen AS (
   SELECT tt.doc_id, l.cls, sum(l.l) AS s

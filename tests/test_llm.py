@@ -138,3 +138,54 @@ def test_j44_vocab_refines_zipf_shared_prefix_tokens(spark, tmp_path, monkeypatc
         gtid, gcnt, gcov = got[tkn]
         assert (gtid, gcnt) == (tid, cnt), tkn
         assert gcov == _pytest.approx(cov, abs=1e-9), tkn
+
+
+def test_text_keys_parity_on_empty_and_duplicated_docs(spark, tmp_path):
+    """Round-6 adversarial-data parity sweep found j42's ONLY
+    cross-engine split: the oracle's tr_doc/te_doc CTEs omitted the
+    ``text <> ''`` filter the Spark side applies first, so an
+    empty-text document counted toward the oracle's class priors but
+    not Spark's — invisible on clean testdata (which has no empty
+    texts), a systematic prior offset on real corpora.  Pins the
+    empty-text + duplicated-doc corpus for every key that filters
+    empty documents (j42, j44, x47)."""
+    import duckdb
+
+    from big_data_fknn_spark.queries import load_all
+    from tests.oracle import df_canon
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (9000001, "", "en", "adv", 0),
+            (9000002, " ", "en", "adv", 1),
+            (9000003, "a", "de", "adv", 1),
+            (9000004, "the the the the the the", "en", "adv", 23),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    dup = src.where(F.col("doc_id") % 4 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    sf_dir = str(tmp_path)
+    src.unionByName(dup).unionByName(extra).coalesce(2).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+
+    reg = load_all()
+    con = duckdb.connect()
+    # Spark writes the table as a directory of part files
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    for key in ("j42_naive_bayes", "j44_vocab_build", "x47_training_export"):
+        pdf = reg[key].fn(spark, sf_dir).toPandas()
+        opdf = con.sql(reg[key].oracle).df()
+        scols, srows = df_canon(pdf)
+        ocols, orows = df_canon(opdf)
+        assert scols == ocols, key
+        assert srows == orows, (
+            f"{key}: {len(srows)}/{len(orows)} rows, first diff "
+            f"{next((a, b) for a, b in zip(srows, orows) if a != b) if len(srows) == len(orows) else ''}"
+        )
