@@ -687,7 +687,8 @@ def _tag_balanced(
     n: int,
     extra_aggs: list[Column],
     err_prefix: str,
-) -> tuple[DataFrame, dict, int]:
+    raise_on_null: bool = True,
+) -> tuple[DataFrame, dict, int, int]:
     """Tag ``df`` with a balanced ``_BUCKET`` column (splits job +
     counts job + skew refinement when needed) and return ``(tagged,
     per-bucket agg Rows keyed by bucket id, total rows)``.  The counts
@@ -718,6 +719,10 @@ def _tag_balanced(
     counts = recount(tagged)
     n_null = sum(int(r["__nulls"] or 0) for r in state["rows"].values())
     if n_null:
+        if not raise_on_null:
+            # caller handles NULL leading keys (global_rank splits and
+            # recurses) — skip refinement, the tagging is discarded
+            return tagged, state["rows"], sum(counts.values()), n_null
         raise ValueError(
             f"{err_prefix}: leading order key has {n_null} NULL row(s) — "
             "range bucketing requires a non-null leading key (filter or "
@@ -735,7 +740,7 @@ def _tag_balanced(
     tagged, _ = _refine_loop(tagged, _BUCKET, order, n, counts, tie_ids, recount)
     rows_by_bucket = state["rows"]
     total = sum(int(r["__cnt"]) for r in rows_by_bucket.values())
-    return tagged, rows_by_bucket, total
+    return tagged, rows_by_bucket, total, 0
 
 
 @dataclass(frozen=True)
@@ -743,6 +748,122 @@ class GlobalRank:
     df: DataFrame
     total: int  # total row count (driver-known, from the bucket counts)
     running_total: object = None  # grand total of ``running_sum``, if requested
+
+
+def _rank_with_null_leading(
+    df: DataFrame,
+    order: list[tuple[Column | str, bool]],
+    *,
+    rank_col: str,
+    num_buckets: int | None,
+    running_sum: tuple[Column | str, str] | None,
+    sum_type: str | None,
+) -> GlobalRank:
+    """Spark window semantics for a NULL leading key — NULLS FIRST
+    ascending, NULLS LAST descending: the NULL slice (all equal on
+    the leading key) is ranked by the REMAINING order columns, the
+    non-null slice by the full order, and the two rank ranges
+    concatenate with a driver-literal offset.  Running sums compose
+    the same way: the second slice adds the first slice's grand
+    total.  Costs two sub-ranks instead of one — paid only when NULL
+    leading keys actually exist (detected for free in the counts
+    job)."""
+    leading, lead_asc = order[0]
+    lead = _resolve(leading)
+    tail = order[1:]
+    if not tail:
+        raise ValueError(
+            "global_rank: leading order key has NULL rows and no further "
+            "order columns — a total order needs a non-null tiebreaker"
+        )
+    kw = dict(
+        rank_col=rank_col,
+        num_buckets=num_buckets,
+        running_sum=running_sum,
+        sum_type=sum_type,
+    )
+    gr_null = global_rank(df.where(lead.isNull()), tail, **kw)
+    gr_main = global_rank(df.where(lead.isNotNull()), order, **kw)
+    first, second = (gr_null, gr_main) if lead_asc else (gr_main, gr_null)
+    return _stitch(first, second, rank_col, running_sum, sum_type)
+
+
+def _stitch(
+    first: GlobalRank,
+    second: GlobalRank,
+    rank_col: str,
+    running_sum: tuple[Column | str, str] | None,
+    sum_type: str | None,
+) -> GlobalRank:
+    """Concatenate two ranked slices: the second slice's ranks shift
+    by the first's driver-known total, and its inclusive running sum
+    adds the first's grand total."""
+    sdf = second.df
+    if first.total:
+        sdf = sdf.withColumn(
+            rank_col, F.col(rank_col) + F.lit(first.total).cast("long")
+        )
+    running_total = None
+    if running_sum is not None:
+        out_name = running_sum[1]
+        ft, st = first.running_total, second.running_total
+        if ft is not None:
+            pre = F.lit(ft).cast(sum_type) if sum_type else F.lit(ft)
+            sdf = sdf.withColumn(
+                out_name,
+                F.when(F.col(out_name).isNull(), pre).otherwise(
+                    F.col(out_name) + pre
+                ),
+            )
+        running_total = (
+            st if ft is None else (ft if st is None else ft + st)
+        )
+    return GlobalRank(
+        first.df.unionByName(sdf), first.total + second.total, running_total
+    )
+
+
+def _rank_string_leading(
+    df: DataFrame,
+    order: list[tuple[Column | str, bool]],
+    *,
+    rank_col: str,
+    num_buckets: int | None,
+    running_sum: tuple[Column | str, str] | None,
+    sum_type: str | None,
+) -> GlobalRank:
+    """String LEADING keys, supported since round 6 by prepending the
+    monotone 6-byte binary-prefix code (_bucket_key's string
+    projection) as a derived numeric leading column: ordering by
+    (code, s, …) equals ordering by (s, …) since the code is
+    monotone in s, the code is never NULL for a non-null string, and
+    a prefix-tied code bucket sub-splits on s itself through the
+    existing string-continuation refinement.  NULL strings are split
+    off first (Spark placement: FIRST ascending / LAST descending)
+    and ranked by the remaining order columns."""
+    (s_col, s_asc), tail = order[0], order[1:]
+    s = _resolve(s_col)
+    if not tail:
+        raise ValueError(
+            "global_rank: string leading order key needs a further order "
+            "column — a total order needs a tiebreaker"
+        )
+    kw = dict(
+        rank_col=rank_col,
+        num_buckets=num_buckets,
+        running_sum=running_sum,
+        sum_type=sum_type,
+    )
+    gr_null = global_rank(df.where(s.isNull()), tail, **kw)
+    main = df.where(s.isNotNull())
+    tmp = "__gr_strlead_code"
+    aug = main.withColumn(tmp, _bucket_key(main, s, s_asc, allow_string=True))
+    gr_main = global_rank(aug, [(tmp, True), *order], **kw)
+    gr_main = GlobalRank(
+        gr_main.df.drop(tmp), gr_main.total, gr_main.running_total
+    )
+    first, second = (gr_null, gr_main) if s_asc else (gr_main, gr_null)
+    return _stitch(first, second, rank_col, running_sum, sum_type)
 
 
 def global_rank(
@@ -761,6 +882,15 @@ def global_rank(
     order (unique tiebreaker last).  Returns the tagged DataFrame
     plus the driver-known total row count, which lets
     ntile/percent_rank be pure literal arithmetic on the rank.
+
+    Since round 6 the leading key may be NULL-bearing (the NULL slice
+    ranks by the remaining order columns and takes Spark's window
+    placement — FIRST ascending, LAST descending; detected for free
+    in the counts job, the split costs two sub-ranks only when NULLs
+    exist) and may be a STRING (bucketed via the monotone 6-byte
+    prefix code; prefix-tied buckets sub-split on the string itself
+    through the continuation refinement).  Unprojectable types
+    (array/struct) still fail loudly.
 
     ``running_sum=(value_col, out_name)`` additionally emits the
     INCLUSIVE running sum of ``value_col`` in rank order — same
@@ -793,12 +923,37 @@ def global_rank(
       correctness (only balance): exactness comes from counting real
       bucket sizes, and skewed buckets are detected and refined.
     """
+    from pyspark.sql import types as T
+
+    if isinstance(
+        df.select(_resolve(order[0][0]).alias("__k")).schema[0].dataType,
+        T.StringType,
+    ):
+        return _rank_string_leading(
+            df,
+            order,
+            rank_col=rank_col,
+            num_buckets=num_buckets,
+            running_sum=running_sum,
+            sum_type=sum_type,
+        )
     n = _num_buckets(df, num_buckets)
     sum_val = _resolve(running_sum[0]) if running_sum else None
     if sum_val is not None and sum_type:
         sum_val = sum_val.cast(sum_type)
     extra = [F.sum(sum_val).alias("__sum")] if sum_val is not None else []
-    tagged, by_bucket, total = _tag_balanced(df, order, n, extra, "global_rank")
+    tagged, by_bucket, total, n_null = _tag_balanced(
+        df, order, n, extra, "global_rank", raise_on_null=False
+    )
+    if n_null:
+        return _rank_with_null_leading(
+            df,
+            order,
+            rank_col=rank_col,
+            num_buckets=num_buckets,
+            running_sum=running_sum,
+            sum_type=sum_type,
+        )
     nb = (max(by_bucket) + 1) if by_bucket else 1
     counts = [int(by_bucket[b]["__cnt"]) if b in by_bucket else 0 for b in range(nb)]
     offsets, run = [], 0
@@ -880,7 +1035,7 @@ def global_running_agg(
     if agg == "sum" and sum_type:
         val = val.cast(sum_type)
     agg_fn = F.sum if agg == "sum" else fns[agg][0]
-    tagged, by_bucket, _total = _tag_balanced(
+    tagged, by_bucket, _total, _ = _tag_balanced(
         df, order, n, [agg_fn(val).alias("__v")], "global running agg"
     )
     nb = (max(by_bucket) + 1) if by_bucket else 1

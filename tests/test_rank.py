@@ -139,12 +139,47 @@ def test_plan_has_no_single_partition_exchange(spark):
     assert not single_partition_window_feeds(plan)
 
 
-def test_null_leading_key_raises(spark):
-    df = spark.createDataFrame(
-        [(0, 1.0), (1, None), (2, 3.0)], "id long, v double"
+def test_null_leading_key_ranks_like_spark_window(spark):
+    """Round 6: global_rank handles NULL leading keys by splitting —
+    the NULL slice ranks by the remaining order columns and occupies
+    the FIRST positions ascending / LAST descending, exactly Spark's
+    window placement.  global_running_agg keeps the loud contract
+    (callers there pre-filter with documented semantics)."""
+    rows = [(0, 1.0), (1, None), (2, 3.0), (3, None), (4, 2.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    for asc in (True, False):
+        ov = F.col("v").asc() if asc else F.col("v").desc()
+        expect = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy(ov, "id")).alias("rn")
+            ).collect()
+        }
+        gr = global_rank(df, [("v", asc), ("id", True)], num_buckets=2)
+        assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect, asc
+        assert gr.total == len(rows)
+    # running sums compose across the NULL/non-NULL slices
+    gr = global_rank(
+        df,
+        [("v", True), ("id", True)],
+        running_sum=("id", "cum"),
+        sum_type="decimal(30,10)",
+        num_buckets=2,
     )
-    with pytest.raises(ValueError, match="NULL"):
-        global_rank(df, [("v", True), ("id", True)], num_buckets=2)
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    expect_cum = {
+        r["id"]: float(r["c"])
+        for r in df.select(
+            "id", F.sum(F.col("id").cast("decimal(30,10)")).over(w).alias("c")
+        ).collect()
+    }
+    got_cum = {r["id"]: float(r["cum"]) for r in gr.df.collect()}
+    assert got_cum == expect_cum
+    assert float(gr.running_total) == float(sum(r[0] for r in rows))
+    # a NULL leading key with NO further order column cannot be ranked
+    only_v = spark.createDataFrame([(None,), (1.0,)], "v double")
+    with pytest.raises(ValueError, match="tiebreaker"):
+        global_rank(only_v, [("v", True)], num_buckets=2)
     with pytest.raises(ValueError, match="NULL"):
         global_running_agg(
             df, [("v", False), ("id", True)], "v", "sum", exclusive=False
@@ -217,10 +252,33 @@ def test_timestamp_and_date_leading_keys_bucket_correctly(spark):
     assert {r["id"]: r["rank"] for r in grd.df.collect()} == expectd
 
 
-def test_string_leading_key_rejected(spark):
-    df = spark.createDataFrame([(0, "a"), (1, "b")], "id long, s string")
-    with pytest.raises(TypeError, match="monotone numeric"):
-        global_rank(df, [("s", True), ("id", True)], num_buckets=2)
+def test_string_leading_key_ranks_like_spark_window(spark):
+    """Round 6: string LEADING keys are supported — global_rank
+    prepends the monotone 6-byte prefix code as the bucketing column
+    (ordering by (code, s, …) equals ordering by (s, …)), with NULL
+    strings split to Spark's window placement.  Shared prefixes,
+    NULs, multi-byte UTF-8, empty strings and NULLs all ride along;
+    the only rejection left is a string key with no tiebreaker."""
+    vals = [
+        "a", "b", None, "", "sharedprefix-A", "sharedprefix-B",
+        "sharedprefix", "sharedprefix-A-longer", "nul\x00mid", "étoile",
+        "中文", "the", "the", None, "a",
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, s string"
+    )
+    for asc in (True, False):
+        os_ = F.col("s").asc() if asc else F.col("s").desc()
+        expect = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy(os_, "id")).alias("rn")
+            ).collect()
+        }
+        gr = global_rank(df, [("s", asc), ("id", True)], num_buckets=3)
+        assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect, asc
+    with pytest.raises(ValueError, match="tiebreaker"):
+        global_rank(df, [("s", True)], num_buckets=2)
 
 
 def test_ntile_from_rank_exhaustive_grid(spark):
@@ -342,7 +400,7 @@ def test_tie_refinement_exact_and_balanced_numeric_tiebreak(spark, monkeypatch):
         ).collect()
     }
     assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
-    tagged, by_bucket, total = rank._tag_balanced(df, order, 8, [], "t")
+    tagged, by_bucket, total, _ = rank._tag_balanced(df, order, 8, [], "t")
     assert total == n
     assert _max_bucket(by_bucket) <= 4 * (n / 8), sorted(
         int(r["__cnt"]) for r in by_bucket.values()
@@ -381,7 +439,7 @@ def test_tie_refinement_string_tiebreaker_with_nulls(spark, monkeypatch, tie_asc
         ).collect()
     }
     assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
-    tagged, by_bucket, total = rank._tag_balanced(df, order, 8, [], "t")
+    tagged, by_bucket, total, _ = rank._tag_balanced(df, order, 8, [], "t")
     assert total == n
     assert _max_bucket(by_bucket) <= 4 * (n / 8), sorted(
         int(r["__cnt"]) for r in by_bucket.values()
@@ -408,7 +466,7 @@ def test_tie_refinement_two_levels_deep(spark, monkeypatch):
         ).collect()
     }
     assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
-    tagged, by_bucket, total = rank._tag_balanced(df, order, 6, [], "t")
+    tagged, by_bucket, total, _ = rank._tag_balanced(df, order, 6, [], "t")
     assert _max_bucket(by_bucket) <= 4 * (n / 6), sorted(
         int(r["__cnt"]) for r in by_bucket.values()
     )
@@ -591,7 +649,7 @@ def test_boolean_leading_key_and_timestamp_tiebreak_refinement(spark, monkeypatc
         ).collect()
     }
     assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
-    tagged, by_bucket, total = rank._tag_balanced(df, order, 6, [], "t")
+    tagged, by_bucket, total, _ = rank._tag_balanced(df, order, 6, [], "t")
     assert total == n
     assert _max_bucket(by_bucket) <= 4 * (n / 6), sorted(
         int(r["__cnt"]) for r in by_bucket.values()
@@ -717,7 +775,7 @@ def test_lossy_projection_tie_buckets_are_not_refined(spark, monkeypatch):
     assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
     # and it actually refined: the 160-row NaN class must not sit in
     # one bucket (threshold 4 * 200/8 = 100 < 160 with the floor at 0)
-    tagged, by_bucket, _ = rank._tag_balanced(
+    tagged, by_bucket, _, _ = rank._tag_balanced(
         df3, [("v", True), ("w", True), ("id", True)], 8, [], "t"
     )
     assert _max_bucket(by_bucket) < 160
@@ -752,7 +810,7 @@ def test_decimal_leading_key_tie_refinement_and_gate(spark, monkeypatch):
     order = [("v", True), ("w", True), ("id", True)]
     gr = rank.global_rank(df, order, num_buckets=8)
     assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
-    _, by_bucket, total = rank._tag_balanced(df, order, 8, [], "t")
+    _, by_bucket, total, _ = rank._tag_balanced(df, order, 8, [], "t")
     assert total == n
     # the 240-row tie class refined: threshold 4 * 400/8 = 200 < 240
     assert _max_bucket(by_bucket) < 240, sorted(
@@ -779,7 +837,7 @@ def test_decimal_leading_key_tie_refinement_and_gate(spark, monkeypatch):
     }
     gr30 = rank.global_rank(df30, order, num_buckets=8)
     assert {r["id"]: r["rank"] for r in gr30.df.collect()} == expect30
-    _, by_bucket30, _ = rank._tag_balanced(df30, order, 8, [], "t")
+    _, by_bucket30, _, _ = rank._tag_balanced(df30, order, 8, [], "t")
     # gate blocked refinement: the 240-row tie class stays one bucket
     assert _max_bucket(by_bucket30) >= 240
 
@@ -841,7 +899,7 @@ def test_string_continuation_refines_long_shared_prefixes(spark, monkeypatch):
     }
     gr = rank.global_rank(df, order, num_buckets=8)
     assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
-    _, by_bucket, total = rank._tag_balanced(df, order, 8, [], "t")
+    _, by_bucket, total, _ = rank._tag_balanced(df, order, 8, [], "t")
     assert total == n
     # 1600-row tie class, threshold 4 * 2000/8 = 1000: without
     # continuation the all-equal first window left it whole
@@ -877,7 +935,7 @@ def test_string_continuation_exhausts_then_next_column_refines(spark, monkeypatc
     }
     gr = rank.global_rank(df, order, num_buckets=8)
     assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
-    _, by_bucket, _ = rank._tag_balanced(df, order, 8, [], "t")
+    _, by_bucket, _, _ = rank._tag_balanced(df, order, 8, [], "t")
     # the 900-row identical-string class refined on w: threshold
     # 4 * 1200/8 = 600 < 900
     assert _max_bucket(by_bucket) <= 600, sorted(
@@ -914,7 +972,7 @@ def test_window_jump_reaches_divergent_byte_within_few_stages(spark, monkeypatch
     }
     gr = rank.global_rank(df, order, num_buckets=8)
     assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
-    _, by_bucket, _ = rank._tag_balanced(df, order, 8, [], "t")
+    _, by_bucket, _, _ = rank._tag_balanced(df, order, 8, [], "t")
     # 1200-row tie class, threshold 4 * 1500/8 = 750: balanced only
     # if the jump landed within the 3-stage budget
     assert _max_bucket(by_bucket) <= 750, sorted(
@@ -1037,7 +1095,7 @@ def test_dominant_value_in_window_refines_instead_of_advancing(spark, monkeypatc
     assert {r["id"]: r["rank"] for r in gr.df.collect()} == expect
     # the 'the' mode class (~1372 rows) must end up refined on id,
     # not parked in one oversized bucket by the bogus advance
-    _, by_bucket, total = rank._tag_balanced(df, order, 8, [], "t")
+    _, by_bucket, total, _ = rank._tag_balanced(df, order, 8, [], "t")
     assert total == n
     assert _max_bucket(by_bucket) <= 4 * (n / 8), sorted(
         int(r["__cnt"]) for r in by_bucket.values()
@@ -1264,22 +1322,13 @@ def test_global_rank_property_fuzz_random_schemas(spark, monkeypatch, seed):
         n_cols = rng.randint(2, 4)
         cols = []
         for ci in range(n_cols):
-            # the bucketing contract requires a numeric/date/boolean
-            # LEADING key (strings refine, they don't bucket)
-            kind = (
-                rng.choice(kinds[:3] + ["int_small"])
-                if ci == 0
-                else rng.choice(kinds)
-            )
+            # any kind may lead since round 6: strings bucket via the
+            # prefix-code path, NULL leading keys split
+            kind = rng.choice(kinds)
             dt, gen = _fuzz_column(rng, kind)
-            if ci == 0:
-                # ...and a NON-NULL leading key (contract-enforced)
-                def gen(base_gen=gen):
-                    v = base_gen()
-                    while v is None:
-                        v = base_gen()
-                    return v
-
+            # NULL leading keys are allowed since round 6 (the split
+            # path) — the fuzz generators include them, exercising
+            # both slices plus the rank-offset stitch
             cols.append((f"c{ci}", dt, gen, rng.random() < 0.5))
         n = 300
         rows = [

@@ -427,7 +427,7 @@ def test_global_rank_500k_tied_leading_key_balanced_and_exact(spark):
 
     # (b) final bucket balance at real thresholds: the 250k tie class
     # must have been sub-split on the token prefix code
-    _tagged, by_bucket, total = _tag_balanced(df, order, 32, [], "stress")
+    _tagged, by_bucket, total, _ = _tag_balanced(df, order, 32, [], "stress")
     assert total == n
     sizes = sorted(int(r["__cnt"]) for r in by_bucket.values())
     assert sizes[-1] <= 4 * (n / 32), f"tie-bucket skew survived: {sizes[-3:]}"
@@ -576,7 +576,7 @@ def test_global_rank_500k_long_shared_prefix_continuation(spark):
     joined = gr.df.where(F.col("id") % 500 == 0).join(ref, "id")
     assert joined.where(F.col("r") != F.col("rn")).count() == 0
 
-    _tagged, by_bucket, total = _tag_balanced(df, order, 32, [], "cont")
+    _tagged, by_bucket, total, _ = _tag_balanced(df, order, 32, [], "cont")
     assert total == n
     sizes = sorted(int(r["__cnt"]) for r in by_bucket.values())
     assert sizes[-1] <= 4 * (n / 32), f"prefix tie class survived: {sizes[-3:]}"
