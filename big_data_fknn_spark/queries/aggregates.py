@@ -213,7 +213,7 @@ def d8_weighted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d9/d10 reuse the crisp-kNN prediction CTE chain from queries/ml.py.
 _KNN_PRED_CTES = """
 emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
-train AS (SELECT * FROM emb WHERE vec_id % 5 <> 0),
+train AS (SELECT * FROM emb WHERE vec_id % 5 <> 0 AND label IS NOT NULL),
 test AS (SELECT * FROM emb WHERE vec_id % 5 = 0),
 pairs AS (
   SELECT t.vec_id AS q, t.label AS label, r.vec_id AS n, r.label AS n_label,
@@ -281,8 +281,8 @@ def d10_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d17_auc",
     oracle=f"""
 WITH {_KNN_PRED_CTES},
-classes AS (SELECT DISTINCT label AS cls FROM emb),
-tq AS (SELECT DISTINCT q, label FROM votes),
+classes AS (SELECT DISTINCT label AS cls FROM emb WHERE label IS NOT NULL),
+tq AS (SELECT DISTINCT q, label FROM votes WHERE label IS NOT NULL),
 dense AS (
   SELECT t.q, t.label, c.cls, coalesce(v.cnt, 0) AS score
   FROM tq t CROSS JOIN classes c
@@ -346,8 +346,15 @@ def d17_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_label").alias("label"),
         F.col("n_label").alias("cls"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    # AUC needs labeled ground truth (unlabeled test points have no
+    # pos/neg identity) and a NULL "class" is not a class — both
+    # filters are no-ops on the clean testdata
+    votes = votes.where(F.col("label").isNotNull())
     classes = (
-        embeddings_d(spark, sf_dir).select(F.col("label").alias("cls")).distinct()
+        embeddings_d(spark, sf_dir)
+        .where(F.col("label").isNotNull())
+        .select(F.col("label").alias("cls"))
+        .distinct()
     )
     from big_data_fknn_spark.operators.metrics import dense_vote_scores, ovr_auc
 
@@ -701,7 +708,8 @@ def d20_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH li AS (
   SELECT l_returnflag AS flag, l_extendedprice AS x,
          CAST(l_quantity AS DECIMAL(38,10)) AS w
-  FROM lineitem),
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
 cum AS (
   SELECT flag, x,
          sum(w) OVER (PARTITION BY flag ORDER BY x
@@ -726,10 +734,20 @@ def d21_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     d13's percentile_approx: this is the EXACT path — at 100 TB you
     run it per group only when exactness is demanded; the window
     sort is the cost (same as any exact quantile)."""
-    li = t(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("x"),
-        F.col("l_quantity").cast(DEC).alias("w"),
+    # a row without a value can't rank, one without a weight can't
+    # weigh — and a NULL x in the window ORDER BY would also sit at
+    # opposite ends in Spark (NULLS FIRST) vs the oracle (NULLS LAST)
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("x"),
+            F.col("l_quantity").cast(DEC).alias("w"),
+        )
     )
     wcum = (
         Window.partitionBy("flag")

@@ -1907,24 +1907,32 @@ def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = rollup(o.where(F.col("o_orderdate") < cutoff))
     delta = rollup(o.where(F.col("o_orderdate") >= cutoff))
+    # null-safe equality on the group key: a NULL status is a real
+    # group (SQL GROUP BY makes one), so the merge must match it
+    # across base and delta rather than emitting two half-rows
     merged = base.alias("b").join(
-        delta.alias("d"), ["mon", "status"], "full_outer"
+        delta.alias("d"),
+        F.col("b.mon").eqNullSafe(F.col("d.mon"))
+        & F.col("b.status").eqNullSafe(F.col("d.status")),
+        "full_outer",
     )
     zero = F.lit(0).cast(DEC)
+    # SUM over an all-NULL group is NULL, and the merge must preserve
+    # that (coalescing both sides to 0 would turn NULL into 0.0 and
+    # break merged == recomputed)
+    rev = F.when(
+        F.col("b.rev_dec").isNull() & F.col("d.rev_dec").isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce(F.col("b.rev_dec"), zero) + F.coalesce(F.col("d.rev_dec"), zero)
+    )
     return merged.select(
-        "mon",
-        "status",
+        F.coalesce(F.col("b.mon"), F.col("d.mon")).alias("mon"),
+        F.coalesce(F.col("b.status"), F.col("d.status")).alias("status"),
         (
             F.coalesce(F.col("b.n_orders"), F.lit(0))
             + F.coalesce(F.col("d.n_orders"), F.lit(0))
         ).alias("n_orders"),
-        F.round(
-            F.coalesce(F.col("b.rev_dec"), zero)
-            + F.coalesce(F.col("d.rev_dec"), zero),
-            6,
-        )
-        .cast("double")
-        .alias("revenue"),
+        F.round(rev, 6).cast("double").alias("revenue"),
     )
 
 
@@ -2199,7 +2207,7 @@ _EWMA_W = 20
 WITH ev AS (
   SELECT user_id, event_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 win AS (
   SELECT user_id, event_id, rn,
          list(struct_pack(rn := rn, v := value))
@@ -2237,7 +2245,15 @@ def x49_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from big_data_fknn_spark.tables import events_t
 
-    e = events_t(spark, sf_dir).select("user_id", "event_id", "value", "ts")
+    # EWMA is over OBSERVED values: a NULL observation neither
+    # contributes a term nor consumes a window slot (DuckDB's
+    # list_sum would skip it while Spark's decimal fold would NULL
+    # the whole sum — filtering keeps both engines on one meaning)
+    e = (
+        events_t(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value", "ts")
+    )
     wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = e.withColumn("rn", F.row_number().over(wr)).drop("ts")
     wl = (
@@ -2703,7 +2719,8 @@ WITH pts AS (
          max(p_size) OVER (ORDER BY p_retailprice, p_partkey
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS best_size_cheaper
-  FROM part)
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
 SELECT p_partkey, p_retailprice, p_size
 FROM pts
 WHERE best_size_cheaper IS NULL OR p_size > best_size_cheaper
@@ -2727,7 +2744,14 @@ def x57_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SinglePartition`` as a bare ``Window.orderBy`` would.
     d-dimensional skylines partition on one dimension and merge
     per-partition frontiers the same way."""
-    p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    # dominance needs both coordinates observed: a NULL price or size
+    # can neither dominate nor be dominated, so those points are out
+    # of the frontier computation entirely
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
     run = global_running_agg(
         p,
         [("p_retailprice", True), ("p_partkey", True)],
@@ -3126,7 +3150,7 @@ WITH obs AS (
   SELECT user_id, epoch_us(ts) // 3600000000 AS t,
          CAST(round((sum(CAST(value AS DECIMAL(38,10)))::DOUBLE / count(*))
                     * 1000000, 0) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
 span AS (
   SELECT user_id, min(t) AS mn, max(t) AS mx FROM obs GROUP BY user_id),
 grid AS (
@@ -3188,7 +3212,10 @@ def x63_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     are provably unreachable here.)"""
     from big_data_fknn_spark.tables import events_t
 
-    e = events_t(spark, sf_dir)
+    # an hourly mean is over OBSERVED values: NULL readings neither
+    # enter the numerator nor the denominator, and an hour with no
+    # real reading is a GAP to interpolate, not an 'obs' bucket
+    e = events_t(spark, sf_dir).where(F.col("value").isNotNull())
     hour = (F.unix_micros("ts") / 3_600_000_000).cast("long")
     obs = (
         e.select("user_id", hour.alias("t"), "value")

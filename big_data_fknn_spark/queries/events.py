@@ -779,11 +779,24 @@ def _i15_track(key, pdf_iter, state):
             )
         types = [last_type] + types
     last = ev.iloc[-1]
-    state.update((int(last["ts_us"]), int(last["event_id"]), str(last["event_type"])))
+    last_type = last["event_type"]
+    # carry a missing type as a real NULL — str() would smuggle the
+    # string 'None' into the next batch's transition pairs
+    state.update(
+        (
+            int(last["ts_us"]),
+            int(last["event_id"]),
+            None if pd.isna(last_type) else str(last_type),
+        )
+    )
     if len(types) < 2:
         return
     counts: dict = {}
     for a, b in zip(types, types[1:]):
+        if b is None or pd.isna(b):
+            continue  # no destination type → no transition (oracle:
+            # WHERE dst IS NOT NULL); a NULL SRC still counts
+        a = None if pd.isna(a) else a
         counts[(a, b)] = counts.get((a, b), 0) + 1
     yield pd.DataFrame(
         [
@@ -1004,7 +1017,7 @@ _I18_THRESH = 2.5
 WITH ev AS (
   SELECT user_id, event_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 win AS (
   SELECT user_id, event_id, value,
          sum(CAST(value AS DECIMAL(38,10))) OVER w AS s1,
@@ -1086,7 +1099,10 @@ def i18_stream_zscore_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         if out:
             yield pd.DataFrame(out)
 
-    s = events_stream(spark, sf_dir)
+    # the rolling moments are over OBSERVED values: a NULL reading
+    # neither fills a window slot nor can be scored (mirrored in the
+    # oracle's WHERE; it would also NaN the Decimal accumulation)
+    s = events_stream(spark, sf_dir).where(F.col("value").isNotNull())
     flagged = s.groupBy("user_id").applyInPandasWithState(
         track, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

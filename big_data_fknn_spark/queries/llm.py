@@ -874,15 +874,24 @@ def j12b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _fake_decode(batches):
         for pdf in batches:
+            # a NULL payload decodes to NULL metadata (a real decoder
+            # would dead-letter it) — matches the oracle's md5(NULL)
             digests = [
-                hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
+                hashlib.md5(bytes(p)).hexdigest() if p is not None else None
+                for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": [64 + int(h[0:2], 16) % 192 for h in digests],
-                    "height": [64 + int(h[2:4], 16) % 192 for h in digests],
-                    "n_frames": [1 + int(h[4:5], 16) % 8 for h in digests],
+                    "width": [
+                        64 + int(h[0:2], 16) % 192 if h else None for h in digests
+                    ],
+                    "height": [
+                        64 + int(h[2:4], 16) % 192 if h else None for h in digests
+                    ],
+                    "n_frames": [
+                        1 + int(h[4:5], 16) % 8 if h else None for h in digests
+                    ],
                 }
             )
 
@@ -914,7 +923,9 @@ def _lang_sql_scores():
 @register(
     "j13_lang_id",
     oracle=f"""
-WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+WITH docs AS (SELECT doc_id, lang,
+                     string_split(coalesce(text, ''), ' ') AS w
+              FROM documents),
 scores AS (
   SELECT doc_id, lang,
          {_lang_sql_scores()}
@@ -938,7 +949,14 @@ def j13_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     word soup for every `lang` value, so predictions ≈ 'en'/'unk' —
     the operator (and its oracle parity) is the deliverable, the
     fixture has no real signal to recover."""
-    d = t(spark, sf_dir, "documents").select("doc_id", "lang", tokens("text").alias("w"))
+    # NULL text = zero tokens → every marker count 0 → 'unk' (a NULL
+    # array would instead NULL the counts, and SQL UNPIVOT silently
+    # drops NULL cells — the doc would vanish from the oracle)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        tokens(F.coalesce(F.col("text"), F.lit(""))).alias("w"),
+    )
     w = F.col("w")
     scored = d.select(
         "doc_id",
@@ -1378,7 +1396,8 @@ def j21_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j22_doc_chunk",
     oracle="""
-WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH docs AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+              FROM documents),
 st AS (SELECT doc_id, w,
               unnest(generate_series(1, greatest(len(w), 1), 48)) AS s
        FROM docs)
@@ -1400,7 +1419,12 @@ def j22_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no UDF, rows grow by ~len/stride.  The same plan at
     100 TB is embarrassingly parallel and the output is what you'd
     feed a tokenizer fleet."""
-    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    # NULL text = the empty document (one empty chunk) — a NULL token
+    # array would NULL the chunk hash in Spark but not in the oracle
+    # (concat_ws skips NULLs, array_to_string propagates them)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("w")
+    )
     starts = F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(48))
     chunk = F.slice(F.col("w"), F.col("s"), 64)
     return (

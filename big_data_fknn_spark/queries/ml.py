@@ -27,7 +27,7 @@ K = 5
 # 80/20 split on vec_id — bit-identical inputs in both engines.
 EMB_CTES = """
 emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
-train AS (SELECT * FROM emb WHERE vec_id % 5 <> 0),
+train AS (SELECT * FROM emb WHERE vec_id % 5 <> 0 AND label IS NOT NULL),
 test AS (SELECT * FROM emb WHERE vec_id % 5 = 0)
 """
 
@@ -240,7 +240,7 @@ def j6_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb, label, vec_id % 5 AS fold
-  FROM embeddings
+  FROM embeddings WHERE label IS NOT NULL
 ),
 p AS (
   SELECT a.vec_id AS q, a.fold AS fold, a.label AS label,
@@ -283,8 +283,13 @@ def j25_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vote tiebreak: max count, then smallest class id (never engine
     ``mode()`` — SURVEY.md SS7.3).
     """
-    emb = embeddings_d(spark, sf_dir).withColumn(
-        "fold", F.col("vec_id") % 5
+    # labeled rows only: unlabeled vectors can neither vote nor be
+    # scored, and a NULL vote class makes the argmax tiebreak
+    # engine-dependent (no-op on the clean testdata)
+    emb = (
+        embeddings_d(spark, sf_dir)
+        .where(F.col("label").isNotNull())
+        .withColumn("fold", F.col("vec_id") % 5)
     )
     cached(emb)
     per_fold = [
@@ -487,7 +492,8 @@ def j41_knn_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j43_enn_wilson",
     oracle=f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+             FROM embeddings WHERE label IS NOT NULL),
 p AS (
   SELECT a.vec_id AS q, a.label AS label, b.vec_id AS n, b.label AS n_label,
          list_distance(a.emb, b.emb) AS d
@@ -522,7 +528,9 @@ def j43_enn_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the kernel, k rows per point leave each executor.  The
     edited corpus is the kept=1 slice; downstream kNN over it is
     strictly cheaper."""
-    emb = embeddings_d(spark, sf_dir)
+    # ENN edits a LABELED corpus: unlabeled rows can't vote and have
+    # no keep/remove identity (no-op on the clean testdata)
+    emb = embeddings_d(spark, sf_dir).where(F.col("label").isNotNull())
     knn = knn_join_blas(
         emb,
         emb,

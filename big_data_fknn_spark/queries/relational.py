@@ -946,9 +946,9 @@ def h8_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h9_map_fns",
     oracle="""
 SELECT event_id,
-       len(json_keys(props)) AS n_keys,
-       json_extract_string(props, '$.k')::INT AS k_val,
-       CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+       len(json_keys(coalesce(props, '{}'))) AS n_keys,
+       json_extract_string(coalesce(props, '{}'), '$.k')::INT AS k_val,
+       CASE WHEN json_extract_string(coalesce(props, '{}'), '$.k') IS NOT NULL
             THEN 1 ELSE 0 END AS has_k,
        1 AS tag_val
 FROM events
@@ -965,7 +965,9 @@ def h9_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine uses.  Scale: all scan-stage scalar expressions, one
     pass, whole-stage codegen, no shuffle."""
     e = t(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,int>")
+    # absent props = empty map (NULL would otherwise flow asymmetric
+    # defaults: Spark's NULL map vs the oracle's CASE/LEN scalars)
+    m = F.from_json(F.coalesce(F.col("props"), F.lit("{}")), "map<string,int>")
     tagged = F.map_concat(m, F.create_map(F.lit("tag"), F.lit(1)))
     return e.select(
         "event_id",
@@ -1320,8 +1322,8 @@ def h13_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT doc_id,
-         list_sort(list_distinct(string_split(text, ' ')))[1:40] AS w,
-         list_sort(list_distinct(string_split(reverse(text), ' ')))[1:40] AS z
+         list_sort(list_distinct(string_split(coalesce(text, ''), ' ')))[1:40] AS w,
+         list_sort(list_distinct(string_split(reverse(coalesce(text, '')), ' ')))[1:40] AS z
   FROM documents WHERE doc_id <= 300
 )
 SELECT doc_id,
@@ -1348,12 +1350,22 @@ def h14_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             # sort before slicing: Spark keeps first-occurrence order
             # after distinct, DuckDB doesn't — a sorted prefix is the
-            # only 40-element truncation both engines agree on
+            # only 40-element truncation both engines agree on.
+            # NULL text coalesces to '' so the set columns stay
+            # non-null (a NULL array would NULL the overlap booleans)
             F.slice(
-                F.array_sort(F.array_distinct(F.split("text", " "))), 1, 40
+                F.array_sort(
+                    F.array_distinct(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+                ),
+                1,
+                40,
             ).alias("w"),
             F.slice(
-                F.array_sort(F.array_distinct(F.split(F.reverse("text"), " "))),
+                F.array_sort(
+                    F.array_distinct(
+                        F.split(F.reverse(F.coalesce(F.col("text"), F.lit(""))), " ")
+                    )
+                ),
                 1,
                 40,
             ).alias("z"),
@@ -1401,7 +1413,14 @@ def h15_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels"),
         F.repeat(F.substring("p_name", 1, 2), 3).alias("name_echo"),
         F.reverse("p_name").alias("name_rev"),
-        F.printf(F.lit("%s/%d"), "p_brand", "p_size").alias("brand_size"),
+        # NULL-in-NULL-out: Java's format renders a NULL int as the
+        # string 'null' while SQL printf propagates NULL — guard so
+        # both engines agree
+        F.when(
+            F.col("p_brand").isNull() | F.col("p_size").isNull(), F.lit(None)
+        )
+        .otherwise(F.printf(F.lit("%s/%d"), "p_brand", "p_size"))
+        .alias("brand_size"),
         F.ascii("p_name").alias("first_code"),
         F.instr("p_brand", "rand").alias("rand_pos"),
         F.replace("p_type", F.lit("O"), F.lit("0")).alias("type_leet"),
@@ -1443,7 +1462,9 @@ def h16_try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(round(round(value, 3) * 1000, 0) AS BIGINT)) AS BIGINT) AS value_millis
-FROM events GROUP BY event_type
+FROM events
+WHERE event_type IS NOT NULL AND value IS NOT NULL
+GROUP BY event_type
 """,
 )
 def a14_text_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1469,12 +1490,17 @@ def a14_text_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "value",
     )
-    t(spark, sf_dir, "events").select(line.alias("value")).write.mode(
-        "overwrite"
-    ).text(out)
+    # NULL fields can't ride a syslog line (Java formats them as the
+    # string 'null', which is indistinguishable from a real token) —
+    # exclude them at write time, mirrored in the oracle's WHERE
+    t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(line.alias("value")).write.mode("overwrite").text(out)
     back = spark.read.text(out)
     rx = r"^(\d+) (\w+) user=(\d+) value=(-?\d+\.\d{3})$"
-    parsed = back.select(
+    # quarantine any line the pattern can't parse instead of feeding
+    # '' to an ANSI cast (no-op here; the dead-letter route at scale)
+    parsed = back.where(F.col("value").rlike(rx)).select(
         F.regexp_extract("value", rx, 2).alias("event_type"),
         F.regexp_extract("value", rx, 4).cast("double").alias("v"),
     )
@@ -1625,6 +1651,11 @@ def a15_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dead-letter sink, the standard ingest topology."""
     out = _tmp_path("a15_corrupt_jsonl")
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    # a NULL lang serializes as JSON null (concat would otherwise
+    # NULL the whole line and silently drop the row from the fixture)
+    lang_json = F.coalesce(
+        F.concat(F.lit('"'), F.col("lang"), F.lit('"')), F.lit("null")
+    )
     line = F.when(
         F.col("doc_id") % 10 == 3,
         F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "lang": "')),
@@ -1632,9 +1663,9 @@ def a15_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit('{"doc_id": '),
             F.col("doc_id"),
-            F.lit(', "lang": "'),
-            F.col("lang"),
-            F.lit('"}'),
+            F.lit(', "lang": '),
+            lang_json,
+            F.lit("}"),
         )
     )
     d.select(line.alias("value")).write.mode("overwrite").text(out)

@@ -34,7 +34,12 @@ def k1_py_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     @F.udf("string")
-    def bal_band(bal: float) -> str:
+    def bal_band(bal: float) -> str | None:
+        # NULL-in-NULL-out, like the expression it demos — a Python
+        # UDF sees None, not a propagated SQL NULL, so the guard is
+        # the author's job
+        if bal is None:
+            return None
         return f"b{math.floor(bal / 1000.0)}"
 
     c = t(spark, sf_dir, "customer")
@@ -125,6 +130,8 @@ def k4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, pos int, bigram string")
     class BigramEmitter:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # no tokens → no rows (oracle: unnest(NULL))
+                return
             w = text.split(" ")
             for i in range(len(w) - 1):
                 yield doc_id, i + 1, f"{w[i]} {w[i + 1]}"
@@ -178,7 +185,11 @@ def k5_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge(key: tuple, c: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:
         def dec_sum(vals) -> float:
-            total = sum((Decimal(repr(float(v))) for v in vals), Decimal(0))
+            # skip NULLs like SQL SUM does — a NaN term would poison
+            # the Decimal total while the oracle's sum() ignores it
+            total = sum(
+                (Decimal(repr(float(v))) for v in vals.dropna()), Decimal(0)
+            )
             return float(round(total, 6))
 
         return pd.DataFrame(

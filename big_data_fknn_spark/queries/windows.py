@@ -128,8 +128,8 @@ def e4_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e5_pct",
     oracle="""
 SELECT c_custkey,
-       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct,
-       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+       round(percent_rank() OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey), 6) AS pct,
+       ntile(4) OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey) AS quartile
 FROM customer
 """,
 )
@@ -275,7 +275,8 @@ def f4_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e7_cume_dist",
     oracle="""
 SELECT c_custkey, c_mktsegment,
-       round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
+       round(cume_dist() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal NULLS FIRST), 6) AS cd
 FROM customer
 WHERE c_custkey <= 300
 """,

@@ -160,9 +160,12 @@ def write_keel(
         lines.append(
             f"@attribute f{i} real [{stats[f'mn{i}']!r}, {stats[f'mx{i}']!r}]"
         )
+    # the class enumeration lists real classes only; a NULL label is
+    # KEEL's missing value ('?' in the data section), not a class
     classes = ", ".join(
         str(int(r["label"]))
         for r in df.select("label").distinct().orderBy("label").collect()
+        if r["label"] is not None
     )
     lines.append(f"@attribute class {{{classes}}}")
     lines.append("@inputs " + ", ".join(f"f{i}" for i in range(nfeat)))
@@ -177,7 +180,11 @@ def write_keel(
                 F.format_string("%.17g", F.element_at("features", i + 1))
                 for i in range(nfeat)
             ],
-            F.col("label").cast("bigint").cast("string"),
+            # KEEL renders a missing value as '?' — a bare NULL would
+            # make concat_ws drop the field and shift the CSV row
+            F.coalesce(
+                F.col("label").cast("bigint").cast("string"), F.lit("?")
+            ),
         ).alias("line")
     )
     tmp_dir = tempfile.mkdtemp(prefix="keel_data_parts_")

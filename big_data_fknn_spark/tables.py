@@ -107,6 +107,17 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     ``vec_id % 5 != 0`` → train, ``== 0`` → test.  Stands in for the
     reference's separate KEEL train/test files; reproducible in both
     engines (unlike randomSplit).
+
+    Train keeps LABELED rows only: an unlabeled vector cannot vote or
+    contribute class memberships, and letting NULL flow into the
+    vote/membership math makes the argmax tiebreak engine-dependent
+    (Spark sorts NULL first, DuckDB last).  Test rows keep their
+    (possibly NULL) label — predictions are still produced for them;
+    only label-consuming metrics (d17's AUC) additionally restrict to
+    labeled ground truth.  No-op on the clean testdata (no NULLs).
     """
     emb = embeddings_d(spark, sf_dir)
-    return emb.where(F.col("vec_id") % 5 != 0), emb.where(F.col("vec_id") % 5 == 0)
+    return (
+        emb.where((F.col("vec_id") % 5 != 0) & F.col("label").isNotNull()),
+        emb.where(F.col("vec_id") % 5 == 0),
+    )

@@ -30,7 +30,7 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canon_cell(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return "∅"
     if isinstance(v, (list, tuple)):
         return tuple(canon_cell(x) for x in v)
@@ -41,7 +41,13 @@ def canon_cell(v):
             return tuple(canon_cell(x) for x in v.tolist())
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # same token as None: pandas is the transport for BOTH
+            # engines and it renders SQL NULL as NaN for float dtypes
+            # (and as float NaN inside object/boolean columns on the
+            # DuckDB side), so NULL-vs-NaN is not observable here —
+            # distinct tokens only created false mismatches between a
+            # Spark None and an oracle NaN that both mean NULL
+            return "∅"
         r = round(v, 6)
         return f"{r + 0.0:.6f}"  # +0.0 normalizes -0.0
     if isinstance(v, Decimal):
