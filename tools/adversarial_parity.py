@@ -1,0 +1,180 @@
+"""Adversarial-data parity sweep: run every value-oracled key
+Spark-vs-DuckDB on a mutated copy of the sf0.001 tables.
+
+Two mutations, each a separate dataset + pass:
+
+* ``ties``  — duplicate a slice of each fact table under FRESH primary
+  keys (every non-key column becomes a perfect tie: adversarial for
+  ORDER BY tiebreaks, top-k selection, rank refinement), plus
+  empty/whitespace/one-token document texts.
+* ``nulls`` — inject NULLs into every optional column (measures,
+  labels, types, texts, props; keys and join columns stay non-null):
+  adversarial for three-valued logic, NULL placement in ORDER BY
+  (Spark NULLS FIRST asc vs DuckDB NULLS LAST), UNPIVOT NULL
+  dropping, Python kernels seeing None.
+
+The clean-testdata parity suite cannot see divergences that need
+these inputs; round 6's sweeps found one tie-class split (j42's
+oracle missing the empty-text filter) and 31 NULL-class splits, all
+since aligned.  Run after any change to query/oracle pairs:
+
+    python tools/adversarial_parity.py            # both passes
+    python tools/adversarial_parity.py nulls      # one pass
+
+Exit code 0 = every oracled key matches on every dataset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (REPO, os.path.join(REPO, "tests")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+SRC = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+_TIES = {
+    "customer": """SELECT * FROM t UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM t WHERE c_custkey % 3 = 0""",
+    "part": """SELECT * FROM t UNION ALL
+        SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size, p_retailprice
+        FROM t WHERE p_partkey % 3 = 0""",
+    "orders": """SELECT * FROM t UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM t WHERE o_orderkey % 3 = 0""",
+    "lineitem": """SELECT * FROM t UNION ALL
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber + 100,
+               l_quantity, l_extendedprice, l_discount, l_tax,
+               l_returnflag, l_linestatus, l_shipdate
+        FROM t WHERE (l_orderkey + l_linenumber) % 3 = 0""",
+    "events": """SELECT * FROM t UNION ALL
+        SELECT event_id + 10000000, ts, user_id, event_type, value, props
+        FROM t WHERE event_id % 3 = 0""",
+    "documents": """SELECT * FROM t UNION ALL
+        SELECT doc_id + 1000000, text, lang, source, n_chars
+        FROM t WHERE doc_id % 4 = 0
+        UNION ALL SELECT 9000001, '', 'en', 'adv', 0
+        UNION ALL SELECT 9000002, ' ', 'en', 'adv', 1
+        UNION ALL SELECT 9000003, 'a', 'de', 'adv', 1
+        UNION ALL SELECT 9000004, 'the the the the the the', 'en', 'adv', 23""",
+    "embeddings": """SELECT * FROM t UNION ALL
+        SELECT vec_id + 1000000, embedding, label FROM t WHERE vec_id % 5 = 0""",
+}
+
+_NULLS = {
+    "customer": """SELECT c_custkey, c_name, c_nationkey,
+        CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+        CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        FROM t""",
+    "supplier": """SELECT s_suppkey, s_name, s_nationkey,
+        CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE s_acctbal END AS s_acctbal FROM t""",
+    "part": """SELECT p_partkey, p_name, p_brand,
+        CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE p_type END AS p_type,
+        CASE WHEN p_partkey % 17 = 0 THEN NULL ELSE p_size END AS p_size,
+        CASE WHEN p_partkey % 19 = 0 THEN NULL ELSE p_retailprice END AS p_retailprice
+        FROM t""",
+    "orders": """SELECT o_orderkey, o_custkey,
+        CASE WHEN o_orderkey % 23 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+        CASE WHEN o_orderkey % 29 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+        o_orderdate,
+        CASE WHEN o_orderkey % 31 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+        FROM t""",
+    "lineitem": """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        CASE WHEN (l_orderkey + l_linenumber) % 37 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+        CASE WHEN (l_orderkey + l_linenumber) % 41 = 0 THEN NULL ELSE l_extendedprice END AS l_extendedprice,
+        CASE WHEN (l_orderkey + l_linenumber) % 43 = 0 THEN NULL ELSE l_discount END AS l_discount,
+        l_tax,
+        CASE WHEN (l_orderkey + l_linenumber) % 47 = 0 THEN NULL ELSE l_returnflag END AS l_returnflag,
+        l_linestatus, l_shipdate FROM t""",
+    "events": """SELECT event_id, ts, user_id,
+        CASE WHEN event_id % 53 = 0 THEN NULL ELSE event_type END AS event_type,
+        CASE WHEN event_id % 59 = 0 THEN NULL ELSE value END AS value,
+        CASE WHEN event_id % 61 = 0 THEN NULL ELSE props END AS props FROM t""",
+    "documents": """SELECT doc_id,
+        CASE WHEN doc_id % 67 = 0 THEN NULL ELSE text END AS text,
+        CASE WHEN doc_id % 71 = 0 THEN NULL ELSE lang END AS lang,
+        source, n_chars FROM t""",
+    "embeddings": """SELECT vec_id, embedding,
+        CASE WHEN vec_id % 73 = 0 THEN NULL ELSE label END AS label FROM t""",
+}
+
+MUTATIONS = {"ties": _TIES, "nulls": _NULLS}
+
+
+def build(kind: str) -> str:
+    import duckdb
+
+    dst = f"/tmp/adv_parity_{kind}"
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW t AS "
+            f"SELECT * FROM read_parquet('{SRC}/{name}.parquet')"
+        )
+        q = MUTATIONS[kind].get(name, "SELECT * FROM t")
+        con.sql(f"COPY ({q}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)")
+    return dst
+
+
+def sweep(spark, sf_dir: str) -> list[tuple[str, str]]:
+    import duckdb
+
+    from big_data_fknn_spark.queries import load_all
+    from oracle import df_canon
+
+    reg = load_all()
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    bad: list[tuple[str, str]] = []
+    for key in sorted(reg):
+        if reg[key].oracle is None:
+            continue
+        try:
+            pdf = reg[key].fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            bad.append((key, f"SPARK_ERR {str(ex)[:150]}"))
+            continue
+        try:
+            opdf = con.sql(reg[key].oracle).df()
+        except Exception as ex:  # noqa: BLE001
+            bad.append((key, f"ORACLE_ERR {str(ex)[:150]}"))
+            continue
+        scols, srows = df_canon(pdf)
+        ocols, orows = df_canon(opdf)
+        if scols != ocols or srows != orows:
+            bad.append((key, f"MISMATCH {len(srows)}/{len(orows)}"))
+    return bad
+
+
+def main() -> None:
+    from big_data_fknn_spark.session import get_spark
+
+    kinds = sys.argv[1:] or list(MUTATIONS)
+    spark = get_spark(app_name="adversarial_parity")
+    failed = {}
+    for kind in kinds:
+        sf_dir = build(kind)
+        bad = sweep(spark, sf_dir)
+        print(f"{kind}: {'CLEAN' if not bad else json.dumps(bad)}", flush=True)
+        if bad:
+            failed[kind] = bad
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
