@@ -94,6 +94,9 @@ FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP (r.r_name, n.n_name)
+-- Spark's rollup emits NO grand-total row over empty input (standard
+-- SQL emits one with count 0); the no-op-on-data HAVING mirrors that
+HAVING count(*) > 0
 """,
 )
 def d4_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

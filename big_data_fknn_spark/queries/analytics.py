@@ -274,7 +274,13 @@ def a7_keel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("features"), F.col("label").cast("double").alias("label")
     )
     d = tempfile.mkdtemp(prefix="keel_")
-    write_keel(emb, f"{d}/data.header", f"{d}/data.dat", relation="embeddings")
+    write_keel(
+        emb,
+        f"{d}/data.header",
+        f"{d}/data.dat",
+        relation="embeddings",
+        n_features=64,  # declared width survives even an empty shard
+    )
     df, ks = read_keel(spark, f"{d}/data.header", f"{d}/data.dat")
     assert ks.kinds["class"] == "nominal" and len(ks.feature_names) == 64
     return df.groupBy(F.col("label").cast("int").alias("label")).agg(
@@ -361,6 +367,9 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
        count(*) AS n
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+-- Spark's cube emits NO grand-total row over empty input (standard
+-- SQL emits one with count 0); the no-op-on-data HAVING mirrors that
+HAVING count(*) > 0
 """,
 )
 def x8_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:

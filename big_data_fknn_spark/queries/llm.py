@@ -1898,7 +1898,10 @@ def j32_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_tokens, n_docs = dl.agg(
         F.sum("dl"), F.count(F.lit(1))
     ).first()  # two exact ints; at scale: still one tiny agg row
-    avgdl = float(total_tokens) / float(n_docs)
+    # empty corpus → no documents to score; avgdl's value is then
+    # irrelevant (every downstream row set is empty), it just must
+    # not be a float(None) crash
+    avgdl = float(total_tokens) / float(n_docs) if n_docs else 1.0
     tf = (
         tok.where(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
@@ -2745,6 +2748,14 @@ def j48_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("cy"))
     num = F.col("c") * F.lit(n_u) * F.lit(n_u)
     den = F.lit(n_b) * F.col("cx") * F.col("cy")
+    # empty corpus: n_b = 0 would constant-fold into the division and
+    # trip ANSI DIVIDE_BY_ZERO at plan time even though no row exists
+    # to score — the result is simply the empty frame
+    pmi = (
+        F.round(F.log(num.cast("double") / den.cast("double")), 6)
+        if n_b
+        else F.lit(None).cast("double")
+    )
     return (
         bcnt.join(F.broadcast(x), "w1")
         .join(F.broadcast(y), "w2")
@@ -2752,7 +2763,7 @@ def j48_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             F.col("c").alias("pair_count"),
-            F.round(F.log(num.cast("double") / den.cast("double")), 6).alias("pmi"),
+            pmi.alias("pmi"),
         )
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(_PMI_TOP)
@@ -2898,12 +2909,15 @@ def j51_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_truth",
             "n_cand",
             "n_caught",
-            F.round(F.col("n_caught").cast("double") / F.col("n_truth"), 6).alias(
-                "recall"
-            ),
-            F.round(F.col("n_caught").cast("double") / F.col("n_cand"), 6).alias(
-                "precision_cand"
-            ),
+            # try_divide: an empty shard has zero truth/candidate
+            # pairs and the ratios are undefined (NULL), not a job
+            # failure — DuckDB's x/0 is NULL already
+            F.round(
+                F.try_divide(F.col("n_caught").cast("double"), F.col("n_truth")), 6
+            ).alias("recall"),
+            F.round(
+                F.try_divide(F.col("n_caught").cast("double"), F.col("n_cand")), 6
+            ).alias("precision_cand"),
         )
     )
 

@@ -797,8 +797,15 @@ def a8_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("event_type")
         .parquet(out)
     )
+    # explicit schema on the read-back: an EMPTY partitioned sink has
+    # no files to infer from (UNABLE_TO_INFER_SCHEMA) — the writer
+    # knows the schema, a robust reader states it
+    schema = (
+        "event_id bigint, user_id bigint, value double, event_type string"
+    )
     return (
-        spark.read.parquet(out)
+        spark.read.schema(schema)
+        .parquet(out)
         .where(F.col("event_type").isin("view", "purchase"))
         .select("event_id", "user_id", "event_type", "value")
     )

@@ -132,6 +132,7 @@ def write_keel(
     header_path: str,
     data_path: str,
     relation: str = "dataset",
+    n_features: int | None = None,
 ) -> None:
     """Emit a KEEL header + single CSV data file from a
     ``(features array<double>, label)`` DataFrame.
@@ -144,8 +145,13 @@ def write_keel(
     single KEEL data file, so no row ever funnels through driver
     memory.  At scale you'd skip the concat and ship the partitioned
     directory itself."""
-    first = df.select(F.size("features").alias("n")).first()
-    nfeat = int(first["n"]) if first else 0
+    # the feature count lives in the DATA (array length), so an empty
+    # frame can't infer it — callers that know their width pass it
+    if n_features is not None:
+        nfeat = int(n_features)
+    else:
+        first = df.select(F.size("features").alias("n")).first()
+        nfeat = int(first["n"]) if first else 0
     stats = df.select(
         *[
             f(F.element_at("features", i + 1)).alias(f"{agg}{i}")
@@ -157,9 +163,12 @@ def write_keel(
     ).first()
     lines = [f"@relation {relation}"]
     for i in range(nfeat):
-        lines.append(
-            f"@attribute f{i} real [{stats[f'mn{i}']!r}, {stats[f'mx{i}']!r}]"
-        )
+        # an empty frame has no observed ranges — declare [0.0, 0.0]
+        # rather than writing the literal string 'None' into a header
+        # the reader must parse as floats
+        mn = stats[f"mn{i}"] if stats and stats[f"mn{i}"] is not None else 0.0
+        mx = stats[f"mx{i}"] if stats and stats[f"mx{i}"] is not None else 0.0
+        lines.append(f"@attribute f{i} real [{mn!r}, {mx!r}]")
     # the class enumeration lists real classes only; a NULL label is
     # KEEL's missing value ('?' in the data section), not a class
     classes = ", ".join(

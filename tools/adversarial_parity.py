@@ -12,6 +12,13 @@ Two mutations, each a separate dataset + pass:
   adversarial for three-valued logic, NULL placement in ORDER BY
   (Spark NULLS FIRST asc vs DuckDB NULLS LAST), UNPIVOT NULL
   dropping, Python kernels seeing None.
+* ``empty`` — every table at zero rows (schema preserved):
+  adversarial for driver-side .first() returning None, divisions by
+  zero-count aggregates (ANSI constant-folds a literal 0 denominator
+  into a plan-time DIVIDE_BY_ZERO even when no row would evaluate
+  it), schema inference over file-less sinks, and Spark's
+  rollup/cube emitting no grand-total row over empty input where
+  standard SQL emits one.
 
 The clean-testdata parity suite cannot see divergences that need
 these inputs; round 6's sweeps found one tie-class split (j42's
@@ -108,7 +115,9 @@ _NULLS = {
         CASE WHEN vec_id % 73 = 0 THEN NULL ELSE label END AS label FROM t""",
 }
 
-MUTATIONS = {"ties": _TIES, "nulls": _NULLS}
+_EMPTY = {name: "SELECT * FROM t LIMIT 0" for name in TABLES}
+
+MUTATIONS = {"ties": _TIES, "nulls": _NULLS, "empty": _EMPTY}
 
 
 def build(kind: str) -> str:
