@@ -672,7 +672,10 @@ def j45_linreg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double").alias("y"),
         )
     )
-    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    # a group with zero x-variance (one doc, or all docs the same
+    # length) has no defined fit — slope/intercept are NULL, the SQL
+    # division-by-zero convention the oracle already follows
+    slope = F.try_divide(F.covar_pop("x", "y"), F.var_pop("x"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(slope, 6).alias("slope"),

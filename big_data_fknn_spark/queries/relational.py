@@ -1504,7 +1504,10 @@ def a14_text_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isNotNull() & F.col("value").isNotNull()
     ).select(line.alias("value")).write.mode("overwrite").text(out)
     back = spark.read.text(out)
-    rx = r"^(\d+) (\w+) user=(\d+) value=(-?\d+\.\d{3})$"
+    # \S+, not \w+: the format is space-delimited, and Java's \w is
+    # ASCII-only — a multibyte event type ('käuf', '浏览') would be
+    # silently dead-lettered instead of round-tripping
+    rx = r"^(\d+) (\S+) user=(\d+) value=(-?\d+\.\d{3})$"
     # quarantine any line the pattern can't parse instead of feeding
     # '' to an ANSI cast (no-op here; the dead-letter route at scale)
     parsed = back.where(F.col("value").rlike(rx)).select(

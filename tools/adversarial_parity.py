@@ -12,6 +12,11 @@ Two mutations, each a separate dataset + pass:
   adversarial for three-valued logic, NULL placement in ORDER BY
   (Spark NULLS FIRST asc vs DuckDB NULLS LAST), UNPIVOT NULL
   dropping, Python kernels seeing None.
+* ``unicode`` — multibyte/emoji/RTL/combining-char texts, names and
+  event types appended: adversarial for ASCII-only regex classes
+  (Java's \\w), byte-vs-char length/substring semantics, case
+  mappings, and single-row groups created by new language values
+  (zero-variance OLS fits).
 * ``empty`` — every table at zero rows (schema preserved):
   adversarial for driver-side .first() returning None, divisions by
   zero-count aggregates (ANSI constant-folds a literal 0 denominator
@@ -117,7 +122,31 @@ _NULLS = {
 
 _EMPTY = {name: "SELECT * FROM t LIMIT 0" for name in TABLES}
 
-MUTATIONS = {"ties": _TIES, "nulls": _NULLS, "empty": _EMPTY}
+_UNICODE = {
+    "documents": """SELECT * FROM t UNION ALL
+        SELECT 9100001, 'étoile Über straße 中文 分词 テスト', 'de', 'uni', 30
+        UNION ALL SELECT 9100002, '🎉 emoji 🚀 test ẞ ß ſ', 'en', 'uni', 20
+        UNION ALL SELECT 9100003, 'مرحبا بالعالم hello שלום', 'ar', 'uni', 24
+        UNION ALL SELECT 9100004, 'étoile combining é', 'fr', 'uni', 20
+        UNION ALL SELECT 9100005, 'ΣΙΣΥΦΟΣ σίσυφος ΊΩΤΑ', 'el', 'uni', 20""",
+    "part": """SELECT * FROM t UNION ALL
+        SELECT 9100001, 'émail Größe 中文', 'Bränd#42', 'TŸPE übr', 7, 123.45
+        UNION ALL SELECT 9100002, '🎉rocket', 'ब्रांड#1', 'ΤΥΠΟΣ σ', 3, 67.89""",
+    "customer": """SELECT * FROM t UNION ALL
+        SELECT 9100001, 'Müller#青山', 7, 1234.56, 'BÜILDING'""",
+    "events": """SELECT * FROM t UNION ALL
+        SELECT 9100001, (SELECT min(ts) FROM t), 3, 'käuf', 1.5,
+               '{"k": 7, "ünï": 1}'
+        UNION ALL SELECT 9100002, (SELECT max(ts) FROM t), 3, '浏览', 2.5,
+               '{"k": 8}'""",
+}
+
+MUTATIONS = {
+    "ties": _TIES,
+    "nulls": _NULLS,
+    "unicode": _UNICODE,
+    "empty": _EMPTY,
+}
 
 
 def build(kind: str) -> str:
