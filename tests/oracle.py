@@ -29,10 +29,13 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def canon_cell(v):
+def canon_cell(v, conflate_nan: bool = True):
     if v is None or v is pd.NaT:
         return "∅"
     if isinstance(v, (list, tuple)):
+        # inside float arrays the transport is lossy on the SPARK side
+        # too (Arrow renders a NULL element of array<double> as NaN in
+        # the numpy float64 array), so elements always conflate
         return tuple(canon_cell(x) for x in v)
     if hasattr(v, "item") and not isinstance(v, (pd.Timestamp,)):  # numpy scalar/array
         try:
@@ -41,13 +44,17 @@ def canon_cell(v):
             return tuple(canon_cell(x) for x in v.tolist())
     if isinstance(v, float):
         if math.isnan(v):
-            # same token as None: pandas is the transport for BOTH
-            # engines and it renders SQL NULL as NaN for float dtypes
-            # (and as float NaN inside object/boolean columns on the
-            # DuckDB side), so NULL-vs-NaN is not observable here —
-            # distinct tokens only created false mismatches between a
-            # Spark None and an oracle NaN that both mean NULL
-            return "∅"
+            # In float-dtype columns pandas is the transport for BOTH
+            # engines and renders SQL NULL as NaN, so NULL-vs-NaN is
+            # not observable there and the two conflate to one token
+            # (distinct tokens only created false mismatches between a
+            # Spark None and an oracle NaN that both mean NULL).  In
+            # OBJECT-dtype columns the distinction survives transport
+            # (round-6 advisor), so df_canon passes conflate_nan=False
+            # and a genuine NaN keeps its own token — except for
+            # bool-bearing object columns, where DuckDB renders SQL
+            # NULL as float NaN (transport artifact, measured).
+            return "∅" if conflate_nan else "NaN"
         r = round(v, 6)
         return f"{r + 0.0:.6f}"  # +0.0 normalizes -0.0
     if isinstance(v, Decimal):
@@ -63,10 +70,23 @@ def canon_cell(v):
     return str(v)
 
 
+def _col_conflates_nan(s: pd.Series) -> bool:
+    """True when NULL-vs-NaN is NOT observable for this column after
+    pandas transport: float dtypes (both engines render SQL NULL as
+    NaN) and object columns carrying booleans (DuckDB renders a NULL
+    boolean as float NaN)."""
+    if s.dtype.kind in "fc":
+        return True
+    if s.dtype == object:
+        return any(isinstance(v, bool) for v in s if v is not None)
+    return False
+
+
 def df_canon(pdf: pd.DataFrame):
     cols = sorted(pdf.columns)
+    conflate = [_col_conflates_nan(pdf[c]) for c in cols]
     rows = sorted(
-        tuple(canon_cell(v) for v in row)
+        tuple(canon_cell(v, conflate_nan=cf) for v, cf in zip(row, conflate))
         for row in pdf[cols].itertuples(index=False, name=None)
     )
     return cols, rows

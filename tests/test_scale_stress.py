@@ -674,8 +674,9 @@ def test_j34_lsh_blocking_bounded_on_zipf_first_tokens(spark, tmp_path):
     """Round-4/5 verdict: the old (lang, first-token) blocking key is
     per-block quadratic on real text because sentence-initial tokens
     are Zipfian — the top block grows linearly with the corpus.  j34
-    now blocks on MinHash bands of the prefix's character 4-grams
-    (content-derived ~2^256 band domain), so block size must track
+    now blocks on MinHash bands of the prefix's character q-grams
+    (q = ``_J34_Q`` = 8; content-derived ~2^256 band domain — short
+    grams fail, see the j34 docstring), so block size must track
     near-duplicate density, not corpus size.  This synthesizes a
     Zipf-first-token corpus at TWO scales (4× apart) and asserts:
     (a) the old key's top block really is huge here (the corpus has

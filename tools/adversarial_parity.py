@@ -24,6 +24,26 @@ Two mutations, each a separate dataset + pass:
   it), schema inference over file-less sinks, and Spark's
   rollup/cube emitting no grand-total row over empty input where
   standard SQL emits one.
+* ``extremes`` — boundary values in every domain the other passes
+  leave clean: ±Infinity and NaN doubles in summed/ranked measures
+  (acctbal, value, quantity), the 5e-324 denormal, surrogate keys
+  just above 2^53 (adjacent pairs that COLLIDE when cast to double —
+  adversarial for any id→double projection), INT32 min/max in int
+  columns (ANSI overflow on arithmetic), timestamps at far-past
+  (1700) / far-future (2260) / a DST-gap instant / single-microsecond
+  offsets, and zero-length, zero-norm, and ±Inf/NaN-element embedding
+  vectors (ANSI element_at on empty arrays throws; zero norms divide
+  by zero).  Deliberately EXCLUDED: finite magnitudes near 1e308 in
+  summed columns — naive double summation is order-dependent at that
+  magnitude in BOTH engines (1e308 + −1e308 + x depends on
+  association), so a parity split there is partition-order noise, not
+  signal.  Inf/NaN are order-safe under summation (any order gives
+  Inf, or NaN once both infinities or a NaN appear), which is why
+  they are the chosen extreme for measures.  Far-past/far-future
+  events timestamps stay within ±100 days of the real range so
+  hourly-grid densification queries (x10) stay bounded; the
+  century-scale extremes ride on orders/lineitem dates, which no
+  query densifies.
 
 The clean-testdata parity suite cannot see divergences that need
 these inputs; round 6's sweeps found one tie-class split (j42's
@@ -122,6 +142,85 @@ _NULLS = {
 
 _EMPTY = {name: "SELECT * FROM t LIMIT 0" for name in TABLES}
 
+_P53 = 9007199254740993  # 2^53 + 1: adjacent longs collide as double
+
+_EXTREMES = {
+    "customer": f"""SELECT * FROM t UNION ALL
+        SELECT {_P53}, 'Customer#EXT1', (SELECT min(c_nationkey) FROM t),
+               'inf'::DOUBLE, (SELECT min(c_mktsegment) FROM t)
+        UNION ALL SELECT {_P53 + 1}, 'Customer#EXT2',
+               (SELECT min(c_nationkey) FROM t), '-inf'::DOUBLE,
+               (SELECT min(c_mktsegment) FROM t)
+        UNION ALL SELECT 9200001, 'Customer#EXT3',
+               (SELECT max(c_nationkey) FROM t), 'nan'::DOUBLE,
+               (SELECT max(c_mktsegment) FROM t)
+        UNION ALL SELECT 9200002, 'Customer#EXT4',
+               (SELECT max(c_nationkey) FROM t), 5e-324,
+               (SELECT max(c_mktsegment) FROM t)""",
+    "part": """SELECT * FROM t UNION ALL
+        SELECT 9200001, 'extreme part max', (SELECT min(p_brand) FROM t),
+               (SELECT min(p_type) FROM t), 2147483647::INTEGER, 'nan'::DOUBLE
+        UNION ALL SELECT 9200002, 'extreme part min',
+               (SELECT min(p_brand) FROM t), (SELECT min(p_type) FROM t),
+               (-2147483647 - 1)::INTEGER, 'inf'::DOUBLE""",
+    "orders": f"""SELECT * FROM t UNION ALL
+        SELECT {_P53}, (SELECT min(o_custkey) FROM t),
+               (SELECT min(o_orderstatus) FROM t), 1.5e12,
+               TIMESTAMP '1700-01-07 00:00:00',
+               (SELECT min(o_orderpriority) FROM t)
+        UNION ALL SELECT {_P53 + 1}, (SELECT min(o_custkey) FROM t),
+               (SELECT max(o_orderstatus) FROM t), 5e-324,
+               TIMESTAMP '2260-11-20 00:00:00',
+               (SELECT max(o_orderpriority) FROM t)""",
+    "lineitem": f"""SELECT * FROM t UNION ALL
+        SELECT {_P53}, (SELECT min(l_partkey) FROM t),
+               (SELECT min(l_suppkey) FROM t), 1::INTEGER,
+               'inf'::DOUBLE, 'inf'::DOUBLE, 0.0, 0.0,
+               (SELECT min(l_returnflag) FROM t),
+               (SELECT min(l_linestatus) FROM t),
+               TIMESTAMP '1700-01-07 00:00:00'
+        UNION ALL SELECT {_P53}, (SELECT min(l_partkey) FROM t),
+               (SELECT min(l_suppkey) FROM t), 2::INTEGER,
+               '-inf'::DOUBLE, '-inf'::DOUBLE, 0.0, 0.0,
+               (SELECT min(l_returnflag) FROM t),
+               (SELECT min(l_linestatus) FROM t),
+               TIMESTAMP '2260-11-20 00:00:00'
+        UNION ALL SELECT {_P53}, (SELECT min(l_partkey) FROM t),
+               (SELECT min(l_suppkey) FROM t), 3::INTEGER,
+               'nan'::DOUBLE, 'nan'::DOUBLE, 0.0, 0.0,
+               (SELECT max(l_returnflag) FROM t),
+               (SELECT max(l_linestatus) FROM t),
+               (SELECT max(l_shipdate) FROM t) + INTERVAL 1 MICROSECOND""",
+    "events": f"""SELECT * FROM t UNION ALL
+        SELECT 9200001, (SELECT min(ts) FROM t) - INTERVAL 100 DAY, 3,
+               'ext', 'inf'::DOUBLE, '{{"k": 1}}'
+        UNION ALL SELECT 9200002, (SELECT max(ts) FROM t) + INTERVAL 100 DAY,
+               3, 'ext', '-inf'::DOUBLE, '{{"k": 2}}'
+        UNION ALL SELECT 9200003, TIMESTAMP '2024-03-31 02:30:00', 7,
+               'ext', 'nan'::DOUBLE, '{{"k": 3}}'
+        UNION ALL SELECT 9200004, TIMESTAMP '2024-01-15 12:00:00.000001', 7,
+               'ext', 5e-324, '{{"k": 4}}'
+        UNION ALL SELECT {_P53}, TIMESTAMP '2024-01-15 12:00:00', {_P53},
+               'ext', 1.5, NULL""",
+    "documents": f"""SELECT * FROM t UNION ALL
+        SELECT {_P53}, 'extreme surrogate key document one', 'en', 'ext', 34
+        UNION ALL SELECT {_P53 + 1},
+               'extreme surrogate key document two', 'en', 'ext', 34""",
+    "embeddings": f"""SELECT * FROM t UNION ALL
+        SELECT {_P53}, (SELECT embedding FROM t WHERE vec_id = 0), 1::INTEGER
+        UNION ALL SELECT {_P53 + 1},
+               (SELECT embedding FROM t WHERE vec_id = 1), 2::INTEGER
+        UNION ALL SELECT 9200001, []::FLOAT[], 1::INTEGER
+        UNION ALL SELECT 9200002,
+               [0.0::FLOAT for i in generate_series(1, 64)], 2::INTEGER
+        UNION ALL SELECT 9200003,
+               ['inf'::FLOAT] || (SELECT embedding[2:64] FROM t WHERE vec_id = 2),
+               1::INTEGER
+        UNION ALL SELECT 9200004,
+               ['nan'::FLOAT] || (SELECT embedding[2:64] FROM t WHERE vec_id = 3),
+               2::INTEGER""",
+}
+
 _UNICODE = {
     "documents": """SELECT * FROM t UNION ALL
         SELECT 9100001, 'étoile Über straße 中文 分词 テスト', 'de', 'uni', 30
@@ -146,6 +245,7 @@ MUTATIONS = {
     "nulls": _NULLS,
     "unicode": _UNICODE,
     "empty": _EMPTY,
+    "extremes": _EXTREMES,
 }
 
 
