@@ -41,3 +41,35 @@ def davg(col: Column | str, scale: int = 6) -> Column:
     return F.round(
         F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1)), scale
     )
+
+
+def finite(col: Column | str) -> Column:
+    """NULL-preserving measure admission: TRUE for NULL or any finite
+    value, FALSE for NaN/±Infinity.
+
+    The exact-decimal devices above (and every INT/BIGINT quantization
+    downstream of them) have no representation for non-finite doubles —
+    DECIMAL and INT128 casts throw in both engines.  A measure column
+    carrying one ±Inf/NaN row in 100 TB of input must not kill the
+    job, so queries aggregating such measures gate them at the scan
+    edge with this predicate — the same ingest posture as the j28
+    text-quality gate and the tables.EMB_ADMIT_SQL vector gate.  NULLs
+    pass through untouched: each query's established NULL semantics
+    (round-6 nulls sweep) are not changed by the gate.
+
+    Oracle-side mirror (keep in sync):  FIN_SQL below — spelled with
+    isnan/abs so the IDENTICAL text parses in BOTH Spark and DuckDB
+    (needed by the shared-SQL keys x12/x41).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNull() | (~F.isnan(c) & (F.abs(c.cast("double")) < F.lit(float("inf"))))
+
+
+def fin_sql(col: str) -> str:
+    """The oracle-side mirror of `finite` — one spelling that parses
+    identically in Spark SQL and DuckDB (both have isnan; both cast
+    'Infinity' to +inf)."""
+    return (
+        f"({col} IS NULL OR (NOT isnan({col})"
+        f" AND abs({col}) < cast('Infinity' AS DOUBLE)))"
+    )

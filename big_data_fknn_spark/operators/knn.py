@@ -112,6 +112,7 @@ def knn_join_blas(
     keep_c_cols: tuple[str, ...] = (),
     chunk_rows: int | None = None,
     max_broadcast_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """`knn_join` with an Arrow-batched BLAS distance kernel — same
     output contract ``(q_id, q_*, n_id, n_*, dist, rn)``, ~10× the
@@ -148,6 +149,16 @@ def knn_join_blas(
     from sequential-fold distances in the last ~2 ulps — outputs that
     feed value oracles must round (all callers round to 6dp, and
     membership weights tolerate 1e-12 drift).
+
+    Robustness: rows whose vector is NULL or not exactly ``dim``
+    elements long are DROPPED on both sides (query and candidate) —
+    a ragged vector cannot participate in fixed-dim matrix math, and
+    one such row in 100 TB of input must not kill the job (callers
+    already exclude them via the tables.EMB_ADMIT_SQL scan-edge gate;
+    this is the kernel's own belt-and-braces).  ``dim`` defaults to
+    the first conforming query vector's length.  Zero-norm vectors
+    under the cosine metric normalize against a guard 1.0 (dot stays
+    0 ⇒ similarity 0) instead of dividing by zero.
 
     At 100 TB: candidates never move (no shuffle before the kernel);
     per-chunk results are unioned — the reference's iterative scheme.
@@ -209,17 +220,30 @@ def knn_join_blas(
     buf_vecs: list = []
     _last_peak_buffer_rows = 0
 
+    # Admission (see docstring): dim inferred from the first conforming
+    # query vector unless declared; non-conforming rows never reach the
+    # matrix build on either side.
+    _dim = [dim]
+
+    def _admit(vec) -> bool:
+        if vec is None or len(vec) == 0:
+            return False  # a zero-length vector must not define dim
+        if _dim[0] is None:
+            _dim[0] = len(vec)
+        return len(vec) == _dim[0]
+
     def _flush() -> None:
         qids = np.array(buf_ids, dtype=np.int64)
         qmat = np.array(buf_vecs, dtype=np.float64)
         buf_ids.clear()
         buf_vecs.clear()
         if metric == "cosine_neg" and len(qmat):
-            qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-        bc = sc.broadcast((qids, qmat))
+            qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+            qmat = qmat / np.where(qn == 0.0, 1.0, qn)
+        bc = sc.broadcast((qids, qmat, _dim[0]))
 
         def kernel(batches, _bc=bc):
-            ids_q, Q = _bc.value
+            ids_q, Q, kdim = _bc.value
             m = len(ids_q)
             if m == 0:
                 return
@@ -227,10 +251,20 @@ def knn_join_blas(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
+                vecs = pdf["_c_vec"].to_numpy()
+                ok = np.array(
+                    [v is not None and len(v) == kdim for v in vecs],
+                    dtype=bool,
+                )
+                if not ok.all():
+                    pdf = pdf[ok]
+                    if len(pdf) == 0:
+                        continue
                 C = np.vstack(pdf["_c_vec"].to_numpy())
                 ids_c = pdf["n_id"].to_numpy(dtype=np.int64)
                 if metric == "cosine_neg":
-                    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+                    cn = np.linalg.norm(C, axis=1, keepdims=True)
+                    C = C / np.where(cn == 0.0, 1.0, cn)
                     D = -(Q @ C.T)  # smaller = more similar
                 elif metric == "manhattan":
                     # no matmul identity for L1; accumulate per dim to
@@ -272,12 +306,15 @@ def knn_join_blas(
         _flush()  # empty chunk keeps the output schema stable
     elif n_parts == 1:
         for row in q_src.collect():  # bounded ≤ chunk_rows by the count
-            buf_ids.append(row[0])
-            buf_vecs.append(row[1])
+            if _admit(row[1]):
+                buf_ids.append(row[0])
+                buf_vecs.append(row[1])
         _last_peak_buffer_rows = len(buf_ids)
         _flush()
     else:
         for row in q_src.toLocalIterator(prefetchPartitions=False):
+            if not _admit(row[1]):
+                continue
             buf_ids.append(row[0])
             buf_vecs.append(row[1])
             if len(buf_ids) > _last_peak_buffer_rows:
@@ -286,6 +323,8 @@ def knn_join_blas(
                 _flush()
         if buf_ids:
             _flush()
+    if not parts:  # every query row non-conforming: stable empty output
+        _flush()
     _last_num_chunks = len(parts)
 
     topk = parts[0]

@@ -11,14 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_fknn_spark.functions.numeric import DEC, davg, dsum
+from big_data_fknn_spark.functions.numeric import DEC, davg, dsum, fin_sql, finite
 from big_data_fknn_spark.queries import register
+from big_data_fknn_spark.tables import EMB_ADMIT_SQL as _EMB_ADMIT
 from big_data_fknn_spark.tables import t
 
 
 @register(
     "d1_hashagg",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::DOUBLE AS sum_qty,
        round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::DOUBLE AS sum_base_price,
@@ -28,6 +29,7 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+  AND {fin_sql("l_quantity")} AND {fin_sql("l_extendedprice")}
 GROUP BY l_returnflag, l_linestatus
 """,
 )
@@ -38,7 +40,9 @@ def d1_hashagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal (functions/numeric.py) so the result is independent of
     partition order — required for oracle parity AND for accuracy
     over 1e12 rows."""
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem").where(
+        finite("l_quantity") & finite("l_extendedprice")
+    )
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -87,12 +91,13 @@ def d3_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d4_rollup_cube",
-    oracle="""
+    oracle=f"""
 SELECT r.r_name, n.n_name, count(*) AS n_cust,
        round(sum(CAST(c.c_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS bal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE {fin_sql("c.c_acctbal")}
 GROUP BY ROLLUP (r.r_name, n.n_name)
 -- Spark's rollup emits NO grand-total row over empty input (standard
 -- SQL emits one with count 0); the no-op-on-data HAVING mirrors that
@@ -100,8 +105,9 @@ HAVING count(*) > 0
 """,
 )
 def d4_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (region → nation → grand total)."""
-    c = t(spark, sf_dir, "customer")
+    """ROLLUP grouping sets (region → nation → grand total).
+    Non-finite balances gate at the scan (functions/numeric.py)."""
+    c = t(spark, sf_dir, "customer").where(finite("c_acctbal"))
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
@@ -191,19 +197,24 @@ def d7_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d8_weighted_agg",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        round(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,10)))::DOUBLE
              / sum(CAST(l_quantity AS DECIMAL(38,10)))::DOUBLE, 6) AS weighted_price
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem
+WHERE {fin_sql("l_quantity")} AND {fin_sql("l_extendedprice")}
+GROUP BY l_returnflag
 """,
 )
 def d8_weighted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted aggregate — the FkNN stage-2 distance-weighted
     membership sum shape ([P Keller85]; real use in operators/fknn.py).
     Both sums in exact decimal: at ~1e10 magnitude a double sum's
-    partition-order drift lands inside round(,6)."""
-    li = t(spark, sf_dir, "lineitem")
+    partition-order drift lands inside round(,6).  Non-finite
+    measures gate at the scan (functions/numeric.py)."""
+    li = t(spark, sf_dir, "lineitem").where(
+        finite("l_quantity") & finite("l_extendedprice")
+    )
     num = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)).cast(
         "double"
     )
@@ -214,8 +225,10 @@ def d8_weighted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # d9/d10 reuse the crisp-kNN prediction CTE chain from queries/ml.py.
-_KNN_PRED_CTES = """
-emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+# WHERE mirrors the Spark-side vector admission gate (tables.EMB_ADMIT_SQL).
+_KNN_PRED_CTES = f"""
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+        WHERE {_EMB_ADMIT}),
 train AS (SELECT * FROM emb WHERE vec_id % 5 <> 0 AND label IS NOT NULL),
 test AS (SELECT * FROM emb WHERE vec_id % 5 = 0),
 pairs AS (
@@ -366,11 +379,13 @@ def d17_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d11_histogram",
-    oracle="""
+    oracle=f"""
 SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
        count(*) AS n,
        round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::DOUBLE AS total
-FROM lineitem GROUP BY 1
+FROM lineitem
+WHERE {fin_sql("l_extendedprice")}
+GROUP BY 1
 """,
 )
 def d11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,9 +397,10 @@ def d11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-ulp drift.  Bucket totals use the exact-decimal sum.  One
     partial+final hash aggregate, ~12 groups out — the map-side
     combine does essentially all the work, the shuffle is a few
-    dozen rows.
+    dozen rows.  Non-finite prices gate at the scan (a ±Inf price has
+    no bucket; functions/numeric.py finite).
     """
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem").where(finite("l_extendedprice"))
     return li.groupBy(
         F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("bucket")
     ).agg(
@@ -395,14 +411,16 @@ def d11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d12_stat_moments",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        round(stddev_samp(l_quantity), 6) AS sd_qty,
        round(var_samp(l_quantity), 6) AS var_qty,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
        round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
        count(*) AS n
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem
+WHERE {fin_sql("l_quantity")} AND {fin_sql("l_extendedprice")}
+GROUP BY l_returnflag
 """,
 )
 def d12_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,8 +431,12 @@ def d12_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-magnitude columns (quantity 1..50, discount 0..0.1) so the
     rounding boundary is never in play.  Scale: constant state per
     group (n, mean, M2, co-moment), merged associatively — the same
-    partial+final HashAggregate shape as d1, no extra pass."""
-    li = t(spark, sf_dir, "lineitem")
+    partial+final HashAggregate shape as d1, no extra pass.  A single
+    non-finite input makes every moment ±Inf/NaN — gated at the scan
+    (functions/numeric.py finite)."""
+    li = t(spark, sf_dir, "lineitem").where(
+        finite("l_quantity") & finite("l_extendedprice")
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
@@ -458,7 +480,8 @@ SELECT o_orderpriority,
        bool_and(o_totalprice > 0) AS all_pos,
        bool_or(o_orderstatus = 'F') AS any_final,
        arg_max(o_orderkey,
-               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
+               CAST(round(o_totalprice * 100) AS HUGEINT)
+               * 10000000000000000000::HUGEINT
                + o_orderkey) AS top_order
 FROM orders GROUP BY o_orderpriority
 """,
@@ -470,14 +493,19 @@ def d14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     does the work at 100 TB, same as d1.
 
     Determinism note: max_by ties are engine-arbitrary, so the
-    ordering value packs (cents, orderkey) into one BIGINT —
-    o_totalprice has 2 decimals and fits 2^43 cents, o_orderkey fits
-    the low 10^10 — making the argmax unique.  Both engines compute
-    the identical packed integer (round() on an exactly-representable
-    double)."""
+    ordering value packs (cents, orderkey) into one 128-bit integer —
+    Spark spells it DECIMAL(38,0), DuckDB HUGEINT; both are exact
+    integer arithmetic on the same values.  cents = round(price·100)
+    stays a double-exact integer up to 2^53 (price ≤ ~9e13, far above
+    any real total), the 10^19 shift clears the full BIGINT orderkey
+    range (< 9.3e18), and the packed value ≤ ~1e33 fits both 128-bit
+    representations — no overflow at any representable input, unlike
+    the original 64-bit pack (2^43-cent / 10^10-key assumption, which
+    a 1.5e12 price or a 2^53 surrogate key silently breaks)."""
     o = t(spark, sf_dir, "orders")
     packed = (
-        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(10000000000).cast("bigint")
+        F.round(F.col("o_totalprice") * 100).cast("decimal(20,0)")
+        * F.expr("CAST('10000000000000000000' AS DECIMAL(20,0))")
         + F.col("o_orderkey")
     )
     return o.groupBy("o_orderpriority").agg(
@@ -707,12 +735,13 @@ def d20_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d21_weighted_median",
-    oracle="""
+    oracle=f"""
 WITH li AS (
   SELECT l_returnflag AS flag, l_extendedprice AS x,
          CAST(l_quantity AS DECIMAL(38,10)) AS w
   FROM lineitem
-  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND {fin_sql("l_quantity")} AND {fin_sql("l_extendedprice")}),
 cum AS (
   SELECT flag, x,
          sum(w) OVER (PARTITION BY flag ORDER BY x
@@ -745,6 +774,8 @@ def d21_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             F.col("l_extendedprice").isNotNull()
             & F.col("l_quantity").isNotNull()
+            & finite("l_quantity")
+            & finite("l_extendedprice")
         )
         .select(
             F.col("l_returnflag").alias("flag"),
@@ -881,13 +912,15 @@ def d22_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d23_percentile_cont",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
        round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
        round(quantile_cont(l_extendedprice, 0.95), 6) AS q95,
        round(quantile_cont(l_extendedprice, 0.99), 6) AS q99
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem
+WHERE {fin_sql("l_extendedprice")}
+GROUP BY l_returnflag
 """,
 )
 def d23_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,8 +933,13 @@ def d23_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: exact quantiles need the per-group sort — the honest
     cost; Spark's percentile() aggregates a per-partition buffer and
     merges, so it distributes without a global sort.  Reach for d16's
-    KLL-style sketch when 1% error is acceptable."""
-    li = t(spark, sf_dir, "lineitem")
+    KLL-style sketch when 1% error is acceptable.
+
+    Non-finite values gate at the scan: the engines DISAGREE on NaN in
+    quantiles (Spark's percentile orders NaN greatest; DuckDB's
+    quantile_cont ignores it — pinned on the round-7 extremes sweep),
+    and interpolation against ±Inf is meaningless anyway."""
+    li = t(spark, sf_dir, "lineitem").where(finite("l_extendedprice"))
     return li.groupBy("l_returnflag").agg(
         *[
             F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(name)

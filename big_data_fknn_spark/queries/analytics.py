@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_fknn_spark.functions.numeric import DEC, dsum
+from big_data_fknn_spark.functions.numeric import DEC, dsum, fin_sql, finite
 from big_data_fknn_spark.operators.rank import (
     global_rank,
     global_running_agg,
@@ -22,7 +22,7 @@ from big_data_fknn_spark.operators.rank import (
 )
 from big_data_fknn_spark.cache import cached
 from big_data_fknn_spark.queries import register
-from big_data_fknn_spark.tables import t
+from big_data_fknn_spark.tables import EMB_ADMIT_SQL, t
 
 
 @register(
@@ -121,12 +121,14 @@ def x2_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x3_percentile_exact",
-    oracle="""
+    oracle=f"""
 SELECT c_mktsegment,
        round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
        round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
        round(quantile_cont(c_acctbal, 0.75), 6) AS p75
-FROM customer GROUP BY c_mktsegment
+FROM customer
+WHERE {fin_sql("c_acctbal")}
+GROUP BY c_mktsegment
 """,
 )
 def x3_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,8 +136,12 @@ def x3_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     same linear-interpolation definition).  Scale note: exact
     percentile needs the group's values together — for extreme
     cardinality switch to x4-style pre-aggregation or the
-    approx_percentile sketch (d3's tradeoff)."""
-    c = t(spark, sf_dir, "customer")
+    approx_percentile sketch (d3's tradeoff).
+
+    Non-finite values gate at the scan (d23's device): the engines
+    disagree on NaN in quantiles — and DuckDB's quantile buffer is
+    not even run-deterministic with NaN present (round-8 sweep)."""
+    c = t(spark, sf_dir, "customer").where(finite("c_acctbal"))
     return c.groupBy("c_mktsegment").agg(
         F.round(F.percentile("c_acctbal", F.lit(0.25)), 6).alias("p25"),
         F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("p50"),
@@ -145,10 +151,12 @@ def x3_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x4_salted_agg",
-    oracle="""
+    oracle=f"""
 SELECT event_type, count(*) AS n,
        round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
-FROM events GROUP BY event_type
+FROM events
+WHERE {fin_sql("value")}
+GROUP BY event_type
 """,
 )
 def x4_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,8 +167,9 @@ def x4_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, salt), then merge the 16 partials per key.  Result is
     IDENTICAL to the plain GROUP BY (the oracle); only the shuffle
     key distribution changes.  Decimal sums make the two-level
-    re-aggregation exact."""
-    e = t(spark, sf_dir, "events")
+    re-aggregation exact.  Non-finite values gate at the scan
+    (numeric.finite)."""
+    e = t(spark, sf_dir, "events").where(finite("value"))
     partial = (
         e.withColumn("salt", F.col("event_id") % 16)
         .groupBy("event_type", "salt")
@@ -250,11 +259,11 @@ def x6_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a7_keel_roundtrip",
-    oracle="""
+    oracle=f"""
 SELECT label,
        count(*) AS n,
        round(sum(CAST(embedding[1]::DOUBLE AS DECIMAL(38,10))), 6)::DOUBLE AS f0_sum
-FROM embeddings GROUP BY label
+FROM embeddings WHERE {EMB_ADMIT_SQL} GROUP BY label
 """,
 )
 def a7_keel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,8 +452,9 @@ def x9_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x10_gap_fill",
-    oracle="""
-WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS hr, value FROM events),
+    oracle=f"""
+WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS hr, value FROM events
+            WHERE {fin_sql("value")}),
 agg AS (
   SELECT user_id, hr,
          round(sum(CAST(value AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS v
@@ -485,7 +495,7 @@ def x10_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from big_data_fknn_spark.tables import events_t
 
-    e = events_t(spark, sf_dir)
+    e = events_t(spark, sf_dir).where(finite("value"))
     ev = e.select("user_id", F.date_trunc("hour", "ts").alias("hr"), "value")
     agg = ev.groupBy("user_id", "hr").agg(
         F.round(
@@ -559,12 +569,13 @@ def x11_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One SQL string, two engines: runs verbatim through spark.sql over
 # temp views AND through DuckDB as its own oracle (common dialect:
 # CAST not ::, ANSI join/window/CTE).
-_X12_SQL = """
+_X12_SQL = f"""
 WITH per_nation AS (
   SELECT n_name, count(*) AS n_cust,
          CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 6) AS DOUBLE)
            AS total_bal
   FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE {fin_sql("c_acctbal")}
   GROUP BY n_name
 )
 SELECT n_name, n_cust, total_bal,
@@ -777,12 +788,12 @@ def x16_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x17_observe_metrics",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
        round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::DOUBLE AS gross
 FROM lineitem
-WHERE l_quantity < 30
+WHERE l_quantity < 30 AND {fin_sql("l_extendedprice")}
 GROUP BY l_returnflag, l_linestatus
 """,
 )
@@ -797,7 +808,7 @@ def x17_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks — is the ordinary aggregate."""
     from pyspark.sql import Observation
 
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem").where(finite("l_extendedprice"))
     obs = Observation("x17_quality")
     observed = li.observe(
         obs,
@@ -1018,11 +1029,13 @@ def x23_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x24_compaction",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        count(*) AS n,
        round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::DOUBLE AS qty
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem
+WHERE {fin_sql("l_quantity")}
+GROUP BY l_returnflag
 """,
 )
 def x24_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,7 +1049,11 @@ def x24_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are asserted in tests/test_plans.py."""
     from big_data_fknn_spark.queries.relational import _tmp_path
 
-    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(finite("l_quantity"))
+        .select("l_returnflag", "l_quantity")
+    )
     frag = _tmp_path("x24_fragmented.parquet")
     li.repartition(64).write.mode("overwrite").parquet(frag)
     compact = _tmp_path("x24_compacted.parquet")
@@ -1184,11 +1201,11 @@ def x27_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x28_tpch_q11",
-    oracle="""
+    oracle=f"""
 WITH pv AS (
   SELECT l_partkey,
          sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS value_d
-  FROM lineitem GROUP BY l_partkey
+  FROM lineitem WHERE {fin_sql("l_extendedprice")} GROUP BY l_partkey
 )
 SELECT l_partkey, round(value_d, 6)::DOUBLE AS part_value
 FROM pv
@@ -1207,7 +1224,7 @@ def x28_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums; the threshold is derived from the same decimal total with
     identical double arithmetic on both engines, and boundary
     comparisons promote the identical decimal to double."""
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem").where(finite("l_extendedprice"))
     pv = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast(DEC)).alias("value_d")
     )
@@ -1844,6 +1861,9 @@ def x40_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fin_sql gate spelled inline (the string is .format()ed, so literal
+# braces are reserved for {table}); NOT isnan/abs<inf parses in both
+# engines — x12's portable-dialect rule.
 _X41_SQL = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
@@ -1851,6 +1871,7 @@ SELECT l_returnflag, l_linestatus,
        min(l_shipdate) AS first_ship
 FROM {table}
 WHERE l_quantity >= 25
+  AND NOT isnan(l_quantity) AND abs(l_quantity) < cast('Infinity' AS DOUBLE)
 GROUP BY ALL
 """
 
@@ -1947,10 +1968,12 @@ def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x44_salted_join",
+    # exact integer cents (c3's device): ≥1e12 totals break round(,6)
+    # and the decimal→double conversion itself (1-ulp engine split)
     oracle="""
 SELECT c.c_mktsegment AS segment,
        count(*) AS n_orders,
-       round(sum(CAST(o.o_totalprice AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_c
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """,
@@ -1994,7 +2017,9 @@ def x44_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("revenue"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_c"
+            ),
         )
     )
 
@@ -2091,12 +2116,12 @@ def x45_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x46_runtime_filter",
-    oracle="""
+    oracle=f"""
 SELECT o.o_orderpriority AS priority,
        count(*) AS n_items,
        round(sum(CAST(l.l_extendedprice AS DECIMAL(38,10))), 6)::DOUBLE AS gross
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-WHERE o.o_orderpriority = '1-URGENT'
+WHERE o.o_orderpriority = '1-URGENT' AND {fin_sql("l.l_extendedprice")}
 GROUP BY 1
 """,
 )
@@ -2125,7 +2150,7 @@ def x46_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for k, v in knobs.items():
             spark.conf.set(k, v)
-        li = t(spark, sf_dir, "lineitem")
+        li = t(spark, sf_dir, "lineitem").where(finite("l_extendedprice"))
         o = t(spark, sf_dir, "orders").where(
             F.col("o_orderpriority") == "1-URGENT"
         )
@@ -2216,7 +2241,7 @@ _EWMA_W = 20
 WITH ev AS (
   SELECT user_id, event_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE value IS NOT NULL),
+  FROM events WHERE value IS NOT NULL AND {fin_sql("value")}),
 win AS (
   SELECT user_id, event_id, rn,
          list(struct_pack(rn := rn, v := value))
@@ -2260,7 +2285,7 @@ def x49_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole sum — filtering keeps both engines on one meaning)
     e = (
         events_t(spark, sf_dir)
-        .where(F.col("value").isNotNull())
+        .where(F.col("value").isNotNull() & finite("value"))
         .select("user_id", "event_id", "value", "ts")
     )
     wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2483,12 +2508,12 @@ def x52_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x53_time_weighted_avg",
-    oracle="""
+    oracle=f"""
 WITH seg AS (
   SELECT user_id, value,
          epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
            - epoch_us(ts) AS dur_us
-  FROM events),
+  FROM events WHERE {fin_sql("value")}),
 held AS (
   SELECT user_id,
          CAST(value * dur_us AS DECIMAL(38,6)) AS vd,
@@ -2514,10 +2539,12 @@ def x53_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user-keyed window + one hash agg — the same shape at
     any volume; contrast the naive per-pair self-join.  Last reading
     per user carries no duration and is excluded (both engines drop
-    the NULL lead)."""
+    the NULL lead).  Non-finite values gate at the scan BEFORE the
+    lead() window, so each reading's holding segment ends at the next
+    ADMITTED reading in both engines (numeric.finite)."""
     from big_data_fknn_spark.tables import events_t
 
-    e = events_t(spark, sf_dir)
+    e = events_t(spark, sf_dir).where(finite("value"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seg = e.select(
         "user_id",
@@ -2540,11 +2567,16 @@ def x53_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x54_grouping_sets",
+    # exact integer CENTS (x58's centi-unit device): the grand-priority
+    # rows aggregate the whole table, where a ≥1e12 total breaks both
+    # round(,6) AND the decimal→double conversion itself (1-ulp split
+    # between Spark's correctly-rounded BigDecimal.doubleValue and
+    # DuckDB's int128→double / 1e10 double-rounding — round-8 sweep)
     oracle="""
 SELECT coalesce(n.n_name, '(all)') AS nation,
        coalesce(o.o_orderpriority, '(all)') AS priority,
        count(*) AS n_orders,
-       round(sum(CAST(o.o_totalprice AS DECIMAL(38,10))), 6)::DOUBLE AS total
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS total_c
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -2556,9 +2588,11 @@ def x54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup cube/rollup can't express (nation-only, priority-only,
     and the cross, but NOT the grand total).  One scan, one Expand:
     Catalyst multiplies rows by the set count before a single hash
-    aggregate, identical to d4/x8's machinery.  Money sums are exact
-    decimals as everywhere; NULL grouping keys are disambiguated to
-    '(all)' in both engines (the fixture has no NULL names).
+    aggregate, identical to d4/x8's machinery.  Money totals are
+    exact integer cents (see the oracle comment — the whole-table
+    grouping set can exceed the decimal→double-safe magnitude); NULL
+    grouping keys are disambiguated to '(all)' in both engines (the
+    fixture has no NULL names).
 
     Scale: Expand×3 beats three scans + union at any size, and the
     partial aggregate still combines map-side."""
@@ -2581,15 +2615,15 @@ def x54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(38,10)")), 6
-            ).cast("double").alias("total"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_c"
+            ),
         )
         .select(
             F.coalesce("n_name", F.lit("(all)")).alias("nation"),
             F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
             "n_orders",
-            "total",
+            "total_c",
         )
     )
 
@@ -2780,12 +2814,12 @@ def x57_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x58_clamped_running_sum",
-    oracle="""
+    oracle=f"""
 WITH mv AS (
   SELECT l_partkey, l_orderkey, l_linenumber,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END
            * CAST(round(l_quantity * 100, 0) AS BIGINT) AS delta_c
-  FROM lineitem WHERE l_partkey % 50 = 0),
+  FROM lineitem WHERE l_partkey % 50 = 0 AND {fin_sql("l_quantity")}),
 s1 AS (
   SELECT *, sum(delta_c) OVER w AS s
   FROM mv
@@ -2814,8 +2848,12 @@ def x58_clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes over it — where the naive formulation forces a sequential
     per-key scan (or a stateful UDF), this stays whole-stage-codegen
     window work.  The general two-sided clamp needs i6-style
-    stateful iteration; the one-sided bound is the closed form."""
-    li = t(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 50 == 0)
+    stateful iteration; the one-sided bound is the closed form.
+    Non-finite quantities gate at the scan — round(±Inf·100) has no
+    BIGINT centi-unit (numeric.finite)."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_partkey") % 50 == 0) & finite("l_quantity")
+    )
     delta = (
         F.when(F.col("l_returnflag") == "R", 1).otherwise(-1)
         * F.round(F.col("l_quantity") * 100, 0).cast("bigint")
@@ -2852,7 +2890,7 @@ _Z_THRESH = 2.5
 WITH ev AS (
   SELECT user_id, event_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events),
+  FROM events WHERE {fin_sql("value")}),
 win AS (
   SELECT user_id, event_id, value,
          sum(CAST(value AS DECIMAL(38,10))) OVER w AS s1,
@@ -2883,10 +2921,11 @@ def x59_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: constant per-row frame state, one shuffle on user_id; the
     streaming twin would carry (Σv, Σv², ring buffer) in i6-style
     state.  Decimal sums are the same device as x49's EWMA — rolling
-    moments never depend on summation order."""
+    moments never depend on summation order.  Non-finite values gate
+    at the scan (numeric.finite)."""
     from big_data_fknn_spark.tables import events_t
 
-    e = events_t(spark, sf_dir)
+    e = events_t(spark, sf_dir).where(finite("value"))
     wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = e.select("user_id", "event_id", "value", "ts").withColumn(
         "rn", F.row_number().over(wr)
@@ -3071,7 +3110,7 @@ def x61_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x62_cuped",
-    oracle="""
+    oracle=f"""
 WITH per_user AS (
   SELECT user_id,
          sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
@@ -3080,7 +3119,7 @@ WITH per_user AS (
          sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
                   THEN CAST(value AS DECIMAL(38,10)) END) AS post_s,
          count(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 END) AS post_n
-  FROM events GROUP BY user_id),
+  FROM events WHERE {fin_sql("value")} GROUP BY user_id),
 both_ AS (
   SELECT user_id, user_id % 2 AS seg,
          pre_s::DOUBLE / pre_n AS pre,
@@ -3116,7 +3155,7 @@ def x62_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_fknn_spark.tables import events_t
 
     dec = "decimal(38,10)"
-    e = events_t(spark, sf_dir)
+    e = events_t(spark, sf_dir).where(finite("value"))
     cut = F.lit("2024-01-15").cast("timestamp")
     per_user = e.groupBy("user_id").agg(
         F.sum(F.when(F.col("ts") < cut, F.col("value").cast(dec))).alias("pre_s"),
@@ -3154,12 +3193,12 @@ def x62_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x63_gap_fill_interp",
-    oracle="""
+    oracle=f"""
 WITH obs AS (
   SELECT user_id, epoch_us(ts) // 3600000000 AS t,
          CAST(round((sum(CAST(value AS DECIMAL(38,10)))::DOUBLE / count(*))
                     * 1000000, 0) AS BIGINT) AS c
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+  FROM events WHERE value IS NOT NULL AND {fin_sql("value")} GROUP BY 1, 2),
 span AS (
   SELECT user_id, min(t) AS mn, max(t) AS mx FROM obs GROUP BY user_id),
 grid AS (
@@ -3223,8 +3262,9 @@ def x63_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # an hourly mean is over OBSERVED values: NULL readings neither
     # enter the numerator nor the denominator, and an hour with no
-    # real reading is a GAP to interpolate, not an 'obs' bucket
-    e = events_t(spark, sf_dir).where(F.col("value").isNotNull())
+    # real reading is a GAP to interpolate, not an 'obs' bucket;
+    # non-finite readings gate at the scan (numeric.finite)
+    e = events_t(spark, sf_dir).where(F.col("value").isNotNull() & finite("value"))
     hour = (F.unix_micros("ts") / 3_600_000_000).cast("long")
     obs = (
         e.select("user_id", hour.alias("t"), "value")
@@ -3638,11 +3678,11 @@ def x68_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x69_abc_pareto",
-    oracle="""
+    oracle=f"""
 WITH rev AS (
   SELECT l_partkey AS pk,
          sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS r
-  FROM lineitem GROUP BY l_partkey),
+  FROM lineitem WHERE {fin_sql("l_extendedprice")} GROUP BY l_partkey),
 tot AS (SELECT sum(r) AS t FROM rev),
 cum AS (
   SELECT pk, r,
@@ -3676,8 +3716,9 @@ def x69_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_plans.py); output is 3 rows.  The running sum accumulates
     in DECIMAL(30,10): literal-prefix + window-sum at the default
     (38,10) would hit the 38-precision cap on addition and silently
-    drop to 9-digit scale."""
-    li = t(spark, sf_dir, "lineitem")
+    drop to 9-digit scale.  Non-finite prices gate at the scan
+    (numeric.finite)."""
+    li = t(spark, sf_dir, "lineitem").where(finite("l_extendedprice"))
     rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(

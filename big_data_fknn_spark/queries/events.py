@@ -23,7 +23,7 @@ from uuid import uuid4
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_fknn_spark.functions.numeric import dsum
+from big_data_fknn_spark.functions.numeric import dsum, fin_sql, finite
 from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.streaming import events_stream, run_to_memory
 from big_data_fknn_spark.tables import events_t, t
@@ -80,19 +80,21 @@ def e9_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i1_tumbling",
-    oracle="""
+    oracle=f"""
 SELECT date_trunc('hour', ts) AS bucket, event_type,
        count(*) AS n,
        round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
-FROM events GROUP BY 1, 2
+FROM events
+WHERE {fin_sql("value")}
+GROUP BY 1, 2
 """,
 )
 def i1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window (batch mode — identical
     semantics to the streaming plan minus the watermark).  1-hour
     windows align to epoch hours, so DuckDB's date_trunc is the exact
-    oracle."""
-    e = t(spark, sf_dir, "events")
+    oracle.  Non-finite values gate at the scan (numeric.finite)."""
+    e = t(spark, sf_dir, "events").where(finite("value"))
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -105,10 +107,11 @@ def i1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i2_sliding",
-    oracle="""
+    oracle=f"""
 WITH base AS (
   SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b, value
   FROM events
+  WHERE {fin_sql("value")}
 ), expanded AS (
   SELECT b - (k.k * INTERVAL 15 MINUTE) AS win_start, value
   FROM base CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
@@ -122,8 +125,8 @@ def i2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window: 1-hour length, 15-minute slide — every event
     lands in exactly 4 windows.  The oracle expands the window
     assignment explicitly (floor to the slide grid, back-shift k
-    slides)."""
-    e = t(spark, sf_dir, "events")
+    slides).  Non-finite values gate at the scan (numeric.finite)."""
+    e = t(spark, sf_dir, "events").where(finite("value"))
     return (
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
@@ -517,7 +520,7 @@ def i10_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x22_time_rollup_multires",
-    oracle="""
+    oracle=f"""
 SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
             WHEN grouping(d) = 0 THEN 'day'
             ELSE 'month' END AS grain,
@@ -526,7 +529,7 @@ SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
        round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total
 FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
              date_trunc('month', ts) AS m, value
-      FROM events)
+      FROM events WHERE {fin_sql("value")})
 GROUP BY GROUPING SETS ((h), (d), (m))
 """,
 )
@@ -537,8 +540,9 @@ def x22_time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     the input is read once instead of three times.  At 100 TB that's
     the difference between one IO pass and three; the expanded stream
     still combines map-side per grain before the single shuffle.
-    grouping() disambiguates which grain each output row belongs to."""
-    ev = t(spark, sf_dir, "events").select(
+    grouping() disambiguates which grain each output row belongs to.
+    Non-finite values gate at the scan (numeric.finite)."""
+    ev = t(spark, sf_dir, "events").where(finite("value")).select(
         F.date_trunc("hour", "ts").alias("h"),
         F.date_trunc("day", "ts").alias("d"),
         F.date_trunc("month", "ts").alias("m"),
@@ -681,11 +685,13 @@ def x42_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i13_stream_tumbling_live",
-    oracle="""
+    oracle=f"""
 SELECT date_trunc('hour', ts) AS bucket, event_type,
        count(*) AS n,
        round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
-FROM events GROUP BY 1, 2
+FROM events
+WHERE {fin_sql("value")}
+GROUP BY 1, 2
 """,
 )
 def i13_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,8 +705,13 @@ def i13_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay surface every window for the oracle.  The streaming agg is
     the same partial+final HashAggregate as i1 per micro-batch, plus
     a state-store merge keyed by (window, event_type) — O(open
-    windows × types), never history."""
-    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    windows × types), never history.  Non-finite values gate at the
+    stream's scan edge (numeric.finite), same as batch-twin i1."""
+    s = (
+        events_stream(spark, sf_dir)
+        .where(finite("value"))
+        .withWatermark("ts", "10 minutes")
+    )
     agg = (
         s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -714,10 +725,11 @@ def i13_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i14_stream_sliding_live",
-    oracle="""
+    oracle=f"""
 WITH base AS (
   SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b, value
   FROM events
+  WHERE {fin_sql("value")}
 ), expanded AS (
   SELECT b - (k.k * INTERVAL 15 MINUTE) AS win_start, value
   FROM base CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
@@ -736,8 +748,13 @@ def i14_stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 min bounds state to open windows × 4 overlap; each micro-batch
     updates at most (batch span / slide + 4) window rows per key.
     The state-store merge is the only difference from i2's plan —
-    identical partial+final agg otherwise."""
-    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    identical partial+final agg otherwise.  Non-finite values gate at
+    the stream's scan edge (numeric.finite), same as batch-twin i2."""
+    s = (
+        events_stream(spark, sf_dir)
+        .where(finite("value"))
+        .withWatermark("ts", "10 minutes")
+    )
     agg = (
         s.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
@@ -1017,7 +1034,7 @@ _I18_THRESH = 2.5
 WITH ev AS (
   SELECT user_id, event_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE value IS NOT NULL),
+  FROM events WHERE value IS NOT NULL AND {fin_sql("value")}),
 win AS (
   SELECT user_id, event_id, value,
          sum(CAST(value AS DECIMAL(38,10))) OVER w AS s1,
@@ -1101,8 +1118,12 @@ def i18_stream_zscore_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the rolling moments are over OBSERVED values: a NULL reading
     # neither fills a window slot nor can be scored (mirrored in the
-    # oracle's WHERE; it would also NaN the Decimal accumulation)
-    s = events_stream(spark, sf_dir).where(F.col("value").isNotNull())
+    # oracle's WHERE; it would also NaN the Decimal accumulation) —
+    # and a non-finite reading gates at the scan edge like every
+    # measure here (Decimal(inf) raises in the Python kernel)
+    s = events_stream(spark, sf_dir).where(
+        F.col("value").isNotNull() & finite("value")
+    )
     flagged = s.groupBy("user_id").applyInPandasWithState(
         track, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

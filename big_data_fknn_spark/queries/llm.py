@@ -37,7 +37,7 @@ from big_data_fknn_spark.operators.knn import knn_join, knn_join_blas
 from big_data_fknn_spark.operators.rank import global_rank
 from big_data_fknn_spark.cache import cached
 from big_data_fknn_spark.queries import register
-from big_data_fknn_spark.tables import embeddings_d, t
+from big_data_fknn_spark.tables import EMB_ADMIT_SQL, embeddings_d, t
 
 # ---------------------------------------------------------------- shared
 
@@ -393,8 +393,9 @@ def j8c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j8d_embed_neardup",
-    oracle="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {EMB_ADMIT_SQL}),
 p AS (
   SELECT a.vec_id AS id_i, b.vec_id AS id_j,
          list_dot_product(a.v, b.v)
@@ -484,7 +485,8 @@ _SRP_TAU = 0.4
 @register(
     "j40_srp_lsh_neardup",
     oracle=f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {EMB_ADMIT_SQL}),
 cells AS (
   SELECT e.vec_id, bits.b,
          CAST(e.v[pos.i] * CASE WHEN ('0x' || substr(md5(pos.i || '_' || bits.b), 1, 1))::INT % 2 = 0
@@ -612,7 +614,8 @@ _PROBE_MOD = 50  # vec_id % 50 == 0 → deterministic probe set
 _TOPK = 10
 
 _J9_CTES = f"""
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+      WHERE {EMB_ADMIT_SQL}),
 probes AS (SELECT * FROM e WHERE vec_id % {_PROBE_MOD} = 0)
 """
 
@@ -787,8 +790,9 @@ def j10_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j11_centroid",
-    oracle="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+           WHERE {EMB_ADMIT_SQL})
 SELECT label, j AS dim,
        round(sum(CAST(v[j] AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS centroid
 FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
@@ -1208,8 +1212,9 @@ def j17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j18_embed_quantize",
-    oracle="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {EMB_ADMIT_SQL}),
 s AS (SELECT vec_id, v,
              list_max(list_transform(v, x -> abs(x))) AS sc
       FROM e)
@@ -1546,8 +1551,9 @@ def j24_corpus_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j26_semdedup",
-    oracle="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+           WHERE {EMB_ADMIT_SQL}),
 dup AS (
   SELECT DISTINCT a.vec_id
   FROM e a JOIN e b
@@ -1740,8 +1746,9 @@ def j28_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j30_random_projection",
-    oracle="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {EMB_ADMIT_SQL}),
 cells AS (
   SELECT e.vec_id, dims.j, pos.i,
          e.v[pos.i] * CASE WHEN ('0x' || substr(md5(pos.i || '_' || dims.j), 1, 1))::INT % 2 = 0

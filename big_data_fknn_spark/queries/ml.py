@@ -19,14 +19,17 @@ from big_data_fknn_spark.operators.fknn import fknn_pipeline, keller_memberships
 from big_data_fknn_spark.operators.knn import knn_join_blas
 from big_data_fknn_spark.cache import cached
 from big_data_fknn_spark.queries import register
-from big_data_fknn_spark.tables import embeddings_d, train_test_split
+from big_data_fknn_spark.tables import EMB_ADMIT_SQL, embeddings_d, train_test_split
 
 K = 5
 
 # Shared oracle CTEs: widen float32 → double (exact), deterministic
-# 80/20 split on vec_id — bit-identical inputs in both engines.
-EMB_CTES = """
-emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+# 80/20 split on vec_id — bit-identical inputs in both engines.  The
+# WHERE mirrors the Spark-side vector admission contract
+# (tables.EMB_ADMIT_SQL: 64-dim, finite, non-zero).
+EMB_CTES = f"""
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+        WHERE {EMB_ADMIT_SQL}),
 train AS (SELECT * FROM emb WHERE vec_id % 5 <> 0 AND label IS NOT NULL),
 test AS (SELECT * FROM emb WHERE vec_id % 5 = 0)
 """
@@ -159,8 +162,9 @@ def j3_fknn_stage2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j4_dist_metrics",
-    oracle="""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    oracle=f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+             WHERE {EMB_ADMIT_SQL}),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.emb AS ea, b.emb AS eb
   FROM emb a CROSS JOIN emb b
@@ -190,10 +194,11 @@ def j4_dist_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j5_normalize",
-    oracle="""
+    oracle=f"""
 WITH ex AS (
   SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS x
   FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+  WHERE {EMB_ADMIT_SQL}
 ),
 stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos)
 SELECT ex.vec_id, ex.pos,
@@ -240,7 +245,7 @@ def j6_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb, label, vec_id % 5 AS fold
-  FROM embeddings WHERE label IS NOT NULL
+  FROM embeddings WHERE label IS NOT NULL AND {EMB_ADMIT_SQL}
 ),
 p AS (
   SELECT a.vec_id AS q, a.fold AS fold, a.label AS label,
@@ -345,7 +350,8 @@ _KM_ASSIGN_SQL = """
 @register(
     "j29_kmeans_lloyd",
     oracle=f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {EMB_ADMIT_SQL}),
 c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT {_KM_K}),
 a1 AS ({_KM_ASSIGN_SQL.format(cents="c0")}),
 m1 AS (
@@ -428,7 +434,7 @@ def j29_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH emb AS (
   SELECT vec_id, embedding[2:64]::DOUBLE[] AS x, embedding[1]::DOUBLE AS y
-  FROM embeddings
+  FROM embeddings WHERE {EMB_ADMIT_SQL}
 ),
 train AS (SELECT * FROM emb WHERE vec_id % 5 <> 0),
 test  AS (SELECT * FROM emb WHERE vec_id % 5 = 0),
@@ -493,7 +499,8 @@ def j41_knn_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j43_enn_wilson",
     oracle=f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
-             FROM embeddings WHERE label IS NOT NULL),
+             FROM embeddings
+             WHERE label IS NOT NULL AND {EMB_ADMIT_SQL}),
 p AS (
   SELECT a.vec_id AS q, a.label AS label, b.vec_id AS n, b.label AS n_label,
          list_distance(a.emb, b.emb) AS d
@@ -914,12 +921,12 @@ def j49_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j57_stratified_split",
-    oracle="""
+    oracle=f"""
 WITH ranked AS (
   SELECT label, vec_id,
          row_number() OVER (PARTITION BY label
                             ORDER BY md5('split#' || vec_id), vec_id) AS r
-  FROM embeddings),
+  FROM embeddings WHERE {EMB_ADMIT_SQL}),
 tagged AS (
   SELECT label, CASE WHEN r % 5 = 0 THEN 'test' ELSE 'train' END AS split
   FROM ranked)

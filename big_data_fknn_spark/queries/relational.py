@@ -18,9 +18,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from big_data_fknn_spark.functions.distance import euclidean, manhattan
-from big_data_fknn_spark.functions.numeric import davg, dsum
+from big_data_fknn_spark.functions.numeric import davg, dsum, fin_sql, finite
 from big_data_fknn_spark.queries import register
-from big_data_fknn_spark.tables import t
+from big_data_fknn_spark.tables import EMB_ADMIT_SQL, t
 
 # ---------------------------------------------------------------- A. scans
 
@@ -128,18 +128,21 @@ def a4_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a5_broadcast_side",
-    oracle="""
+    oracle=f"""
 SELECT n.n_name, count(*) AS n_cust,
        round(sum(CAST(c.c_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS bal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE {fin_sql("c.c_acctbal")}
 GROUP BY n.n_name
 """,
 )
 def a5_broadcast_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast side input — the reference's core distribution trick
     (sc.broadcast(testChunk), [P kNN-IS §3.2]) as a broadcast-hash
-    join against the 25-row nation dim."""
-    c = t(spark, sf_dir, "customer")
+    join against the 25-row nation dim.  Non-finite balances are
+    gated at the scan (functions/numeric.py finite — the exact-decimal
+    sum has no ±Inf/NaN representation); NULLs keep flowing."""
+    c = t(spark, sf_dir, "customer").where(finite("c_acctbal"))
     n = t(spark, sf_dir, "nation")
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -287,13 +290,21 @@ def c2_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c3_hash_inner",
     oracle="""
 SELECT c.c_mktsegment, count(*) AS n_orders,
-       round(sum(CAST(o.o_totalprice AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_c
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
 )
 def c3_hash_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi inner join (shuffled hash / SMJ picked by AQE) + agg."""
+    """Equi inner join (shuffled hash / SMJ picked by AQE) + agg.
+
+    Revenue is exact integer CENTS (x58's centi-unit device): a ≥1e12
+    total breaks round(x, 6) — ~19 significant digits, past double
+    precision — and, as round-8's extremes sweep pinned, even the
+    UNROUNDED decimal→double conversion splits by 1 ulp between
+    Spark's correctly-rounded BigDecimal.doubleValue and DuckDB's
+    int128→double / 1e10 double-rounding.  Integer sums are immune to
+    both."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     return (
@@ -301,7 +312,9 @@ def c3_hash_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("revenue"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_c"
+            ),
         )
     )
 
@@ -333,17 +346,19 @@ def c4_broadcast_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c5_sort_merge",
-    oracle="""
+    oracle=f"""
 SELECT o.o_orderstatus, count(*) AS n,
        round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE {fin_sql("l.l_extendedprice")}
 GROUP BY o.o_orderstatus
 """,
 )
 def c5_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large⋈large sort-merge join (MERGE hint pins SMJ — the shape
-    AQE picks anyway once both sides exceed the broadcast threshold)."""
-    li = t(spark, sf_dir, "lineitem")
+    AQE picks anyway once both sides exceed the broadcast threshold).
+    Non-finite prices gate at the scan (functions/numeric.py finite)."""
+    li = t(spark, sf_dir, "lineitem").where(finite("l_extendedprice"))
     o = t(spark, sf_dir, "orders").hint("merge")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -600,8 +615,9 @@ def g4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "h1_math_dist",
-    oracle="""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    oracle=f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+             WHERE {EMB_ADMIT_SQL})
 SELECT a.vec_id,
        round(list_distance(a.emb, b.emb), 6) AS eucl,
        round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> abs(p[1] - p[2]))), 6) AS manh
@@ -625,13 +641,13 @@ def h1_math_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "h2_array_fns",
-    oracle="""
+    oracle=f"""
 SELECT vec_id,
        len(embedding) AS n_elems,
        round(list_sum(embedding[1:3]::DOUBLE[]), 6) AS first3_sum,
        len(list_filter(embedding, x -> x > 0)) AS n_pos,
        round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS max_abs
-FROM embeddings
+FROM embeddings WHERE {EMB_ADMIT_SQL}
 """,
 )
 def h2_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,19 +742,22 @@ def h5_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "h6_case_when",
-    oracle="""
+    oracle=f"""
 SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
             WHEN c_acctbal < 5000 THEN 'low'
             ELSE 'high' END AS band,
        count(*) AS n,
        round(sum(CAST(c_acctbal AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS avg_bal
-FROM customer GROUP BY 1
+FROM customer
+WHERE {fin_sql("c_acctbal")}
+GROUP BY 1
 """,
 )
 def h6_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN banding (the Keller 0.51/0.49 membership init shape,
-    [P Keller85]; the real thing is in operators/fknn.py)."""
-    c = t(spark, sf_dir, "customer")
+    [P Keller85]; the real thing is in operators/fknn.py).  Non-finite
+    balances gate at the scan (functions/numeric.py finite)."""
+    c = t(spark, sf_dir, "customer").where(finite("c_acctbal"))
     band = (
         F.when(F.col("c_acctbal") < 0, "debt")
         .when(F.col("c_acctbal") < 5000, "low")
@@ -1280,8 +1299,9 @@ def g5_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "h13_array_hof",
-    oracle="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+           WHERE {EMB_ADMIT_SQL})
 SELECT vec_id,
        len(list_filter(v, x -> x > 0.2)) > 0 AS any_big,
        len(list_filter(v, x -> abs(x) < 1.0)) = len(v) AS all_small,
@@ -1466,11 +1486,15 @@ def h16_try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a14_text_log_roundtrip",
+    # NOT isnan/abs<inf: Java's %.3f renders a non-finite value as the
+    # token 'Infinity'/'NaN', which the parse regex dead-letters — the
+    # oracle mirrors that quarantine explicitly
     oracle="""
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(round(round(value, 3) * 1000, 0) AS BIGINT)) AS BIGINT) AS value_millis
 FROM events
 WHERE event_type IS NOT NULL AND value IS NOT NULL
+  AND NOT isnan(value) AND abs(value) < cast('Infinity' AS DOUBLE)
 GROUP BY event_type
 """,
 )

@@ -14,15 +14,19 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_fknn_spark.functions.numeric import fin_sql
 from big_data_fknn_spark.queries import register
-from big_data_fknn_spark.tables import embeddings_d, t
+from big_data_fknn_spark.tables import EMB_ADMIT_SQL, embeddings_d, t
 
 
 @register(
     "k1_py_udf",
     oracle="""
 SELECT c_custkey,
-       'b' || (floor(c_acctbal / 1000.0)::INT)::VARCHAR AS bal_band
+       CASE WHEN NOT isnan(c_acctbal)
+             AND abs(c_acctbal) < cast('Infinity' AS DOUBLE)
+            THEN 'b' || (floor(c_acctbal / 1000.0)::INT)::VARCHAR
+       END AS bal_band
 FROM customer
 """,
 )
@@ -37,8 +41,10 @@ def k1_py_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bal_band(bal: float) -> str | None:
         # NULL-in-NULL-out, like the expression it demos — a Python
         # UDF sees None, not a propagated SQL NULL, so the guard is
-        # the author's job
-        if bal is None:
+        # the author's job.  Non-finite → NULL (no band exists;
+        # math.floor(±inf/NaN) raises — one bad row must not kill the
+        # job), mirrored by the oracle's CASE
+        if bal is None or not math.isfinite(bal):
             return None
         return f"b{math.floor(bal / 1000.0)}"
 
@@ -48,10 +54,10 @@ def k1_py_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "k2_pandas_udf",
-    oracle="""
+    oracle=f"""
 SELECT vec_id,
        round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2
-FROM embeddings
+FROM embeddings WHERE {EMB_ADMIT_SQL}
 """,
 )
 def k2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,9 +78,9 @@ def k2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "k3_udaf",
-    oracle="""
+    oracle=f"""
 WITH e AS (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
-           FROM embeddings)
+           FROM embeddings WHERE {EMB_ADMIT_SQL})
 SELECT label, round(avg(n), 6) AS mean_norm, count(*) AS n_vecs
 FROM e GROUP BY label
 """,
@@ -149,13 +155,13 @@ def k4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "k5_cogroup",
-    oracle="""
+    oracle=f"""
 WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust,
                   round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS cust_bal
-           FROM customer GROUP BY 1),
+           FROM customer WHERE {fin_sql("c_acctbal")} GROUP BY 1),
 s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp,
              round(sum(CAST(s_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS supp_bal
-      FROM supplier GROUP BY 1)
+      FROM supplier WHERE {fin_sql("s_acctbal")} GROUP BY 1)
 SELECT coalesce(c.nationkey, s.nationkey)::BIGINT AS nationkey,
        coalesce(n_cust, 0) AS n_cust,
        coalesce(cust_bal, 0.0) AS cust_bal,
@@ -173,14 +179,21 @@ def k5_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal (exact, order-independent — functions/numeric.py
     rationale applies inside Python too).  Scale: one co-partitioned
     shuffle per side, then embarrassingly parallel per key; group
-    pairs must fit one worker's memory."""
+    pairs must fit one worker's memory.  Non-finite balances gate at
+    the scan (round(Decimal('Inf')) raises in the kernel)."""
     from decimal import Decimal
 
-    cust = t(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").cast("bigint").alias("nationkey"), "c_acctbal"
+    from big_data_fknn_spark.functions.numeric import finite
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .where(finite("c_acctbal"))
+        .select(F.col("c_nationkey").cast("bigint").alias("nationkey"), "c_acctbal")
     )
-    supp = t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").cast("bigint").alias("nationkey"), "s_acctbal"
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .where(finite("s_acctbal"))
+        .select(F.col("s_nationkey").cast("bigint").alias("nationkey"), "s_acctbal")
     )
 
     def merge(key: tuple, c: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_fknn_spark.functions.numeric import DEC
+from big_data_fknn_spark.functions.numeric import DEC, fin_sql, finite
 from big_data_fknn_spark.operators.rank import global_rank, ntile_from_rank
 from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.tables import t
@@ -90,36 +90,44 @@ def e3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e4_frame_running",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)::DOUBLE AS running_spend,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS running_spend_c,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-         / count(*) OVER (
+         / (100 * count(*) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS avg3
 FROM orders
 """,
 )
 def e4_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit frame specs: running total + trailing 3-row average.
-    Windowed sums accumulate in exact decimal — engines disagree on
-    evaluation order inside frames (segment trees vs sequential), so
-    double accumulation is not reproducible (functions/numeric.py)."""
+
+    Money quantizes to exact integer CENTS before the windows (x58's
+    centi-unit device), so every running total is pure int64
+    arithmetic — immune to frame evaluation order AND to the
+    decimal→double conversion itself: round-8's extremes sweep pinned
+    a 1-ulp split where Spark converts DECIMAL(38,10) correctly
+    rounded (BigDecimal.doubleValue) while DuckDB computes
+    int128→double / 1e10 — two roundings — so even UNROUNDED doubles
+    of the identical exact decimal diverge at ≥1e12.  avg3 is one
+    int→double conversion (exact below 2^53) and one IEEE division on
+    identical operands."""
     o = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     last3 = w.rowsBetween(-2, 0)
-    dec_price = F.col("o_totalprice").cast(DEC)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum(dec_price).over(run), 6).cast("double").alias("running_spend"),
-        F.round(
-            F.sum(dec_price).over(last3).cast("double")
-            / F.count(F.lit(1)).over(last3),
-            6,
+        F.sum(cents).over(run).alias("running_spend_c"),
+        (
+            F.sum(cents).over(last3).cast("double")
+            / (100 * F.count(F.lit(1)).over(last3))
         ).alias("avg3"),
     )
 
@@ -298,11 +306,12 @@ def e7_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e8_range_frame",
-    oracle="""
+    oracle=f"""
 SELECT event_id, user_id,
        count(*) OVER w AS n_1h,
        round(sum(CAST(value AS DECIMAL(38,10))) OVER w, 6)::DOUBLE AS sum_1h
 FROM events
+WHERE {fin_sql("value")}
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
@@ -317,8 +326,9 @@ def e8_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, which makes the result deterministic without a
     tiebreaker.  One shuffle on user_id, sort within, one pass — at
     100 TB this is the per-entity rolling feature builder (rate
-    limits, trailing spend, burst detection)."""
-    e = t(spark, sf_dir, "events")
+    limits, trailing spend, burst detection).  Non-finite values gate
+    at the scan (functions/numeric.py finite)."""
+    e = t(spark, sf_dir, "events").where(finite("value"))
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))

@@ -46,15 +46,36 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(src_dir, exist_ok=True)
     link = f"{src_dir}/events.parquet"
+    target = f"{sf_dir}/events.parquet"
+    # The canonical path is predictable shared-/tmp state: a leftover
+    # regular file, or a symlink pointing anywhere but `target`
+    # (planted or stale), must be REPLACED, not silently adopted —
+    # adopting it would stream wrong or missing data (round-7
+    # advisor).  Unlink+symlink is racy only against a concurrent
+    # invocation writing the SAME target, which is idempotent.
+    if os.path.islink(link):
+        if os.readlink(link) != target:
+            os.unlink(link)
+    elif os.path.lexists(link):  # regular file squatting on the name
+        os.unlink(link)
     if not os.path.islink(link):
         try:
-            os.symlink(f"{sf_dir}/events.parquet", link)
+            os.symlink(target, link)
         except FileExistsError:  # concurrent invocation won the race
             pass
+    global LAST_SRC_DIR
+    LAST_SRC_DIR = src_dir  # diagnostic: the canonical per-source dir
     raw = spark.readStream.schema(schema).parquet(src_dir)
     if isinstance(schema["ts"].dataType, LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+# Last canonical stream-source dir / memory-sink checkpoint dir created
+# by THIS process — test attribution that doesn't race against other
+# processes globbing the shared tempdir (round-7 advisor).
+LAST_SRC_DIR: str | None = None
+LAST_CKPT_DIR: str | None = None
 
 
 def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
@@ -72,8 +93,10 @@ def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     """
     import shutil
 
+    global LAST_CKPT_DIR
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    LAST_CKPT_DIR = ckpt  # diagnostic: lets tests assert THIS dir is torn down
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

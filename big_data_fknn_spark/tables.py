@@ -87,17 +87,60 @@ def _iso_to_ns(iso: str) -> int:
     return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1_000
 
 
+#: Fixed embedding dimensionality of the testdata corpus
+#: (TESTDATA.md: embeddings.embedding is array<float> of 64).
+EMB_DIM = 64
+
+#: Vector admission contract (the ingest gate for every operator that
+#: does distance/similarity math on `embeddings`): a vector
+#: participates only if it (1) has exactly EMB_DIM elements, (2) every
+#: element is finite, and (3) it is not the all-zero vector.  One
+#: ragged / non-finite / zero-norm row in 100 TB of input must not
+#: kill a kNN/FkNN/SemDeDup job (ragged rows crash fixed-dim BLAS
+#: kernels; non-finite elements poison distance sums; zero vectors
+#: have no direction, so cosine similarity divides by zero).  Dropping
+#: them at the scan edge — mirrored verbatim in every DuckDB oracle —
+#: is the same posture as j28's text-ingest gate.  No-op on clean
+#: testdata (all vectors are 64-dim, finite, non-zero; verified in
+#: tests/test_knn_kernel.py).
+EMB_ADMIT_SQL = (
+    "len(embedding) = 64"
+    " AND list_aggregate(list_transform(embedding,"
+    " x -> CASE WHEN isfinite(x) THEN 1 ELSE 0 END), 'min') = 1"
+    " AND list_aggregate(list_transform(embedding, x -> abs(x)), 'max') > 0"
+)
+
+
+def _emb_admit() -> "F.Column":
+    from pyspark.sql import Column  # noqa: F401 — typing only
+
+    return (
+        (F.size("embedding") == EMB_DIM)
+        & F.expr(
+            "forall(embedding, x -> NOT isnan(x)"
+            " AND abs(x) < cast('Infinity' AS float))"
+        )
+        & F.expr("exists(embedding, x -> x <> 0.0)")
+    )
+
+
 def embeddings_d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings with the float32 vector widened to array<double>.
+    """embeddings with the float32 vector widened to array<double>,
+    restricted to vectors passing the admission contract (EMB_ADMIT_SQL
+    above — 64-dim, finite, non-zero).
 
     float→double widening is exact, so Spark and the DuckDB oracle
     (``embedding::DOUBLE[]``) see bit-identical values — a
     precondition for hash-matching distance math (SURVEY.md §7.1).
     """
-    return t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
-        "label",
+    return (
+        t(spark, sf_dir, "embeddings")
+        .where(_emb_admit())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            "label",
+        )
     )
 
 

@@ -74,11 +74,19 @@ def _col_conflates_nan(s: pd.Series) -> bool:
     """True when NULL-vs-NaN is NOT observable for this column after
     pandas transport: float dtypes (both engines render SQL NULL as
     NaN) and object columns carrying booleans (DuckDB renders a NULL
-    boolean as float NaN)."""
+    boolean as float NaN).  An object column whose non-None values
+    are ALL float NaN is the fully-NULL edge of the same transport
+    artifact (a 100%-NULL boolean column has no bool left to probe —
+    round-7 advisor) and must conflate too."""
     if s.dtype.kind in "fc":
         return True
     if s.dtype == object:
-        return any(isinstance(v, bool) for v in s if v is not None)
+        non_null = [v for v in s if v is not None]
+        if any(isinstance(v, bool) for v in non_null):
+            return True
+        return bool(non_null) and all(
+            isinstance(v, float) and math.isnan(v) for v in non_null
+        )
     return False
 
 

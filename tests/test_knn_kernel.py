@@ -57,3 +57,63 @@ def test_blas_cosine_metric(spark):
     assert len(rows) == probes.count() * 5
     # negated cosine of unit vectors ∈ [-1, 1]
     assert all(-1.0001 <= r["dist"] <= 1.0001 for r in rows)
+
+
+# ----------------------- degenerate-vector robustness (round-8)
+#
+# One ragged/NULL/zero-norm/NaN row in 100 TB of input must not kill
+# the job: the kernel DROPS non-conforming vectors on both sides
+# (callers normally gate them earlier via tables.EMB_ADMIT_SQL — this
+# pins the kernel's own belt-and-braces, feeding garbage STRAIGHT in).
+
+
+def _degenerate_frame(spark):
+    """4 clean 4-dim vectors + empty, NULL, short, NaN-element, inf-
+    element and zero-norm rows, as one DataFrame."""
+    clean = [(i, [float(i + d) for d in range(4)]) for i in range(1, 5)]
+    dirty = [
+        (101, []),
+        (102, None),
+        (103, [1.0, 2.0]),  # ragged: wrong dim
+        (104, [float("nan"), 1.0, 1.0, 1.0]),
+        (105, [float("inf"), 1.0, 1.0, 1.0]),
+        (106, [0.0, 0.0, 0.0, 0.0]),  # zero norm (cosine guard)
+    ]
+    return spark.createDataFrame(clean + dirty, "vec_id long, emb array<double>")
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine_neg"])
+def test_blas_kernel_survives_degenerate_vectors(spark, metric):
+    df = _degenerate_frame(spark)
+    out = knn_join_blas(df, df, k=2, metric=metric, exclude_self=True)
+    rows = out.collect()  # must not crash (np.vstack / ANSI divide)
+    # ragged/NULL/empty query rows are dropped; NaN/inf/zero rows are
+    # dim-conforming and keep flowing (admission gates them upstream)
+    q_ids = {r["q_id"] for r in rows}
+    assert {1, 2, 3, 4} <= q_ids
+    assert {101, 102, 103}.isdisjoint(q_ids)
+    n_ids = {r["n_id"] for r in rows}
+    assert {101, 102, 103}.isdisjoint(n_ids)
+    # and against CLEAN candidates only, clean queries rank exactly as
+    # the declarative path — dirty query rows change nothing for them
+    # (NaN/inf-element queries emit NaN distances, which the upstream
+    # admission gate excludes from any oracled surface)
+    if metric == "euclidean":
+        clean = df.where(F.col("vec_id") < 100)
+        a = neighbor_set(knn_join(clean, clean, k=2, exclude_self=True))
+        b = neighbor_set(
+            knn_join_blas(df, clean, k=2, exclude_self=True).where(
+                F.col("q_id") < 100
+            )
+        )
+        assert a == b
+
+
+def test_blas_kernel_all_queries_degenerate_is_empty_not_crash(spark):
+    df = _degenerate_frame(spark)
+    bad = df.where(F.col("vec_id").isin(101, 102, 103))
+    # declared dim: even the 2-element vector is non-conforming (with
+    # inference it would legitimately define its own dim instead)
+    out = knn_join_blas(bad, df, k=2, dim=4)
+    assert out.count() == 0  # stable empty output, stable schema
+    assert [f.name for f in out.schema.fields[:3]] == ["q_id", "n_id", "dist"]

@@ -564,27 +564,26 @@ def test_temp_view_registrations_do_not_accumulate(spark):
     # round-6 verdict: the streaming file source must not leave one
     # /tmp symlink dir per invocation either (events_stream now reuses
     # a canonical per-source-path dir, run_to_memory removes its
-    # checkpoint) — repeat streaming calls add ZERO new /tmp entries
-    import glob
-    import tempfile as _tf
-
-    tmp = _tf.gettempdir()
-
-    def stream_tmp() -> set:
-        return {
-            p
-            for pat in ("events_stream_*", "ckpt_sink_*")
-            for p in glob.glob(os.path.join(tmp, pat))
-        }
+    # checkpoint).  Attribution is via the module's LAST_* diagnostics
+    # — NOT a glob over the shared tempdir, which races against any
+    # concurrent process creating its own stream dirs between the two
+    # snapshots (round-7 advisor).
+    from big_data_fknn_spark.streaming import replay
 
     for key in ("a6_stream_source", "i4_watermark"):
         DEFS[key].fn(spark, SF_DIR)  # warm: creates the canonical symlink dir
-        before_tmp = stream_tmp()
+        first_src = replay.LAST_SRC_DIR
         DEFS[key].fn(spark, SF_DIR)
-        leaked = stream_tmp() - before_tmp
-        assert not leaked, (
-            f"{key} leaked /tmp entries on repeat invocation: {sorted(leaked)}"
+        # the canonical per-source dir is REUSED, not re-created…
+        assert replay.LAST_SRC_DIR == first_src and os.path.isdir(first_src), (
+            f"{key} did not reuse the canonical stream-source dir: "
+            f"{first_src} -> {replay.LAST_SRC_DIR}"
         )
+        # …and the memory-sink checkpoint of THIS call is torn down
+        if replay.LAST_CKPT_DIR is not None:
+            assert not os.path.exists(replay.LAST_CKPT_DIR), (
+                f"{key} leaked its checkpoint dir {replay.LAST_CKPT_DIR}"
+            )
 
 
 # Measured at sf0.001 (pre-AQE executed plans, pyspark 4.1.2); a

@@ -60,15 +60,28 @@ def sweep(spark, sf_dir: str) -> list[tuple[str, str]]:
                 release_query_caches()
                 spark.catalog.clearCache()
                 try:
-                    results.append(df_canon(reg[key].fn(spark, sf_dir).toPandas()))
+                    results.append(("ok", df_canon(reg[key].fn(spark, sf_dir).toPandas())))
                 except Exception as ex:  # noqa: BLE001 — report, keep sweeping
-                    results.append(f"ERR@{parts} {str(ex)[:150]}")
+                    results.append(("err", str(ex)[:150]))
+            # compare (status, payload) WITHOUT a parts tag: a key that
+            # raises the same error at both settings is BROKEN, not
+            # partition-dependent — tagging the strings 'ERR@3'/'ERR@32'
+            # made them unequal by construction (round-7 advisor) and
+            # diluted real invariance splits with plain breakage
             if results[0] != results[1]:
-                detail = next(
-                    (r for r in results if isinstance(r, str)),
-                    f"HASH_SPLIT {PARTS[0]}-vs-{PARTS[1]}",
+                errs = [
+                    f"ERR@{p} {r[1]}"
+                    for p, r in zip(PARTS, results)
+                    if r[0] == "err"
+                ]
+                detail = (
+                    " | ".join(errs)
+                    if errs
+                    else f"HASH_SPLIT {PARTS[0]}-vs-{PARTS[1]}"
                 )
                 bad.append((key, detail))
+            elif results[0][0] == "err":
+                bad.append((key, f"BROKEN_BOTH_SETTINGS {results[0][1]}"))
             if (i + 1) % 50 == 0:
                 print(f"  …{i + 1}/{len(keys)} swept", flush=True)
     finally:
