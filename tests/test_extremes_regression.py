@@ -1,0 +1,95 @@
+"""Committed regression pins for the round-8 extremes closure.
+
+The full adversarial sweep (tools/adversarial_parity.py, ~10 min over
+five mutation datasets × 236 keys) runs per-round; this test pins the
+SPECIFIC failure classes the round-7 extremes pass exposed (68/236
+keys split) so a regression shows up in every CI run, not only at the
+next sweep.  One representative key per root cause, exercised on the
+extremes mutation of the sf0.001 tables (built fresh into tmp_path —
+never the shared /tmp copy a concurrent sweep may be rewriting):
+
+- ragged/zero-norm/non-finite EMBEDDINGS → vector admission contract
+  (tables.EMB_ADMIT_SQL): j1 (BLAS kernel family), j9b (zero-norm
+  cosine divide), j41 (element_at on the empty vector), j30 (the
+  8-row random-projection divergence).
+- ±Inf/NaN MEASURES → numeric.finite scan gates: d1 (exact-decimal
+  sums), d23 + x3 (NaN-in-quantile engine disagreement; DuckDB's
+  quantile buffer is not even run-deterministic with NaN), i1
+  (streaming-twin family), a14 (text dead-letter mirror), k1/k5
+  (Python-kernel guards).
+- ≥1e12 totals / 2^53 keys → 128-bit argmax pack (d14) and the
+  integer-cents render (c3, e4, x54).
+- documented out-of-domain RAISE (x55): the ±100-day event offsets
+  must keep failing LOUDLY — widening the single-long bitmap silently
+  would trade the error for silent engine divergence.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from tests.oracle import compare  # noqa: E402
+
+from big_data_fknn_spark.queries import load_all  # noqa: E402
+
+_KEYS = [
+    "j1_knn_crisp",
+    "j9b_sim_search_ivf",
+    "j41_knn_regression",
+    "j30_random_projection",
+    "d1_hashagg",
+    "d23_percentile_cont",
+    "x3_percentile_exact",
+    "i1_tumbling",
+    "a14_text_log_roundtrip",
+    "k1_py_udf",
+    "k5_cogroup",
+    "d14_conditional_agg",
+    "c3_hash_inner",
+    "e4_frame_running",
+    "x54_grouping_sets",
+]
+
+
+def _load_tool():
+    spec = importlib.util.spec_from_file_location(
+        "adversarial_parity", os.path.join(REPO, "tools", "adversarial_parity.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def extremes(tmp_path_factory):
+    tool = _load_tool()
+    dst = str(tmp_path_factory.mktemp("extremes"))
+    tool.build("extremes", dst=dst)
+    con = duckdb.connect()
+    for name in tool.TABLES:
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{dst}/{name}.parquet')"
+        )
+    return dst, con
+
+
+@pytest.mark.parametrize("key", _KEYS)
+def test_extremes_parity(spark, extremes, key):
+    sf_dir, con = extremes
+    reg = load_all()
+    compare(reg[key].fn(spark, sf_dir), con, reg[key].oracle, key=key)
+
+
+def test_x55_documented_contract_still_raises(spark, extremes):
+    sf_dir, _ = extremes
+    reg = load_all()
+    with pytest.raises(Exception, match=r"day offset outside \[0,63\]"):
+        reg["x55_bitmap_days"].fn(spark, sf_dir).collect()

@@ -279,10 +279,12 @@ _EXPECTED_CONTRACT = {
 }
 
 
-def build(kind: str) -> str:
+def build(kind: str, dst: str | None = None) -> str:
+    """Materialize the mutated dataset; `dst` override lets tests
+    build into a private tmp_path instead of the shared /tmp copy."""
     import duckdb
 
-    dst = f"/tmp/adv_parity_{kind}"
+    dst = dst or f"/tmp/adv_parity_{kind}"
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for name in TABLES:
