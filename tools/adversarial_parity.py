@@ -270,6 +270,15 @@ MUTATIONS = {
     "extremes": _EXTREMES,
 }
 
+# The COMBO dataset composes four mutations in sequence (each one
+# preserves its table's schema, so they chain): duplicate-key ties,
+# then boundary extremes, then multibyte text, then NULL injection —
+# NULLs go LAST so they also strike the injected tie/extreme/unicode
+# rows.  Single-class passes cannot see interactions (a NULLed measure
+# ON a 2^53-key row; a tie-duplicated ±Inf; a unicode doc whose lang
+# was nulled); this one exists to catch exactly those.
+_COMBO_CHAIN = ("ties", "extremes", "unicode", "nulls")
+
 # key → substring of the error its DOCUMENTED contract raises on
 # out-of-domain input.  A SPARK_ERR containing it counts as the
 # contract holding (reported separately, not a split).
@@ -287,13 +296,20 @@ def build(kind: str, dst: str | None = None) -> str:
     dst = dst or f"/tmp/adv_parity_{kind}"
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    chain = _COMBO_CHAIN if kind == "combo" else (kind,)
     for name in TABLES:
         con.sql(
-            f"CREATE OR REPLACE VIEW t AS "
+            f"CREATE OR REPLACE TEMP TABLE t AS "
             f"SELECT * FROM read_parquet('{SRC}/{name}.parquet')"
         )
-        q = MUTATIONS[kind].get(name, "SELECT * FROM t")
-        con.sql(f"COPY ({q}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)")
+        for sub in chain:
+            q = MUTATIONS[sub].get(name)
+            if q is None:
+                continue
+            con.sql(f"CREATE OR REPLACE TEMP TABLE t_next AS {q}")
+            con.sql("DROP TABLE t")
+            con.sql("ALTER TABLE t_next RENAME TO t")
+        con.sql(f"COPY (SELECT * FROM t) TO '{dst}/{name}.parquet' (FORMAT PARQUET)")
     return dst
 
 
@@ -338,7 +354,7 @@ def sweep(spark, sf_dir: str) -> list[tuple[str, str]]:
 def main() -> None:
     from big_data_fknn_spark.session import get_spark
 
-    kinds = sys.argv[1:] or list(MUTATIONS)
+    kinds = sys.argv[1:] or [*MUTATIONS, "combo"]
     spark = get_spark(app_name="adversarial_parity")
     failed = {}
     try:
