@@ -92,6 +92,13 @@ def knn_join(
     # table and must stream; this is the reference's broadcast choice.
     pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id") if exclude_self else F.lit(True))
     pairs = pairs.withColumn("dist", metric(F.col("_q_vec"), F.col("_c_vec")))
+    # A NULL distance means a non-conforming pair (NULL vector, or
+    # ragged lengths NULL-padded by zip_with) — and Spark's ascending
+    # sort puts NULL FIRST, so without this filter one ragged row in
+    # the candidate set becomes EVERY query's nearest neighbor.  Drop
+    # the pair instead (the BLAS kernel's admission mirror; callers
+    # normally gate earlier via tables.EMB_ADMIT_SQL).
+    pairs = pairs.where(F.col("dist").isNotNull())
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("n_id").asc())
     return (
         pairs.withColumn("rn", F.row_number().over(w))

@@ -109,6 +109,32 @@ def test_blas_kernel_survives_degenerate_vectors(spark, metric):
         assert a == b
 
 
+def test_declarative_fallback_drops_null_dist_pairs(spark):
+    """knn_join (the >4M-row fallback plan) must not rank a ragged or
+    NULL vector as everyone's nearest neighbor: zip_with NULL-pads
+    ragged pairs → NULL dist → Spark's ASC sort puts NULL FIRST.
+    Pinned against the pre-round-8 behavior, where vec 101 ([]) was
+    the 1-NN of every query with dist NULL."""
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [1.1, 2.1]),
+        (3, [9.0, 9.0]),
+        (101, []),
+        (102, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = knn_join(df, df, k=1, exclude_self=True).collect()
+    got = {r["q_id"]: (r["n_id"], r["dist"]) for r in out}
+    assert got[1] == (2, pytest.approx(0.1414213, abs=1e-6))
+    assert got[2][0] == 1
+    assert got[3][0] == 2
+    assert all(d is not None for _, d in got.values())
+    # ragged/NULL queries pair with nothing at equal dims → no rows
+    assert 102 not in got
+    # vec 101 ([]) zip_withs every 2-dim vector into NULL dist → gone
+    assert 101 not in got and all(n != 101 for n, _ in got.values())
+
+
 def test_blas_kernel_all_queries_degenerate_is_empty_not_crash(spark):
     df = _degenerate_frame(spark)
     bad = df.where(F.col("vec_id").isin(101, 102, 103))
