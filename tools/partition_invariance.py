@@ -36,7 +36,7 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-for p in (REPO, os.path.join(REPO, "tests")):
+for p in (REPO, os.path.join(REPO, "tests"), os.path.join(REPO, "tools")):
     if p not in sys.path:
         sys.path.insert(0, p)
 
@@ -44,6 +44,7 @@ PARTS = (3, 32)
 
 
 def sweep(spark, sf_dir: str) -> list[tuple[str, str]]:
+    from adversarial_parity import _EXPECTED_CONTRACT
     from big_data_fknn_spark.cache import release_query_caches
     from big_data_fknn_spark.queries import load_all
     from oracle import df_canon
@@ -62,15 +63,26 @@ def sweep(spark, sf_dir: str) -> list[tuple[str, str]]:
                 try:
                     results.append(("ok", df_canon(reg[key].fn(spark, sf_dir).toPandas())))
                 except Exception as ex:  # noqa: BLE001 — report, keep sweeping
-                    results.append(("err", str(ex)[:150]))
+                    # keep the FULL text for the contract match (the
+                    # expected message may sit past any truncation
+                    # point behind streaming wrappers); truncate only
+                    # when rendering
+                    results.append(("err", str(ex)))
             # compare (status, payload) WITHOUT a parts tag: a key that
             # raises the same error at both settings is BROKEN, not
             # partition-dependent — tagging the strings 'ERR@3'/'ERR@32'
             # made them unequal by construction (round-7 advisor) and
             # diluted real invariance splits with plain breakage
-            if results[0] != results[1]:
+            expected = _EXPECTED_CONTRACT.get(key, "\0")
+            if all(r[0] == "err" and expected in r[1] for r in results):
+                # the key's DOCUMENTED contract raised at both settings
+                # (streaming error strings embed unique runIds, so even
+                # textual equality can't certify this — match the
+                # registered message instead): partition-independent.
+                print(f"  {key}: CONTRACT (documented raise)", flush=True)
+            elif results[0] != results[1]:
                 errs = [
-                    f"ERR@{p} {r[1]}"
+                    f"ERR@{p} {r[1][:150]}"
                     for p, r in zip(PARTS, results)
                     if r[0] == "err"
                 ]
@@ -81,7 +93,7 @@ def sweep(spark, sf_dir: str) -> list[tuple[str, str]]:
                 )
                 bad.append((key, detail))
             elif results[0][0] == "err":
-                bad.append((key, f"BROKEN_BOTH_SETTINGS {results[0][1]}"))
+                bad.append((key, f"BROKEN_BOTH_SETTINGS {results[0][1][:150]}"))
             if (i + 1) % 50 == 0:
                 print(f"  …{i + 1}/{len(keys)} swept", flush=True)
     finally:
@@ -96,7 +108,16 @@ def main() -> None:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="partition_invariance")
-    bad = sweep(spark, sf_dir)
+    try:
+        bad = sweep(spark, sf_dir)
+    finally:
+        # a contract-raise aborted stream leaves non-daemon threads
+        # that hang interpreter exit (adversarial_parity's teardown)
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 — best-effort teardown
+                pass
     print(
         f"partition-invariance {PARTS}: "
         f"{'CLEAN' if not bad else json.dumps(bad)}",
