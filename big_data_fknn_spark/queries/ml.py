@@ -573,13 +573,19 @@ def j36_mllib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts.  Training is treeAggregate gradient passes (the same
     partial+final shape as every agg here); prediction is one
     broadcast of the coefficient matrix — embarrassingly parallel at
-    any scale.  LBFGS converges engine-side → rows-only check."""
+    any scale.  LBFGS converges engine-side → rows-only check.
+
+    Zero admitted training rows → empty result with the declared
+    schema: MLlib fit() throws on an empty dataset, and "no model, no
+    predictions" is the only defined answer (round-8 empty smoke)."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import StandardScaler
     from pyspark.ml.functions import array_to_vector
 
     train, test = train_test_split(spark, sf_dir)
+    if train.isEmpty():
+        return spark.createDataFrame([], "label int, pred int, n bigint")
     to_vec = lambda df: df.select(  # noqa: E731
         "vec_id", "label", array_to_vector("emb").alias("features_raw")
     )
@@ -609,13 +615,28 @@ def j37_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxSimilarityJoin only compares bucket collisions, so join
     work scales with collision mass, not |corpus|².  Seeded → stable
     per engine build, but hyperplanes are engine-internal → rows-only
-    (j8d is the oracled exact twin on the same threshold family)."""
+    (j8d is the oracled exact twin on the same threshold family).
+
+    The admitted frame is MATERIALIZED (localCheckpoint) before the
+    LSH stage: predicate codegen's common-subexpression elimination
+    hoists the model's hash UDF out of the conjunction (`subExpr_0$`
+    evaluates unconditionally), so the vector-admission filter in the
+    same plan cannot shield it — a zero-length vector crashed the UDF
+    ("A: 64, x: 0") straight through the gate on the round-8 extremes
+    smoke.  A checkpoint is a hard boundary: downstream plans simply
+    never see non-conforming rows."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = embeddings_d(spark, sf_dir).select(
-        "vec_id", array_to_vector("emb").alias("features")
+    emb = (
+        embeddings_d(spark, sf_dir)
+        .select("vec_id", array_to_vector("emb").alias("features"))
+        .localCheckpoint(eager=True)
     )
+    if emb.isEmpty():
+        # no admitted vectors → no hyperplane fit, no pairs (MLlib
+        # fit() throws "head of empty array" — round-8 empty smoke)
+        return spark.createDataFrame([], "a long, b long, dist double")
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",

@@ -328,10 +328,16 @@ def sweep(spark, sf_dir: str) -> list[tuple[str, str]]:
         )
     bad: list[tuple[str, str]] = []
     for key in sorted(reg):
-        if reg[key].oracle is None:
-            continue
         try:
-            pdf = reg[key].fn(spark, sf_dir).toPandas()
+            df = reg[key].fn(spark, sf_dir)
+            if reg[key].oracle is None:
+                # rows-only key (engine RNG / sketch internals): no
+                # value oracle exists, but it must still SURVIVE the
+                # mutated inputs — a crash here is the same one-bad-row
+                # job-killer class the oracled keys are swept for
+                df.count()
+                continue
+            pdf = df.toPandas()
         except Exception as ex:  # noqa: BLE001 — report, keep sweeping
             msg = str(ex)
             if _EXPECTED_CONTRACT.get(key, "\0") in msg:
