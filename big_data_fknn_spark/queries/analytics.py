@@ -228,32 +228,34 @@ def x5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x6_monthly_growth",
+    # exact integer cents (c3's device): a century-edge month holds a
+    # single ≥1e12 order, past the decimal→double-safe magnitude
     oracle="""
 WITH monthly AS (
   SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
-         round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_c
   FROM orders GROUP BY 1
 )
-SELECT month, revenue,
-       round(revenue - lag(revenue) OVER (ORDER BY month), 6) AS delta
+SELECT month, revenue_c,
+       revenue_c - lag(revenue_c) OVER (ORDER BY month) AS delta_c
 FROM monthly
 """,
 )
 def x6_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series rollup + month-over-month delta: calendar
-    bucketing, exact decimal revenue, unpartitioned lag over the
+    bucketing, exact integer-cent revenue, unpartitioned lag over the
     (tiny) monthly series.  The global window is safe because the
     aggregate has already reduced to ~80 rows — the anti-pattern is
     a global window over the FACT table."""
     o = t(spark, sf_dir, "orders")
     monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        dsum("o_totalprice").alias("revenue")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_c")
     )
     w = Window.orderBy("month")
     return monthly.select(
         "month",
-        "revenue",
-        F.round(F.col("revenue") - F.lag("revenue").over(w), 6).alias("delta"),
+        "revenue_c",
+        (F.col("revenue_c") - F.lag("revenue_c").over(w)).alias("delta_c"),
     )
 
 
@@ -523,14 +525,15 @@ def x10_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x11_tpch_q18",
-    oracle="""
+    oracle=f"""
+WITH li AS (SELECT * FROM lineitem WHERE {fin_sql("l_quantity")})
 SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
        sum(l.l_quantity) AS total_qty
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN li l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderkey IN (
-  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  SELECT l_orderkey FROM li GROUP BY l_orderkey
   HAVING sum(l_quantity) > 300
 )
 GROUP BY 1, 2, 3
@@ -547,10 +550,12 @@ def x11_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying-order set is tiny (heavy-tail orders), so the semi
     join broadcasts while the main lineitem pass stays a single
     shuffle on l_orderkey.
+    Non-finite quantities gate at the scan (numeric.finite): a NaN in
+    one order's group zeroes the whole HAVING comparison silently.
     """
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem").where(finite("l_quantity"))
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
@@ -827,7 +832,7 @@ def x17_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x18_tpch_q6",
-    oracle="""
+    oracle=f"""
 SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 6)::DOUBLE AS revenue,
        count(*) AS n_items
 FROM lineitem
@@ -835,6 +840,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
+  AND {fin_sql("l_extendedprice")}
 """,
 )
 def x18_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -843,7 +849,8 @@ def x18_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate reaches the parquet reader (PushedFilters in .explain)
     so at 100 TB the job is IO-bound on exactly the row groups whose
     min/max stats overlap the ranges; the agg itself is a single
-    partial+final over whatever survives."""
+    partial+final over whatever survives.  Non-finite prices gate at
+    the scan with the other predicates (numeric.finite)."""
     li = t(spark, sf_dir, "lineitem")
     return (
         li.where(
@@ -851,6 +858,7 @@ def x18_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
+            & finite("l_extendedprice")
         )
         .agg(
             dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
@@ -1289,13 +1297,15 @@ def x29_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x30_tpch_q17",
-    oracle="""
+    oracle=f"""
+WITH li AS (SELECT * FROM lineitem
+            WHERE {fin_sql("l_quantity")} AND {fin_sql("l_extendedprice")})
 SELECT round(sum(CAST(l.l_extendedprice AS DECIMAL(38,10)))::DOUBLE / 7.0, 6) AS avg_yearly,
        count(*) AS n_small
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+FROM li l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#5'
   AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+                      FROM li l2 WHERE l2.l_partkey = l.l_partkey)
 """,
 )
 def x30_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1305,8 +1315,12 @@ def x30_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back to the probe, one pass instead of one subquery per
     row.  Quantities are small integers, so the double avg is exact
     and the 0.2× threshold compares identically in both engines.
-    The DataFrame build spells the decorrelated form explicitly."""
-    li = t(spark, sf_dir, "lineitem")
+    The DataFrame build spells the decorrelated form explicitly.
+    Non-finite measures gate at the scan (numeric.finite — one NaN
+    quantity would poison its part's threshold silently)."""
+    li = t(spark, sf_dir, "lineitem").where(
+        finite("l_quantity") & finite("l_extendedprice")
+    )
     p = (
         t(spark, sf_dir, "part")
         .where(F.col("p_brand") == "Brand#5")
@@ -1527,13 +1541,14 @@ def x34_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x35_tpch_q20",
-    oracle="""
+    oracle=f"""
 WITH part_sel AS (
   SELECT p_partkey FROM part WHERE p_name LIKE 's%'
 ), supplied AS (
   SELECT l_suppkey, l_partkey, sum(l_quantity) AS total_qty
   FROM lineitem
   WHERE l_partkey IN (SELECT p_partkey FROM part_sel)
+    AND {fin_sql("l_quantity")}
   GROUP BY l_suppkey, l_partkey
 )
 SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
@@ -1549,13 +1564,14 @@ def x35_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowered to a semi join.  Quantities are integer-valued doubles,
     so the threshold compare is exact.  ('s%' matches this
     generator's 'small …' part names — a 'p%' prefix selected zero
-    parts and made the whole query vacuously empty.)"""
+    parts and made the whole query vacuously empty.)  Non-finite
+    quantities gate at the scan (numeric.finite)."""
     part_sel = (
         t(spark, sf_dir, "part")
         .where(F.col("p_name").like("s%"))
         .select("p_partkey")
     )
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem").where(finite("l_quantity"))
     supplied = (
         li.join(F.broadcast(part_sel), li.l_partkey == part_sel.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
@@ -1634,14 +1650,15 @@ def x36_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x37_tpch_q22",
-    oracle="""
-WITH positive AS (
-  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    oracle=f"""
+WITH cust AS (SELECT * FROM customer WHERE {fin_sql("c_acctbal")}),
+positive AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM cust WHERE c_acctbal > 0
 )
 SELECT c.c_nationkey % 10 AS cntrycode,
        count(*) AS numcust,
        round(sum(CAST(c.c_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS totacctbal
-FROM customer c CROSS JOIN positive
+FROM cust c CROSS JOIN positive
 WHERE c.c_nationkey % 10 IN (1, 3, 5, 7)
   AND c.c_acctbal > positive.avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -1660,13 +1677,15 @@ def x37_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-order-at-all predicate selects zero rows at every SF; the
     priority filter keeps the anti-join shape AND a non-empty
     result.  The probe side is already filtered to rich customers,
-    so the build side is the only orders scan."""
-    c = t(spark, sf_dir, "customer").where(
-        (F.col("c_nationkey") % 10).isin(1, 3, 5, 7)
-    )
+    so the build side is the only orders scan.
+
+    Non-finite balances gate at the scan (numeric.finite): a single
+    +Inf balance poisons the average threshold to Inf and silently
+    EMPTIES the whole report — worse than a crash (round-8 audit)."""
+    cust = t(spark, sf_dir, "customer").where(finite("c_acctbal"))
+    c = cust.where((F.col("c_nationkey") % 10).isin(1, 3, 5, 7))
     avg_bal = (
-        t(spark, sf_dir, "customer")
-        .where(F.col("c_acctbal") > 0)
+        cust.where(F.col("c_acctbal") > 0)
         .agg(F.avg("c_acctbal").alias("avg_bal"))
     )
     o = (
@@ -1898,11 +1917,13 @@ def x41_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x43_incremental_agg",
+    # exact integer cents (c3's device): the century-edge months hold
+    # single ≥1e12 orders, past the decimal→double-safe magnitude
     oracle="""
 SELECT date_trunc('month', o_orderdate) AS mon,
        o_orderstatus AS status,
        count(*) AS n_orders,
-       round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_c
 FROM orders
 GROUP BY 1, 2
 """,
@@ -1911,12 +1932,14 @@ def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance: a monthly revenue rollup is
     kept as BASE (history, o_orderdate < 2000-01-01) and refreshed by
     merging only the DELTA batch (the rows at/after the cutoff) —
-    base FULL OUTER JOIN delta on the group key, counts and decimal
-    sums coalesced and added.  The oracle recomputes the rollup from
-    scratch; hash-equality proves the merge law holds (count and
-    decimal-sum are commutative monoids, so merged == recomputed
-    bit-for-bit — double sums would NOT give this guarantee, see
-    functions/numeric.py).
+    base FULL OUTER JOIN delta on the group key, counts and exact
+    integer-cent sums coalesced and added.  The oracle recomputes the
+    rollup from scratch; hash-equality proves the merge law holds
+    (count and int64-cent-sum are commutative monoids, so merged ==
+    recomputed bit-for-bit — double sums would NOT give this
+    guarantee, see functions/numeric.py; cents rather than DECIMAL
+    because single months at the century edges can hold ≥1e12 orders,
+    past the decimal→double-safe render magnitude, c3's device).
 
     This is the 100 TB pattern that keeps dashboards O(|delta|):
     history is never rescanned, the delta aggregates map-side to one
@@ -1932,7 +1955,9 @@ def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("status"),
         ).agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_dec"
+            ),
         )
 
     base = rollup(o.where(F.col("o_orderdate") < cutoff))
@@ -1946,9 +1971,9 @@ def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("b.status").eqNullSafe(F.col("d.status")),
         "full_outer",
     )
-    zero = F.lit(0).cast(DEC)
+    zero = F.lit(0).cast("long")
     # SUM over an all-NULL group is NULL, and the merge must preserve
-    # that (coalescing both sides to 0 would turn NULL into 0.0 and
+    # that (coalescing both sides to 0 would turn NULL into 0 and
     # break merged == recomputed)
     rev = F.when(
         F.col("b.rev_dec").isNull() & F.col("d.rev_dec").isNull(), F.lit(None)
@@ -1962,7 +1987,7 @@ def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("b.n_orders"), F.lit(0))
             + F.coalesce(F.col("d.n_orders"), F.lit(0))
         ).alias("n_orders"),
-        F.round(rev, 6).cast("double").alias("revenue"),
+        rev.cast("long").alias("revenue_c"),
     )
 
 
@@ -2174,16 +2199,19 @@ def x46_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x48_exchange_reuse",
+    # per-customer revenue in exact integer cents (c3's device): one
+    # customer can hold a ≥1e12 order, past the decimal→double-safe
+    # magnitude; the tie test and share ratio then run on exact ints
     oracle="""
 WITH r AS (
   SELECT c.c_mktsegment AS segment, o.o_custkey AS cust,
-         round(sum(CAST(o.o_totalprice AS DECIMAL(38,10))), 6)::DOUBLE AS rev
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS rev
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY 1, 2
 ),
 m AS (SELECT segment, max(rev) AS top_rev FROM r GROUP BY segment)
 SELECT r.segment, count(*) AS n_cust,
-       round(max(r.rev / m.top_rev), 6) AS top_share_check,
+       round(max(r.rev::DOUBLE / m.top_rev::DOUBLE), 6) AS top_share_check,
        CAST(sum(CASE WHEN r.rev = m.top_rev THEN 1 ELSE 0 END) AS BIGINT) AS n_top
 FROM r JOIN m ON r.segment = m.segment
 GROUP BY r.segment
@@ -2198,7 +2226,7 @@ def x48_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner; under AQE the same dedup happens at shuffle-stage
     materialization keyed on the canonicalized plan).  At 100 TB
     that is a full extra pass over the rollup saved, for free,
-    because the plan is declared rather than hand-piped.  Decimal
+    because the plan is declared rather than hand-piped.  Integer-cent
     revenue makes `rev = top_rev` an exact tie test in both
     engines."""
     o = t(spark, sf_dir, "orders")
@@ -2209,7 +2237,9 @@ def x48_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
             F.col("o_custkey").alias("cust"),
         )
-        .agg(dsum("o_totalprice").alias("rev"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+        )
     )
     m = r.groupBy("segment").agg(F.max("rev").alias("top_rev"))
     return (
@@ -2217,9 +2247,12 @@ def x48_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.max(F.col("rev") / F.col("top_rev")), 6).alias(
-                "top_share_check"
-            ),
+            F.round(
+                F.max(
+                    F.col("rev").cast("double") / F.col("top_rev").cast("double")
+                ),
+                6,
+            ).alias("top_share_check"),
             F.sum(
                 F.when(F.col("rev") == F.col("top_rev"), 1).otherwise(0)
             )
@@ -3026,11 +3059,12 @@ def x60_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x61_welch_t",
-    oracle="""
+    oracle=f"""
 WITH g AS (
   SELECT CASE WHEN event_type = 'purchase' THEN 'purchase' ELSE 'other' END AS grp,
          value
-  FROM events WHERE event_type IN ('purchase', 'click')),
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND {fin_sql("value")}),
 m AS (
   SELECT grp,
          count(*) AS n,
@@ -3062,11 +3096,13 @@ def x61_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     on these sufficient statistics.
 
     Scale: two groups × 3 numbers of state; the test is free at any
-    volume once the scan runs."""
+    volume once the scan runs.  Non-finite values gate at the scan —
+    one ±Inf/NaN observation makes every moment non-finite
+    (numeric.finite)."""
     from big_data_fknn_spark.tables import events_t
 
     e = events_t(spark, sf_dir).where(
-        F.col("event_type").isin("purchase", "click")
+        F.col("event_type").isin("purchase", "click") & finite("value")
     )
     g = e.select(
         F.when(F.col("event_type") == "purchase", "purchase")
@@ -3429,7 +3465,7 @@ WITH base AS (
          date_diff('day', max(o_orderdate),
                    (SELECT max(o_orderdate) FROM orders)) AS recency_d,
          count(*) AS frequency,
-         sum(CAST(o_totalprice AS DECIMAL(38,10))) AS monetary
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS monetary
   FROM orders GROUP BY o_custkey),
 scored AS (
   SELECT ck, recency_d, frequency, monetary,
@@ -3439,7 +3475,7 @@ scored AS (
   FROM base)
 SELECT r_q || '-' || f_q || '-' || m_q AS segment,
        count(*) AS n_customers,
-       round(sum(monetary)::DOUBLE / count(*), 6) AS avg_monetary,
+       round(sum(monetary)::DOUBLE / (100 * count(*)), 6) AS avg_monetary,
        min(ck) AS sample_custkey
 FROM scored GROUP BY 1
 """,
@@ -3470,7 +3506,13 @@ def x65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("monetary"),
+            # exact integer cents (c3's device): a single customer can
+            # hold a ≥1e12 order, and cents order IDENTICALLY to the
+            # decimal they replace (monotone exact transform), so the
+            # quintile ranks are unchanged
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary"
+            ),
         )
         .crossJoin(F.broadcast(max_date))
         .select(
@@ -3505,7 +3547,7 @@ def x65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(
-                F.sum("monetary").cast("double") / F.count(F.lit(1)), 6
+                F.sum("monetary").cast("double") / (100 * F.count(F.lit(1))), 6
             ).alias("avg_monetary"),
             F.min("ck").alias("sample_custkey"),
         )
@@ -3873,11 +3915,14 @@ def x71_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x72_growth_decomposition",
+    # exact integer cents (c3's device): a segment-month can hold a
+    # ≥1e12 order, past the decimal→double-safe magnitude; the share
+    # is then one division of exactly-converted ints
     oracle="""
 WITH m AS (
   SELECT c.c_mktsegment AS seg,
          date_trunc('month', o.o_orderdate) AS mth,
-         sum(CAST(o.o_totalprice AS DECIMAL(38,10))) AS rev
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS rev
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY 1, 2),
 d AS (
@@ -3885,9 +3930,9 @@ d AS (
          rev - lag(rev) OVER (PARTITION BY seg ORDER BY mth) AS delta
   FROM m),
 tot AS (
-  SELECT mth, sum(delta) AS tot_delta
+  SELECT mth, sum(delta)::BIGINT AS tot_delta
   FROM d WHERE delta IS NOT NULL GROUP BY mth)
-SELECT d.seg, d.mth, d.rev::DOUBLE AS revenue, d.delta::DOUBLE AS delta,
+SELECT d.seg, d.mth, d.rev AS revenue_c, d.delta AS delta_c,
        round(d.delta::DOUBLE / t.tot_delta::DOUBLE, 6) AS share_of_change
 FROM d JOIN tot t ON t.mth = d.mth
 WHERE d.delta IS NOT NULL AND t.tot_delta <> 0
@@ -3898,9 +3943,9 @@ def x72_growth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue delta and its share of the TOTAL month delta — "which
     segment drove the change", the first follow-up to every growth
     chart (x6 gives the rate; this attributes it).  Revenue and
-    deltas stay exact decimals through the lag window and the total;
-    the share is one double division; segment-months with no prior
-    month or a zero total delta are excluded identically.
+    deltas stay exact integer cents through the lag window and the
+    total; the share is one double division; segment-months with no
+    prior month or a zero total delta are excluded identically.
 
     Scale: one fact aggregate, one |seg|×|month| lag window, one
     broadcast of month totals."""
@@ -3913,7 +3958,9 @@ def x72_growth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("seg"),
             F.date_trunc("month", "o_orderdate").alias("mth"),
         )
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("rev"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+        )
     )
     w = Window.partitionBy("seg").orderBy("mth")
     d = m.withColumn("delta", F.col("rev") - F.lag("rev").over(w)).where(
@@ -3926,8 +3973,8 @@ def x72_growth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "seg",
             "mth",
-            F.col("rev").cast("double").alias("revenue"),
-            F.col("delta").cast("double").alias("delta"),
+            F.col("rev").alias("revenue_c"),
+            F.col("delta").alias("delta_c"),
             F.round(
                 F.col("delta").cast("double") / F.col("tot_delta").cast("double"), 6
             ).alias("share_of_change"),

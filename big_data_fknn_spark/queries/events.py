@@ -46,13 +46,14 @@ def a6_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e9_time_slice",
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        count(*) AS n,
        count(DISTINCT user_id) AS n_users,
        round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+  AND {fin_sql("value")}
 GROUP BY event_type
 """,
 )
@@ -66,8 +67,11 @@ def e9_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanning all history.  Plan-asserted in tests/test_plans.py —
     without the raw-level filter the cast would hide `ts` from
     pushdown and a 100 TB table would be read end-to-end for a
-    5-day slice."""
-    e = events_t(spark, sf_dir, ts_min="2024-01-10", ts_max="2024-01-15")
+    5-day slice.  Non-finite values gate post-scan (numeric.finite —
+    orthogonal to the ts pushdown, which stays on the raw column)."""
+    e = events_t(spark, sf_dir, ts_min="2024-01-10", ts_max="2024-01-15").where(
+        finite("value")
+    )
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),

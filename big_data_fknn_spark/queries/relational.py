@@ -321,18 +321,21 @@ def c3_hash_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c4_broadcast_hash",
-    oracle="""
+    oracle=f"""
 SELECT p.p_brand, count(*) AS n_items,
        round(sum(CAST(l.l_quantity AS DECIMAL(38,10))), 6)::DOUBLE AS qty
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-WHERE p.p_size <= 10
+WHERE p.p_size <= 10 AND {fin_sql("l.l_quantity")}
 GROUP BY p.p_brand
 """,
 )
 def c4_broadcast_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact ⋈ broadcast(dim): the filtered part dim ships to every
-    executor; the 100-TB lineitem side never shuffles for the join."""
-    li = t(spark, sf_dir, "lineitem")
+    executor; the 100-TB lineitem side never shuffles for the join.
+    Non-finite quantities gate at the scan (numeric.finite — on the
+    round-8 extremes data they happened to join away; the gate makes
+    that structural, not luck)."""
+    li = t(spark, sf_dir, "lineitem").where(finite("l_quantity"))
     p = t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -374,9 +377,11 @@ def c5_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c6_outer",
+    # exact integer cents (c3's device): a single customer's spend can
+    # reach ≥1e12, past the decimal→double-safe render magnitude
     oracle="""
 SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-       round(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(38,10))), 0), 6)::DOUBLE AS spend
+       coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)::BIGINT AS spend_c
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey
 """,
@@ -390,7 +395,10 @@ def c6_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("spend_c"),
         )
     )
 

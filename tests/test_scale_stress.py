@@ -632,7 +632,11 @@ def test_x65_rfm_refines_tied_frequency_metric(spark, tmp_path, monkeypatch):
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("monetary"),
+            # x65 quantizes money to exact integer cents (c3's render
+            # device) — the truth must apply the same quantization
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary"
+            ),
         )
         .crossJoin(F.broadcast(mx))
         .select(
@@ -661,7 +665,7 @@ def test_x65_rfm_refines_tied_frequency_metric(spark, tmp_path, monkeypatch):
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(
-                F.sum("monetary").cast("double") / F.count(F.lit(1)), 6
+                F.sum("monetary").cast("double") / (100 * F.count(F.lit(1))), 6
             ).alias("avg_monetary"),
             F.min("ck").alias("sample_custkey"),
         )
