@@ -55,6 +55,21 @@ _KEYS = [
     "c3_hash_inner",
     "e4_frame_running",
     "x54_grouping_sets",
+    # the luck-dependent exposures closed late in round 8 (gates that
+    # make structural what the fixed mutation draw merely happened to
+    # miss, plus the remaining integer-cents renders)
+    "c4_broadcast_hash",
+    "c6_outer",
+    "e9_time_slice",
+    "x11_tpch_q18",
+    "x30_tpch_q17",
+    "x37_tpch_q22",
+    "x61_welch_t",
+    "x6_monthly_growth",
+    "x43_incremental_agg",
+    "x48_exchange_reuse",
+    "x65_rfm_segmentation",
+    "x72_growth_decomposition",
 ]
 
 
