@@ -851,56 +851,126 @@ def j12_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j12b_multimodal_decode",
+    # the oracle recomputes what a correct decode must find: the
+    # encoder derives (w, h, frames) from md5(text), paints every
+    # pixel row y with the constant (y*7 + 13) % 256, and the mean
+    # pixel has the closed form avg over y — one ≤255-row
+    # generate_series per document
     oracle="""
 SELECT doc_id,
        64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS width,
        64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS height,
-       1 + ('0x' || substr(md5(text), 5, 1))::INT % 8 AS n_frames
+       1 + ('0x' || substr(md5(text), 5, 1))::INT % 8 AS n_frames,
+       list_sum([(y * 7 + 13) % 256
+                 for y in generate_series(0, 64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 - 1)])::DOUBLE
+         / (64 + ('0x' || substr(md5(text), 3, 2))::INT % 192) AS mean_px
 FROM documents
 """,
 )
 def j12b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media-decode plumbing over mapInPandas: binary payloads arrive
-    as Arrow batches in a pandas worker, which "decodes" them to
-    typed metadata.  The image/audio libraries are not in this
-    container, so the decode kernel is a STUB — a deterministic fake
-    deriving dimensions from the payload's md5 — but the Spark-side
-    contract (schema, Arrow batching, partition-parallel execution)
-    is the real production shape: swap `_fake_decode` for
-    PIL/ffmpeg and nothing else changes."""
-    import hashlib
+    """REAL media decode over mapInPandas, zero codec libraries: each
+    document is ENCODED into a multi-frame payload of genuine 24-bit
+    BMP images (plain struct packing — BMP is a 54-byte header plus
+    raw BGR rows padded to 4 bytes, no compression, which is why it
+    needs no codec), then a second Arrow-batched kernel DECODES the
+    container back: checks each frame's 'BM' magic, walks frames by
+    the header's file-size field, parses width/height/bpp/data-offset
+    with struct.unpack, strips the per-row padding, and reduces the
+    raw pixel array to (width, height, n_frames, mean_px).
 
+    Until round 8 this kernel was a documented stub (dimensions faked
+    from md5 — no image libs in the container); packing the BMPs
+    ourselves removes the dependency instead of the decode.  The
+    Spark-side contract is the production shape either way: binary
+    payload column in, Arrow batches through a pandas worker,
+    partition-parallel, typed metadata out — swap the parser for
+    PIL/ffmpeg when real media arrives and nothing else changes.
+
+    Determinism: pixel row y is the constant (y*7 + 13) % 256 in all
+    three channels, so mean_px = Σ/count with integer Σ and count.
+    The kernel's (n·w·3·h)-pixel ratio and the oracle's per-row
+    closed form are the SAME exact rational, and IEEE division is
+    correctly rounded, so both emit the identical double unrounded —
+    no round() whose half-way semantics the engines could disagree
+    on.  A NULL payload decodes to NULL metadata (the dead-letter
+    route), matching md5(NULL)."""
+    import hashlib
+    import struct
+
+    import numpy as np
     import pandas as pd
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
 
-    def _fake_decode(batches):
+    def _encode_bmp_frames(text: str) -> bytes | None:
+        if text is None:
+            return None
+        h16 = hashlib.md5(text.encode("utf-8")).hexdigest()
+        w = 64 + int(h16[0:2], 16) % 192
+        hh = 64 + int(h16[2:4], 16) % 192
+        n = 1 + int(h16[4:5], 16) % 8
+        row_size = (w * 3 + 3) // 4 * 4
+        rows = bytearray()
+        for y in range(hh):
+            px = (y * 7 + 13) % 256
+            rows += bytes([px]) * (w * 3) + b"\x00" * (row_size - w * 3)
+        pixel_bytes = bytes(rows)
+        file_size = 54 + len(pixel_bytes)
+        header = struct.pack(
+            "<2sIHHI" "IiiHHIIiiII",
+            b"BM", file_size, 0, 0, 54,          # file header
+            40, w, hh, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0,
+        )
+        return (header + pixel_bytes) * n
+
+    def _enc(batches):
         for pdf in batches:
-            # a NULL payload decodes to NULL metadata (a real decoder
-            # would dead-letter it) — matches the oracle's md5(NULL)
-            digests = [
-                hashlib.md5(bytes(p)).hexdigest() if p is not None else None
-                for p in pdf["payload"]
-            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": [
-                        64 + int(h[0:2], 16) % 192 if h else None for h in digests
-                    ],
-                    "height": [
-                        64 + int(h[2:4], 16) % 192 if h else None for h in digests
-                    ],
-                    "n_frames": [
-                        1 + int(h[4:5], 16) % 8 if h else None for h in digests
-                    ],
+                    "payload": [_encode_bmp_frames(s) for s in pdf["text"]],
                 }
             )
 
-    return d.mapInPandas(
-        _fake_decode, "doc_id BIGINT, width INT, height INT, n_frames INT"
+    def _decode(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "n_frames": [], "mean_px": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                if payload is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_frames"].append(None)
+                    out["mean_px"].append(None)
+                    continue
+                buf, pos, frames = bytes(payload), 0, 0
+                w = hh = 0
+                px_sum, px_cnt = 0, 0
+                while pos < len(buf):
+                    assert buf[pos : pos + 2] == b"BM", "not a BMP frame"
+                    (fsize, offset) = struct.unpack_from("<I4xI", buf, pos + 2)
+                    (w, hh, _planes, bpp) = struct.unpack_from(
+                        "<4xiiHH", buf, pos + 14
+                    )
+                    assert bpp == 24, "kernel speaks 24-bit BMP"
+                    row_size = (w * 3 + 3) // 4 * 4
+                    arr = np.frombuffer(
+                        buf, dtype=np.uint8, count=hh * row_size, offset=pos + offset
+                    ).reshape(hh, row_size)[:, : w * 3]
+                    px_sum += int(arr.sum(dtype=np.int64))
+                    px_cnt += arr.size
+                    frames += 1
+                    pos += fsize
+                out["width"].append(w)
+                out["height"].append(hh)
+                out["n_frames"].append(frames)
+                out["mean_px"].append(px_sum / px_cnt)
+            yield pd.DataFrame(out)
+
+    payloads = d.mapInPandas(_enc, "doc_id BIGINT, payload BINARY")
+    return payloads.mapInPandas(
+        _decode,
+        "doc_id BIGINT, width INT, height INT, n_frames INT, mean_px DOUBLE",
     )
 
 
