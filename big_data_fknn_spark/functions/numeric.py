@@ -43,6 +43,38 @@ def davg(col: Column | str, scale: int = 6) -> Column:
     )
 
 
+def cents(col: Column | str) -> Column:
+    """Per-row exact integer cents of a money measure (int64).
+
+    The centi-unit device (x58): round(x·100) of a FINITE double is an
+    exact integer; as int64 it survives the decimal→double 1-ulp split
+    the round-8 extremes sweep pinned at ≥1e12 totals.  Callers MUST
+    gate the column with `finite` first — Spark's non-ANSI
+    cast('long') silently maps NaN→0 and ±Inf→±Long.{Min,Max}Value
+    while the oracle's CAST(... AS BIGINT) raises, the exact
+    one-bad-row divergence class the admission contracts exist to
+    close (round-9 ADVICE item)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def cents_sum(col: Column | str) -> Column:
+    """Overflow-proof cents total: per-row int64 cents accumulated in
+    DECIMAL(38,0), rendered BIGINT.
+
+    DuckDB's sum(BIGINT) accumulates in HUGEINT (int128); a matching
+    Spark sum('long') wraps silently past 2^63 under non-ANSI mode
+    (round-9 ADVICE: 1.5e12-scale admitted prices are 1.5e14 cents —
+    ~6e4 such rows in one group overflow int64).  Accumulating in
+    DECIMAL(38,0) mirrors the oracle's int128 accumulator exactly; the
+    final cast('long') is exact whenever the total fits BIGINT, which
+    the oracle's ::BIGINT render already requires.  Downstream
+    consumers (rank/sort pipelines) still see int64 — the device that
+    A/B-measured ~16% faster than decimal through rank is preserved."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * 100).cast("decimal(38,0)")).cast("long")
+
+
 def finite(col: Column | str) -> Column:
     """NULL-preserving measure admission: TRUE for NULL or any finite
     value, FALSE for NaN/±Infinity.

@@ -31,6 +31,7 @@ Determinism contract for the DuckDB oracle: ties broken by
 
 from __future__ import annotations
 
+from collections import Counter
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -163,7 +164,10 @@ def knn_join_blas(
     one such row in 100 TB of input must not kill the job (callers
     already exclude them via the tables.EMB_ADMIT_SQL scan-edge gate;
     this is the kernel's own belt-and-braces).  ``dim`` defaults to
-    the first conforming query vector's length.  Zero-norm vectors
+    the MODE of the first query chunk's vector lengths (ties → longer)
+    — a set-level property, invariant under row order, so a ragged
+    row arriving first under an unlucky input-split order cannot
+    hijack the kernel dim (round-9 ADVICE).  Zero-norm vectors
     under the cosine metric normalize against a guard 1.0 (dot stays
     0 ⇒ similarity 0) instead of dividing by zero.
 
@@ -227,19 +231,38 @@ def knn_join_blas(
     buf_vecs: list = []
     _last_peak_buffer_rows = 0
 
-    # Admission (see docstring): dim inferred from the first conforming
-    # query vector unless declared; non-conforming rows never reach the
-    # matrix build on either side.
+    # Admission (see docstring): dim inferred as the MODE of the first
+    # chunk's vector lengths unless declared; non-conforming rows never
+    # reach the matrix build on either side.
     _dim = [dim]
 
     def _admit(vec) -> bool:
         if vec is None or len(vec) == 0:
             return False  # a zero-length vector must not define dim
         if _dim[0] is None:
-            _dim[0] = len(vec)
+            return True  # dim resolves at first flush (chunk mode)
         return len(vec) == _dim[0]
 
     def _flush() -> None:
+        if _dim[0] is None and buf_vecs:
+            # Mode of the first chunk's lengths, not the first row's:
+            # input-split order is not a contract, and a ragged row
+            # that happens to arrive first must not hijack the kernel
+            # dim and silently drop every conforming vector (round-9
+            # ADVICE).  The mode is a set-level property of the chunk —
+            # invariant under any row order within it.  Ties break to
+            # the longer length (deterministic).  A chunk that is
+            # UNIFORMLY the wrong length still wins the vote — callers
+            # that bypass the EMB_ADMIT scan gate and cannot trust
+            # their first chunk must pass ``dim`` explicitly.
+            counts = Counter(len(v) for v in buf_vecs)
+            _dim[0] = max(counts, key=lambda length: (counts[length], length))
+            if len(counts) > 1:
+                keep = [
+                    i for i, v in enumerate(buf_vecs) if len(v) == _dim[0]
+                ]
+                buf_ids[:] = [buf_ids[i] for i in keep]
+                buf_vecs[:] = [buf_vecs[i] for i in keep]
         qids = np.array(buf_ids, dtype=np.int64)
         qmat = np.array(buf_vecs, dtype=np.float64)
         buf_ids.clear()

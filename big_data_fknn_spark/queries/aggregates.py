@@ -448,11 +448,12 @@ def d12_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d13_median",
-    oracle="""
+    oracle=f"""
 SELECT o_orderpriority,
        round(median(o_totalprice), 6) AS med_price,
        count(*) AS n
-FROM orders GROUP BY o_orderpriority
+FROM orders WHERE {fin_sql("o_totalprice")}
+GROUP BY o_orderpriority
 """,
 )
 def d13_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,8 +465,13 @@ def d13_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's values for the percentile pass (unlike d12's constant
     state); for high-cardinality keys at 100 TB prefer
     approx_percentile (d3's sketch cousin) or x3's manual
-    interpolation over a pre-aggregated value histogram."""
-    o = t(spark, sf_dir, "orders")
+    interpolation over a pre-aggregated value histogram.
+
+    Non-finite prices gate at the scan: the engines disagree on NaN in
+    a percentile buffer (Spark orders NaN greatest; DuckDB's is
+    nondeterministic — the x3/d23 class), and ±Inf poisons the even-
+    count midpoint interpolation."""
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     return o.groupBy("o_orderpriority").agg(
         F.round(F.median("o_totalprice"), 6).alias("med_price"),
         F.count(F.lit(1)).alias("n"),
@@ -474,7 +480,7 @@ def d13_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d14_conditional_agg",
-    oracle="""
+    oracle=f"""
 SELECT o_orderpriority,
        count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
        bool_and(o_totalprice > 0) AS all_pos,
@@ -483,7 +489,8 @@ SELECT o_orderpriority,
                CAST(round(o_totalprice * 100) AS HUGEINT)
                * 10000000000000000000::HUGEINT
                + o_orderkey) AS top_order
-FROM orders GROUP BY o_orderpriority
+FROM orders WHERE {fin_sql("o_totalprice")}
+GROUP BY o_orderpriority
 """,
 )
 def d14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,8 +508,13 @@ def d14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     range (< 9.3e18), and the packed value ≤ ~1e33 fits both 128-bit
     representations — no overflow at any representable input, unlike
     the original 64-bit pack (2^43-cent / 10^10-key assumption, which
-    a 1.5e12 price or a 2^53 surrogate key silently breaks)."""
-    o = t(spark, sf_dir, "orders")
+    a 1.5e12 price or a 2^53 surrogate key silently breaks).
+
+    Non-finite prices gate at the scan: Spark's non-ANSI decimal cast
+    maps ±Inf/NaN to NULL (silently excluding the row from max_by)
+    while the oracle's HUGEINT cast raises — the one-bad-row
+    divergence class (round-9 ADVICE)."""
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     packed = (
         F.round(F.col("o_totalprice") * 100).cast("decimal(20,0)")
         * F.expr("CAST('10000000000000000000' AS DECIMAL(20,0))")

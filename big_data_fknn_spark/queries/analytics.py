@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_fknn_spark.functions.numeric import DEC, dsum, fin_sql, finite
+from big_data_fknn_spark.functions.numeric import (
+    DEC,
+    cents_sum,
+    dsum,
+    fin_sql,
+    finite,
+)
 from big_data_fknn_spark.operators.rank import (
     global_rank,
     global_running_agg,
@@ -230,11 +236,11 @@ def x5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x6_monthly_growth",
     # exact integer cents (c3's device): a century-edge month holds a
     # single ≥1e12 order, past the decimal→double-safe magnitude
-    oracle="""
+    oracle=f"""
 WITH monthly AS (
   SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
          sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_c
-  FROM orders GROUP BY 1
+  FROM orders WHERE {fin_sql("o_totalprice")} GROUP BY 1
 )
 SELECT month, revenue_c,
        revenue_c - lag(revenue_c) OVER (ORDER BY month) AS delta_c
@@ -246,10 +252,12 @@ def x6_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing, exact integer-cent revenue, unpartitioned lag over the
     (tiny) monthly series.  The global window is safe because the
     aggregate has already reduced to ~80 rows — the anti-pattern is
-    a global window over the FACT table."""
-    o = t(spark, sf_dir, "orders")
+    a global window over the FACT table.  Non-finite prices gate at
+    the scan; the monthly total accumulates in DECIMAL(38,0)
+    (numeric.cents_sum, round-9 ADVICE posture)."""
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_c")
+        cents_sum("o_totalprice").alias("revenue_c")
     )
     w = Window.orderBy("month")
     return monthly.select(
@@ -1919,12 +1927,13 @@ def x41_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x43_incremental_agg",
     # exact integer cents (c3's device): the century-edge months hold
     # single ≥1e12 orders, past the decimal→double-safe magnitude
-    oracle="""
+    oracle=f"""
 SELECT date_trunc('month', o_orderdate) AS mon,
        o_orderstatus AS status,
        count(*) AS n_orders,
        sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_c
 FROM orders
+WHERE {fin_sql("o_totalprice")}
 GROUP BY 1, 2
 """,
 )
@@ -1935,11 +1944,16 @@ def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     base FULL OUTER JOIN delta on the group key, counts and exact
     integer-cent sums coalesced and added.  The oracle recomputes the
     rollup from scratch; hash-equality proves the merge law holds
-    (count and int64-cent-sum are commutative monoids, so merged ==
+    (count and exact-cent-sum are commutative monoids, so merged ==
     recomputed bit-for-bit — double sums would NOT give this
     guarantee, see functions/numeric.py; cents rather than DECIMAL
-    because single months at the century edges can hold ≥1e12 orders,
-    past the decimal→double-safe render magnitude, c3's device).
+    render because single months at the century edges can hold ≥1e12
+    orders, past the decimal→double-safe render magnitude, c3's
+    device).  Non-finite prices gate at the scan, and the cent sums
+    stay DECIMAL(38,0) through the merge — exact decimal addition
+    keeps the monoid law past 2^63, mirroring the oracle's HUGEINT
+    accumulator; the BIGINT render happens once, at the edge
+    (round-9 ADVICE posture).
 
     This is the 100 TB pattern that keeps dashboards O(|delta|):
     history is never rescanned, the delta aggregates map-side to one
@@ -1947,7 +1961,7 @@ def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the stored rollup — tiny (groups, not rows), broadcastable.
     i8/x42 are the streaming/CDC twins of the same idea."""
     cutoff = F.lit("2000-01-01").cast("timestamp")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
 
     def rollup(df: DataFrame) -> DataFrame:
         return df.groupBy(
@@ -1955,9 +1969,9 @@ def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("status"),
         ).agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-                "rev_dec"
-            ),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            ).alias("rev_dec"),
         )
 
     base = rollup(o.where(F.col("o_orderdate") < cutoff))
@@ -1971,7 +1985,7 @@ def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("b.status").eqNullSafe(F.col("d.status")),
         "full_outer",
     )
-    zero = F.lit(0).cast("long")
+    zero = F.lit(0).cast("decimal(38,0)")
     # SUM over an all-NULL group is NULL, and the merge must preserve
     # that (coalescing both sides to 0 would turn NULL into 0 and
     # break merged == recomputed)
@@ -1995,11 +2009,12 @@ def x43_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x44_salted_join",
     # exact integer cents (c3's device): ≥1e12 totals break round(,6)
     # and the decimal→double conversion itself (1-ulp engine split)
-    oracle="""
+    oracle=f"""
 SELECT c.c_mktsegment AS segment,
        count(*) AS n_orders,
        sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_c
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE {fin_sql("o.o_totalprice")}
 GROUP BY 1
 """,
 )
@@ -2017,10 +2032,14 @@ def x44_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, or stats hide it): replication factor × dim size is the
     explicit price, paid only on the small side.  AQE remains the
     first answer; this key proves the engine expresses the classic
-    fix declaratively, result-identically."""
+    fix declaratively, result-identically.  Non-finite prices gate at
+    the scan; the total accumulates in DECIMAL(38,0)
+    (numeric.cents_sum, round-9 ADVICE posture)."""
     n_salt = 8
-    o = t(spark, sf_dir, "orders").withColumn(
-        "salt", (F.col("o_orderkey") % n_salt).cast("int")
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(finite("o_totalprice"))
+        .withColumn("salt", (F.col("o_orderkey") % n_salt).cast("int"))
     )
     c = (
         t(spark, sf_dir, "customer")
@@ -2042,9 +2061,7 @@ def x44_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-                "revenue_c"
-            ),
+            cents_sum("o_totalprice").alias("revenue_c"),
         )
     )
 
@@ -2202,11 +2219,12 @@ def x46_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-customer revenue in exact integer cents (c3's device): one
     # customer can hold a ≥1e12 order, past the decimal→double-safe
     # magnitude; the tie test and share ratio then run on exact ints
-    oracle="""
+    oracle=f"""
 WITH r AS (
   SELECT c.c_mktsegment AS segment, o.o_custkey AS cust,
          sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS rev
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE {fin_sql("o.o_totalprice")}
   GROUP BY 1, 2
 ),
 m AS (SELECT segment, max(rev) AS top_rev FROM r GROUP BY segment)
@@ -2228,8 +2246,9 @@ def x48_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is a full extra pass over the rollup saved, for free,
     because the plan is declared rather than hand-piped.  Integer-cent
     revenue makes `rev = top_rev` an exact tie test in both
-    engines."""
-    o = t(spark, sf_dir, "orders")
+    engines.  Non-finite prices gate at the scan; the rollup
+    accumulates in DECIMAL(38,0) (numeric.cents_sum)."""
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     c = t(spark, sf_dir, "customer")
     r = (
         o.join(c, o.o_custkey == c.c_custkey)
@@ -2237,9 +2256,7 @@ def x48_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
             F.col("o_custkey").alias("cust"),
         )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
-        )
+        .agg(cents_sum("o_totalprice").alias("rev"))
     )
     m = r.groupBy("segment").agg(F.max("rev").alias("top_rev"))
     return (
@@ -2605,7 +2622,7 @@ def x53_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round(,6) AND the decimal→double conversion itself (1-ulp split
     # between Spark's correctly-rounded BigDecimal.doubleValue and
     # DuckDB's int128→double / 1e10 double-rounding — round-8 sweep)
-    oracle="""
+    oracle=f"""
 SELECT coalesce(n.n_name, '(all)') AS nation,
        coalesce(o.o_orderpriority, '(all)') AS priority,
        count(*) AS n_orders,
@@ -2613,6 +2630,7 @@ SELECT coalesce(n.n_name, '(all)') AS nation,
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE {fin_sql("o.o_totalprice")}
 GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), (n.n_name, o.o_orderpriority))
 """,
 )
@@ -2628,8 +2646,13 @@ def x54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture has no NULL names).
 
     Scale: Expand×3 beats three scans + union at any size, and the
-    partial aggregate still combines map-side."""
-    o = t(spark, sf_dir, "orders")
+    partial aggregate still combines map-side.  Non-finite prices
+    gate at the scan; the whole-table grouping-set totals accumulate
+    in DECIMAL(38,0) (numeric.cents_sum — exactly the site the
+    round-9 ADVICE named for int64 wrap: ~6e4 admitted 1.5e12-scale
+    prices overflow a long accumulator while the oracle sums in
+    HUGEINT)."""
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     j = (
@@ -2648,9 +2671,7 @@ def x54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-                "total_c"
-            ),
+            cents_sum("o_totalprice").alias("total_c"),
         )
         .select(
             F.coalesce("n_name", F.lit("(all)")).alias("nation"),
@@ -3459,14 +3480,15 @@ def x64_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x65_rfm_segmentation",
-    oracle="""
-WITH base AS (
+    oracle=f"""
+WITH fin AS (SELECT * FROM orders WHERE {fin_sql("o_totalprice")}),
+base AS (
   SELECT o_custkey AS ck,
          date_diff('day', max(o_orderdate),
-                   (SELECT max(o_orderdate) FROM orders)) AS recency_d,
+                   (SELECT max(o_orderdate) FROM fin)) AS recency_d,
          count(*) AS frequency,
          sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS monetary
-  FROM orders GROUP BY o_custkey),
+  FROM fin GROUP BY o_custkey),
 scored AS (
   SELECT ck, recency_d, frequency, monetary,
          ntile(5) OVER (ORDER BY recency_d DESC, ck) AS r_q,
@@ -3498,8 +3520,13 @@ def x65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame — no join-back, and never ``Exchange SinglePartition``
     (the round-2 shape chained three full single-task sorts of all
     customers).  The rollup is ~125 rows; the global max date is a
-    scalar broadcast."""
-    o = t(spark, sf_dir, "orders")
+    scalar broadcast.  Non-finite prices gate at the scan (a NaN/±Inf
+    order vanishes from recency/frequency too — the admission
+    contract drops the ROW, mirrored in the oracle's fin CTE); the
+    monetary total accumulates in DECIMAL(38,0) and renders int64
+    (numeric.cents_sum — the rank pipeline still sorts longs, the
+    A/B-measured ~16%-faster device)."""
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     max_date = o.agg(F.max("o_orderdate").alias("mx"))
     base = (
         o.groupBy(F.col("o_custkey").alias("ck"))
@@ -3510,9 +3537,7 @@ def x65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             # hold a ≥1e12 order, and cents order IDENTICALLY to the
             # decimal they replace (monotone exact transform), so the
             # quintile ranks are unchanged
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-                "monetary"
-            ),
+            cents_sum("o_totalprice").alias("monetary"),
         )
         .crossJoin(F.broadcast(max_date))
         .select(
@@ -3617,10 +3642,10 @@ def x66_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x67_gini",
-    oracle="""
+    oracle=f"""
 WITH rev AS (
   SELECT o_custkey AS ck, sum(CAST(o_totalprice AS DECIMAL(38,10))) AS x
-  FROM orders GROUP BY o_custkey),
+  FROM orders WHERE {fin_sql("o_totalprice")} GROUP BY o_custkey),
 ranked AS (
   SELECT x, row_number() OVER (ORDER BY x, ck) AS i FROM rev),
 agg AS (
@@ -3646,8 +3671,10 @@ def x67_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the range-bucketed global_rank (operators/rank.py — hash
     exchange on the revenue bucket, no single-partition sort), one
     scalar reduction.  The same shape yields Lorenz-curve points by
-    emitting cumulative shares instead of the scalar."""
-    o = t(spark, sf_dir, "orders")
+    emitting cumulative shares instead of the scalar.  Non-finite
+    prices gate at the scan — the exact-decimal device has no ±Inf
+    representation (round-9 seeded-extremes find)."""
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("x")
     ).localCheckpoint(eager=True)
@@ -3801,10 +3828,10 @@ def x69_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x70_lorenz_deciles",
-    oracle="""
+    oracle=f"""
 WITH rev AS (
   SELECT o_custkey AS ck, sum(CAST(o_totalprice AS DECIMAL(38,10))) AS x
-  FROM orders GROUP BY o_custkey),
+  FROM orders WHERE {fin_sql("o_totalprice")} GROUP BY o_custkey),
 deciled AS (
   SELECT x, ntile(10) OVER (ORDER BY x, ck) AS dec_
   FROM rev),
@@ -3832,8 +3859,9 @@ def x70_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-bucketed rank pass (operators/rank.py — no
     single-partition exchange; ntile derives from the exact rank),
     10 output rows.  The final cumulative window runs over the
-    10-row decile table — whitelisted-tiny."""
-    o = t(spark, sf_dir, "orders")
+    10-row decile table — whitelisted-tiny.  Non-finite prices gate
+    at the scan (x67's reason — round-9 seeded-extremes find)."""
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("x")
     ).localCheckpoint(eager=True)
@@ -3918,12 +3946,13 @@ def x71_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer cents (c3's device): a segment-month can hold a
     # ≥1e12 order, past the decimal→double-safe magnitude; the share
     # is then one division of exactly-converted ints
-    oracle="""
+    oracle=f"""
 WITH m AS (
   SELECT c.c_mktsegment AS seg,
          date_trunc('month', o.o_orderdate) AS mth,
          sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS rev
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE {fin_sql("o.o_totalprice")}
   GROUP BY 1, 2),
 d AS (
   SELECT seg, mth, rev,
@@ -3948,8 +3977,11 @@ def x72_growth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior month or a zero total delta are excluded identically.
 
     Scale: one fact aggregate, one |seg|×|month| lag window, one
-    broadcast of month totals."""
-    o = t(spark, sf_dir, "orders")
+    broadcast of month totals.  Non-finite prices gate at the scan;
+    both sums accumulate in DECIMAL(38,0) mirroring the oracle's
+    HUGEINT (numeric.cents_sum / explicit decimal sum on the delta
+    roll-up — round-9 ADVICE posture)."""
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     c = t(spark, sf_dir, "customer")
     m = (
         o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
@@ -3958,15 +3990,15 @@ def x72_growth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("seg"),
             F.date_trunc("month", "o_orderdate").alias("mth"),
         )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
-        )
+        .agg(cents_sum("o_totalprice").alias("rev"))
     )
     w = Window.partitionBy("seg").orderBy("mth")
     d = m.withColumn("delta", F.col("rev") - F.lag("rev").over(w)).where(
         F.col("delta").isNotNull()
     )
-    tot = d.groupBy("mth").agg(F.sum("delta").alias("tot_delta"))
+    tot = d.groupBy("mth").agg(
+        F.sum(F.col("delta").cast("decimal(38,0)")).cast("long").alias("tot_delta")
+    )
     return (
         d.join(F.broadcast(tot), "mth")
         .where(F.col("tot_delta") != 0)

@@ -849,6 +849,51 @@ def j12_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parse_bmp_frames(buf: bytes):
+    """Walk a multi-frame 24-bit BMP payload; return (width, height,
+    n_frames, mean_px) or None for a MALFORMED payload.
+
+    Explicit checks, not `assert`: asserts vanish under ``python -O``
+    (a corrupt payload would then mis-walk silently), and when active
+    a single bad payload would raise and kill the whole job — corrupt
+    payloads must take the same dead-letter route as NULL ones
+    (round-9 ADVICE).  Module-level so tests can feed it garbage
+    directly; executors resolve it by reference through this module."""
+    import struct
+
+    import numpy as np
+
+    pos, frames = 0, 0
+    w = hh = 0
+    px_sum, px_cnt = 0, 0
+    while pos < len(buf):
+        if buf[pos : pos + 2] != b"BM" or pos + 54 > len(buf):
+            return None  # bad magic / truncated header
+        (fsize, offset) = struct.unpack_from("<I4xI", buf, pos + 2)
+        (w, hh, _planes, bpp) = struct.unpack_from("<4xiiHH", buf, pos + 14)
+        row_size = (w * 3 + 3) // 4 * 4
+        need = hh * row_size
+        if (
+            bpp != 24  # kernel speaks 24-bit BMP
+            or w <= 0
+            or hh <= 0
+            or fsize <= 0  # a non-advancing frame size would spin
+            or offset < 54
+            or pos + offset + need > len(buf)  # truncated pixel rows
+        ):
+            return None
+        arr = np.frombuffer(
+            buf, dtype=np.uint8, count=need, offset=pos + offset
+        ).reshape(hh, row_size)[:, : w * 3]
+        px_sum += int(arr.sum(dtype=np.int64))
+        px_cnt += arr.size
+        frames += 1
+        pos += fsize
+    if frames == 0 or px_cnt == 0:
+        return None
+    return w, hh, frames, px_sum / px_cnt
+
+
 @register(
     "j12b_multimodal_decode",
     # the oracle recomputes what a correct decode must find: the
@@ -893,7 +938,11 @@ def j12b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly rounded, so both emit the identical double unrounded —
     no round() whose half-way semantics the engines could disagree
     on.  A NULL payload decodes to NULL metadata (the dead-letter
-    route), matching md5(NULL)."""
+    route), matching md5(NULL); a CORRUPT payload (bad magic, wrong
+    bpp, truncated pixels, non-advancing frame size) takes the same
+    route via explicit checks rather than asserts — asserts vanish
+    under ``python -O`` and would otherwise kill the job on one bad
+    payload (round-9 ADVICE)."""
     import hashlib
     import struct
 
@@ -937,34 +986,20 @@ def j12b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": [], "width": [], "height": [], "n_frames": [], "mean_px": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 out["doc_id"].append(doc_id)
-                if payload is None:
+                parsed = (
+                    None if payload is None else _parse_bmp_frames(bytes(payload))
+                )
+                if parsed is None:  # NULL or corrupt: dead-letter row
                     out["width"].append(None)
                     out["height"].append(None)
                     out["n_frames"].append(None)
                     out["mean_px"].append(None)
                     continue
-                buf, pos, frames = bytes(payload), 0, 0
-                w = hh = 0
-                px_sum, px_cnt = 0, 0
-                while pos < len(buf):
-                    assert buf[pos : pos + 2] == b"BM", "not a BMP frame"
-                    (fsize, offset) = struct.unpack_from("<I4xI", buf, pos + 2)
-                    (w, hh, _planes, bpp) = struct.unpack_from(
-                        "<4xiiHH", buf, pos + 14
-                    )
-                    assert bpp == 24, "kernel speaks 24-bit BMP"
-                    row_size = (w * 3 + 3) // 4 * 4
-                    arr = np.frombuffer(
-                        buf, dtype=np.uint8, count=hh * row_size, offset=pos + offset
-                    ).reshape(hh, row_size)[:, : w * 3]
-                    px_sum += int(arr.sum(dtype=np.int64))
-                    px_cnt += arr.size
-                    frames += 1
-                    pos += fsize
+                w, hh, frames, mean_px = parsed
                 out["width"].append(w)
                 out["height"].append(hh)
                 out["n_frames"].append(frames)
-                out["mean_px"].append(px_sum / px_cnt)
+                out["mean_px"].append(mean_px)
             yield pd.DataFrame(out)
 
     payloads = d.mapInPandas(_enc, "doc_id BIGINT, payload BINARY")

@@ -18,7 +18,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from big_data_fknn_spark.functions.distance import euclidean, manhattan
-from big_data_fknn_spark.functions.numeric import davg, dsum, fin_sql, finite
+from big_data_fknn_spark.functions.numeric import (
+    cents_sum,
+    davg,
+    dsum,
+    fin_sql,
+    finite,
+)
 from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.tables import EMB_ADMIT_SQL, t
 
@@ -288,10 +294,11 @@ def c2_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c3_hash_inner",
-    oracle="""
+    oracle=f"""
 SELECT c.c_mktsegment, count(*) AS n_orders,
        sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_c
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE {fin_sql("o.o_totalprice")}
 GROUP BY c.c_mktsegment
 """,
 )
@@ -304,17 +311,17 @@ def c3_hash_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNROUNDED decimal→double conversion splits by 1 ulp between
     Spark's correctly-rounded BigDecimal.doubleValue and DuckDB's
     int128→double / 1e10 double-rounding.  Integer sums are immune to
-    both."""
-    o = t(spark, sf_dir, "orders")
+    both.  Non-finite prices gate at the scan (numeric.finite) and the
+    total accumulates in DECIMAL(38,0) mirroring the oracle's HUGEINT
+    (numeric.cents_sum — round-9 ADVICE items)."""
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     c = t(spark, sf_dir, "customer")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-                "revenue_c"
-            ),
+            cents_sum("o_totalprice").alias("revenue_c"),
         )
     )
 
@@ -379,24 +386,30 @@ def c5_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c6_outer",
     # exact integer cents (c3's device): a single customer's spend can
     # reach ≥1e12, past the decimal→double-safe render magnitude
-    oracle="""
+    oracle=f"""
 SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
        coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)::BIGINT AS spend_c
-FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+FROM customer c LEFT JOIN (SELECT * FROM orders
+                           WHERE {fin_sql("o_totalprice")}) o
+  ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey
 """,
 )
 def c6_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving order-less customers (count=0)."""
+    """Left outer join preserving order-less customers (count=0).
+    Non-finite prices gate the orders side BEFORE the join (a customer
+    whose only orders are non-conforming reports count=0, spend=0 —
+    the admission contract drops the row, not the customer); spend
+    accumulates in DECIMAL(38,0) (numeric.cents_sum)."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.coalesce(
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                cents_sum("o_totalprice"),
                 F.lit(0).cast("long"),
             ).alias("spend_c"),
         )

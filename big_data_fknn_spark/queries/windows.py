@@ -88,7 +88,7 @@ def e3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e4_frame_running",
-    oracle="""
+    oracle=f"""
 SELECT o_custkey, o_orderkey,
        sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -101,6 +101,7 @@ SELECT o_custkey, o_orderkey,
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS avg3
 FROM orders
+WHERE {fin_sql("o_totalprice")}
 """,
 )
 def e4_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,16 +116,20 @@ def e4_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     int128→double / 1e10 — two roundings — so even UNROUNDED doubles
     of the identical exact decimal diverge at ≥1e12.  avg3 is one
     int→double conversion (exact below 2^53) and one IEEE division on
-    identical operands."""
-    o = t(spark, sf_dir, "orders")
+    identical operands.  Non-finite prices gate at the scan
+    (numeric.finite), and the running sums accumulate in DECIMAL(38,0)
+    mirroring DuckDB's HUGEINT window accumulator — int64 would wrap
+    silently past 2^63 while the oracle render raises (round-9 ADVICE
+    posture; render back to BIGINT/double at the edge)."""
+    o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     last3 = w.rowsBetween(-2, 0)
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(cents).over(run).alias("running_spend_c"),
+        F.sum(cents).over(run).cast("long").alias("running_spend_c"),
         (
             F.sum(cents).over(last3).cast("double")
             / (100 * F.count(F.lit(1)).over(last3))

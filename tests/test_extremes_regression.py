@@ -70,6 +70,19 @@ _KEYS = [
     "x48_exchange_reuse",
     "x65_rfm_segmentation",
     "x72_growth_decomposition",
+    # round-9: o_totalprice ±Inf/NaN injection (ADVICE medium) — the
+    # cents-render/median/argmax/decimal-sum keys over orders money,
+    # incl. the two the seeded injection caught (x67/x70 oracles cast
+    # to DECIMAL(38,10), which raises on Inf in DuckDB while Spark
+    # silently NULLed)
+    "c3_hash_inner",
+    "d13_median",
+    "d14_conditional_agg",
+    "e4_frame_running",
+    "x44_salted_join",
+    "x54_grouping_sets",
+    "x67_gini",
+    "x70_lorenz_deciles",
 ]
 
 

@@ -143,3 +143,43 @@ def test_blas_kernel_all_queries_degenerate_is_empty_not_crash(spark):
     out = knn_join_blas(bad, df, k=2, dim=4)
     assert out.count() == 0  # stable empty output, stable schema
     assert [f.name for f in out.schema.fields[:3]] == ["q_id", "n_id", "dist"]
+
+
+def test_blas_dim_inference_is_mode_not_first_row(spark):
+    """Kernel dim inference must be the MODE of the first chunk, not
+    the first row: a ragged row arriving first under an unlucky
+    input-split order must not hijack the dim and silently drop every
+    conforming vector (round-9 ADVICE).  repartition(1) funnels all
+    rows through one partition whose order follows the input listing,
+    so putting the ragged row first in the data reproduces the
+    hazard deterministically."""
+    rows = [
+        (103, [1.0, 2.0]),  # ragged 2-dim row FIRST
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.1, 2.1, 3.1, 4.1]),
+        (3, [9.0, 9.0, 9.0, 9.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, emb array<double>"
+    ).coalesce(1)
+    out = knn_join_blas(df, df, k=1, exclude_self=True).collect()
+    got = {r["q_id"]: r["n_id"] for r in out}
+    # pre-fix behavior: dim locked to 2, every 4-dim vector dropped,
+    # result empty (or 2-dim-only); the mode vote keeps the majority
+    assert got.get(1) == 2 and got.get(2) == 1
+    assert 103 not in got and all(n != 103 for n in got.values())
+
+
+def test_blas_dim_mode_tie_breaks_to_longer(spark):
+    """Equal counts of two lengths in the inference chunk: the vote is
+    deterministic (longer length wins), never input-order dependent."""
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [2.0, 1.0]),
+        (11, [1.0, 2.0, 3.0]),
+        (12, [3.0, 2.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = knn_join_blas(df, df, k=1, exclude_self=True).collect()
+    q_ids = {r["q_id"] for r in out}
+    assert q_ids == {11, 12}

@@ -3,6 +3,7 @@ DuckDB oracle hash check proves (tests/test_oracle_parity.py)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_fknn_spark.functions.text import tokens
@@ -189,3 +190,47 @@ def test_text_keys_parity_on_empty_and_duplicated_docs(spark, tmp_path):
             f"{key}: {len(srows)}/{len(orows)} rows, first diff "
             f"{next((a, b) for a, b in zip(srows, orows) if a != b) if len(srows) == len(orows) else ''}"
         )
+
+
+# --------------------- j12b corrupt-payload dead-letter (round 9)
+
+
+def _bmp_payload(w=4, h=2, n=1, px=7, bpp=24):
+    """Minimal multi-frame BMP in the exact layout j12b encodes."""
+    import struct
+
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = (bytes([px]) * (w * 3) + b"\x00" * (row_size - w * 3)) * h
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + len(rows), 0, 0, 54,
+        40, w, h, 1, bpp, 0, len(rows), 2835, 2835, 0, 0,
+    )
+    return (header + rows) * n
+
+
+def test_parse_bmp_frames_valid_roundtrip():
+    from big_data_fknn_spark.queries.llm import _parse_bmp_frames
+
+    assert _parse_bmp_frames(_bmp_payload(w=4, h=2, n=3, px=9)) == (4, 2, 3, 9.0)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",  # empty
+        b"XX" + _bmp_payload()[2:],  # bad magic
+        _bmp_payload()[:40],  # truncated header
+        _bmp_payload()[:-5],  # truncated pixel rows
+        _bmp_payload(bpp=32),  # wrong bit depth
+        # zeroed frame size: a non-advancing walk must bail, not spin
+        _bmp_payload()[:2] + b"\x00\x00\x00\x00" + _bmp_payload()[6:],
+    ],
+)
+def test_parse_bmp_frames_corrupt_is_dead_letter_not_crash(payload):
+    """Corrupt payloads return None (the dead-letter route) — they
+    must neither raise (one bad payload kills the job) nor mis-walk
+    silently under python -O (the old bare-assert hazard)."""
+    from big_data_fknn_spark.queries.llm import _parse_bmp_frames
+
+    assert _parse_bmp_frames(payload) is None

@@ -71,8 +71,10 @@ x55 silently would trade a loud failure for silent divergence.
 
 Run after any change to query/oracle pairs:
 
-    python tools/adversarial_parity.py            # all passes
+    python tools/adversarial_parity.py            # all passes, fixed draw
     python tools/adversarial_parity.py nulls      # one pass
+    python tools/adversarial_parity.py --seed 9   # seed-randomized draws
+                                                  # (new dataset dirs _s9)
 
 Exit code 0 = every oracled key matches (or honors its documented
 contract) on every dataset.
@@ -82,6 +84,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -95,125 +98,193 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-_TIES = {
-    "customer": """SELECT * FROM t UNION ALL
+def _ties(rng: "random.Random | None") -> dict[str, str]:
+    """Duplicate-row mutation SQL; `rng` draws WHICH slice duplicates.
+
+    The round-8 luck-dependent-exposure audit found 13 keys that
+    passed extremes only because one fixed ``% 3 = 0`` draw missed
+    their join keys / slice boundaries — found by hand, not by the
+    tool.  Seeding the draw (modulus AND residue per table) makes
+    that audit structural: two different seeds CLEAN is the round-9
+    done criterion.  ``rng=None`` reproduces the legacy fixed draw
+    bit-for-bit, so the CI regression pins stay stable."""
+
+    def mr(dm: int, dr: int) -> tuple[int, int]:
+        if rng is None:
+            return dm, dr
+        m = rng.choice((2, 3, 4, 5))
+        return m, rng.randrange(m)
+
+    cm, cr = mr(3, 0)
+    pm, pr = mr(3, 0)
+    om, orr = mr(3, 0)
+    lm, lr = mr(3, 0)
+    em, er = mr(3, 0)
+    dm, dr = mr(4, 0)
+    vm, vr = mr(5, 0)
+    return {
+        "customer": f"""SELECT * FROM t UNION ALL
         SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
-        FROM t WHERE c_custkey % 3 = 0""",
-    "part": """SELECT * FROM t UNION ALL
+        FROM t WHERE c_custkey % {cm} = {cr}""",
+        "part": f"""SELECT * FROM t UNION ALL
         SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size, p_retailprice
-        FROM t WHERE p_partkey % 3 = 0""",
-    "orders": """SELECT * FROM t UNION ALL
+        FROM t WHERE p_partkey % {pm} = {pr}""",
+        "orders": f"""SELECT * FROM t UNION ALL
         SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate, o_orderpriority
-        FROM t WHERE o_orderkey % 3 = 0""",
-    "lineitem": """SELECT * FROM t UNION ALL
+        FROM t WHERE o_orderkey % {om} = {orr}""",
+        "lineitem": f"""SELECT * FROM t UNION ALL
         SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber + 100,
                l_quantity, l_extendedprice, l_discount, l_tax,
                l_returnflag, l_linestatus, l_shipdate
-        FROM t WHERE (l_orderkey + l_linenumber) % 3 = 0""",
-    "events": """SELECT * FROM t UNION ALL
+        FROM t WHERE (l_orderkey + l_linenumber) % {lm} = {lr}""",
+        "events": f"""SELECT * FROM t UNION ALL
         SELECT event_id + 10000000, ts, user_id, event_type, value, props
-        FROM t WHERE event_id % 3 = 0""",
-    "documents": """SELECT * FROM t UNION ALL
+        FROM t WHERE event_id % {em} = {er}""",
+        "documents": f"""SELECT * FROM t UNION ALL
         SELECT doc_id + 1000000, text, lang, source, n_chars
-        FROM t WHERE doc_id % 4 = 0
+        FROM t WHERE doc_id % {dm} = {dr}
         UNION ALL SELECT 9000001, '', 'en', 'adv', 0
         UNION ALL SELECT 9000002, ' ', 'en', 'adv', 1
         UNION ALL SELECT 9000003, 'a', 'de', 'adv', 1
         UNION ALL SELECT 9000004, 'the the the the the the', 'en', 'adv', 23""",
-    "embeddings": """SELECT * FROM t UNION ALL
-        SELECT vec_id + 1000000, embedding, label FROM t WHERE vec_id % 5 = 0""",
-}
+        "embeddings": f"""SELECT * FROM t UNION ALL
+        SELECT vec_id + 1000000, embedding, label FROM t WHERE vec_id % {vm} = {vr}""",
+    }
 
-_NULLS = {
-    "customer": """SELECT c_custkey, c_name, c_nationkey,
-        CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
-        CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+
+def _nulls(rng: "random.Random | None") -> dict[str, str]:
+    """NULL-injection mutation SQL; `rng` draws WHICH residue class of
+    each column goes NULL (moduli stay the pairwise-coprime primes so
+    the per-column NULL patterns never fully overlap)."""
+
+    def r(p: int) -> int:
+        return 0 if rng is None else rng.randrange(p)
+
+    return {
+        "customer": f"""SELECT c_custkey, c_name, c_nationkey,
+        CASE WHEN c_custkey % 7 = {r(7)} THEN NULL ELSE c_acctbal END AS c_acctbal,
+        CASE WHEN c_custkey % 11 = {r(11)} THEN NULL ELSE c_mktsegment END AS c_mktsegment
         FROM t""",
-    "supplier": """SELECT s_suppkey, s_name, s_nationkey,
-        CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE s_acctbal END AS s_acctbal FROM t""",
-    "part": """SELECT p_partkey, p_name, p_brand,
-        CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE p_type END AS p_type,
-        CASE WHEN p_partkey % 17 = 0 THEN NULL ELSE p_size END AS p_size,
-        CASE WHEN p_partkey % 19 = 0 THEN NULL ELSE p_retailprice END AS p_retailprice
+        "supplier": f"""SELECT s_suppkey, s_name, s_nationkey,
+        CASE WHEN s_suppkey % 3 = {r(3)} THEN NULL ELSE s_acctbal END AS s_acctbal FROM t""",
+        "part": f"""SELECT p_partkey, p_name, p_brand,
+        CASE WHEN p_partkey % 13 = {r(13)} THEN NULL ELSE p_type END AS p_type,
+        CASE WHEN p_partkey % 17 = {r(17)} THEN NULL ELSE p_size END AS p_size,
+        CASE WHEN p_partkey % 19 = {r(19)} THEN NULL ELSE p_retailprice END AS p_retailprice
         FROM t""",
-    "orders": """SELECT o_orderkey, o_custkey,
-        CASE WHEN o_orderkey % 23 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
-        CASE WHEN o_orderkey % 29 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+        "orders": f"""SELECT o_orderkey, o_custkey,
+        CASE WHEN o_orderkey % 23 = {r(23)} THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+        CASE WHEN o_orderkey % 29 = {r(29)} THEN NULL ELSE o_totalprice END AS o_totalprice,
         o_orderdate,
-        CASE WHEN o_orderkey % 31 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+        CASE WHEN o_orderkey % 31 = {r(31)} THEN NULL ELSE o_orderpriority END AS o_orderpriority
         FROM t""",
-    "lineitem": """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
-        CASE WHEN (l_orderkey + l_linenumber) % 37 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
-        CASE WHEN (l_orderkey + l_linenumber) % 41 = 0 THEN NULL ELSE l_extendedprice END AS l_extendedprice,
-        CASE WHEN (l_orderkey + l_linenumber) % 43 = 0 THEN NULL ELSE l_discount END AS l_discount,
+        "lineitem": f"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        CASE WHEN (l_orderkey + l_linenumber) % 37 = {r(37)} THEN NULL ELSE l_quantity END AS l_quantity,
+        CASE WHEN (l_orderkey + l_linenumber) % 41 = {r(41)} THEN NULL ELSE l_extendedprice END AS l_extendedprice,
+        CASE WHEN (l_orderkey + l_linenumber) % 43 = {r(43)} THEN NULL ELSE l_discount END AS l_discount,
         l_tax,
-        CASE WHEN (l_orderkey + l_linenumber) % 47 = 0 THEN NULL ELSE l_returnflag END AS l_returnflag,
+        CASE WHEN (l_orderkey + l_linenumber) % 47 = {r(47)} THEN NULL ELSE l_returnflag END AS l_returnflag,
         l_linestatus, l_shipdate FROM t""",
-    "events": """SELECT event_id, ts, user_id,
-        CASE WHEN event_id % 53 = 0 THEN NULL ELSE event_type END AS event_type,
-        CASE WHEN event_id % 59 = 0 THEN NULL ELSE value END AS value,
-        CASE WHEN event_id % 61 = 0 THEN NULL ELSE props END AS props FROM t""",
-    "documents": """SELECT doc_id,
-        CASE WHEN doc_id % 67 = 0 THEN NULL ELSE text END AS text,
-        CASE WHEN doc_id % 71 = 0 THEN NULL ELSE lang END AS lang,
+        "events": f"""SELECT event_id, ts, user_id,
+        CASE WHEN event_id % 53 = {r(53)} THEN NULL ELSE event_type END AS event_type,
+        CASE WHEN event_id % 59 = {r(59)} THEN NULL ELSE value END AS value,
+        CASE WHEN event_id % 61 = {r(61)} THEN NULL ELSE props END AS props FROM t""",
+        "documents": f"""SELECT doc_id,
+        CASE WHEN doc_id % 67 = {r(67)} THEN NULL ELSE text END AS text,
+        CASE WHEN doc_id % 71 = {r(71)} THEN NULL ELSE lang END AS lang,
         source, n_chars FROM t""",
-    "embeddings": """SELECT vec_id, embedding,
-        CASE WHEN vec_id % 73 = 0 THEN NULL ELSE label END AS label FROM t""",
-}
+        "embeddings": f"""SELECT vec_id, embedding,
+        CASE WHEN vec_id % 73 = {r(73)} THEN NULL ELSE label END AS label FROM t""",
+    }
+
 
 _EMPTY = {name: "SELECT * FROM t LIMIT 0" for name in TABLES}
 
 _P53 = 9007199254740993  # 2^53 + 1: adjacent longs collide as double
 
-_EXTREMES = {
-    "customer": f"""SELECT * FROM t UNION ALL
-        SELECT {_P53}, 'Customer#EXT1', (SELECT min(c_nationkey) FROM t),
-               'inf'::DOUBLE, (SELECT min(c_mktsegment) FROM t)
+
+def _extremes(rng: "random.Random | None") -> dict[str, str]:
+    """Boundary-value mutation SQL; `rng` draws WHERE the injected
+    rows attach (anchor keys at a random quantile of the existing
+    key distribution instead of always min/max — injected rows must
+    be REACHABLE through every query's joins and slices, the exact
+    luck axis of the round-8 audit) and the ≥1e12 money magnitude.
+
+    New in round 9 (ADVICE): orders rows with ±Inf/NaN o_totalprice —
+    previously the one summed money measure the pass never poisoned,
+    which is how the silent NaN→0 / Inf→Long.MaxValue cents render
+    went unexposed."""
+
+    def q(col: str, default: str = "min") -> str:
+        if rng is None:
+            return f"(SELECT {default}({col}) FROM t)"
+        qq = rng.choice((0.0, 0.25, 0.5, 0.75, 1.0))
+        return f"(SELECT quantile_disc({col}, {qq}) FROM t)"
+
+    # > 1e12 exercises the past-double-precision render class; ≤ 5e12
+    # keeps cents (x·100) under 2^53 so round() itself stays exact
+    big = 1.5e12 if rng is None else rng.uniform(1.1e12, 5e12)
+    return {
+        "customer": f"""SELECT * FROM t UNION ALL
+        SELECT {_P53}, 'Customer#EXT1', {q("c_nationkey")},
+               'inf'::DOUBLE, {q("c_mktsegment")}
         UNION ALL SELECT {_P53 + 1}, 'Customer#EXT2',
-               (SELECT min(c_nationkey) FROM t), '-inf'::DOUBLE,
-               (SELECT min(c_mktsegment) FROM t)
+               {q("c_nationkey")}, '-inf'::DOUBLE,
+               {q("c_mktsegment")}
         UNION ALL SELECT 9200001, 'Customer#EXT3',
-               (SELECT max(c_nationkey) FROM t), 'nan'::DOUBLE,
-               (SELECT max(c_mktsegment) FROM t)
+               {q("c_nationkey", "max")}, 'nan'::DOUBLE,
+               {q("c_mktsegment", "max")}
         UNION ALL SELECT 9200002, 'Customer#EXT4',
-               (SELECT max(c_nationkey) FROM t), 5e-324,
-               (SELECT max(c_mktsegment) FROM t)""",
-    "part": """SELECT * FROM t UNION ALL
-        SELECT 9200001, 'extreme part max', (SELECT min(p_brand) FROM t),
-               (SELECT min(p_type) FROM t), 2147483647::INTEGER, 'nan'::DOUBLE
+               {q("c_nationkey", "max")}, 5e-324,
+               {q("c_mktsegment", "max")}""",
+        "part": f"""SELECT * FROM t UNION ALL
+        SELECT 9200001, 'extreme part max', {q("p_brand")},
+               {q("p_type")}, 2147483647::INTEGER, 'nan'::DOUBLE
         UNION ALL SELECT 9200002, 'extreme part min',
-               (SELECT min(p_brand) FROM t), (SELECT min(p_type) FROM t),
+               {q("p_brand")}, {q("p_type")},
                (-2147483647 - 1)::INTEGER, 'inf'::DOUBLE""",
-    "orders": f"""SELECT * FROM t UNION ALL
-        SELECT {_P53}, (SELECT min(o_custkey) FROM t),
-               (SELECT min(o_orderstatus) FROM t), 1.5e12,
+        "orders": f"""SELECT * FROM t UNION ALL
+        SELECT {_P53}, {q("o_custkey")},
+               {q("o_orderstatus")}, {big!r},
                TIMESTAMP '1700-01-07 00:00:00',
-               (SELECT min(o_orderpriority) FROM t)
-        UNION ALL SELECT {_P53 + 1}, (SELECT min(o_custkey) FROM t),
-               (SELECT max(o_orderstatus) FROM t), 5e-324,
+               {q("o_orderpriority")}
+        UNION ALL SELECT {_P53 + 1}, {q("o_custkey")},
+               {q("o_orderstatus", "max")}, 5e-324,
                TIMESTAMP '2260-11-20 00:00:00',
-               (SELECT max(o_orderpriority) FROM t)""",
-    "lineitem": f"""SELECT * FROM t UNION ALL
-        SELECT {_P53}, (SELECT min(l_partkey) FROM t),
-               (SELECT min(l_suppkey) FROM t), 1::INTEGER,
+               {q("o_orderpriority", "max")}
+        UNION ALL SELECT 9200003, {q("o_custkey")},
+               {q("o_orderstatus")}, 'inf'::DOUBLE,
+               (SELECT max(o_orderdate) FROM t),
+               {q("o_orderpriority")}
+        UNION ALL SELECT 9200004, {q("o_custkey", "max")},
+               {q("o_orderstatus", "max")}, '-inf'::DOUBLE,
+               (SELECT min(o_orderdate) FROM t),
+               {q("o_orderpriority", "max")}
+        UNION ALL SELECT 9200005, {q("o_custkey")},
+               {q("o_orderstatus")}, 'nan'::DOUBLE,
+               (SELECT max(o_orderdate) FROM t),
+               {q("o_orderpriority")}""",
+        "lineitem": f"""SELECT * FROM t UNION ALL
+        SELECT {_P53}, {q("l_partkey")},
+               {q("l_suppkey")}, 1::INTEGER,
                'inf'::DOUBLE, 'inf'::DOUBLE, 0.0, 0.0,
-               (SELECT min(l_returnflag) FROM t),
-               (SELECT min(l_linestatus) FROM t),
+               {q("l_returnflag")},
+               {q("l_linestatus")},
                TIMESTAMP '1700-01-07 00:00:00'
-        UNION ALL SELECT {_P53}, (SELECT min(l_partkey) FROM t),
-               (SELECT min(l_suppkey) FROM t), 2::INTEGER,
+        UNION ALL SELECT {_P53}, {q("l_partkey")},
+               {q("l_suppkey")}, 2::INTEGER,
                '-inf'::DOUBLE, '-inf'::DOUBLE, 0.0, 0.0,
-               (SELECT min(l_returnflag) FROM t),
-               (SELECT min(l_linestatus) FROM t),
+               {q("l_returnflag")},
+               {q("l_linestatus")},
                TIMESTAMP '2260-11-20 00:00:00'
-        UNION ALL SELECT {_P53}, (SELECT min(l_partkey) FROM t),
-               (SELECT min(l_suppkey) FROM t), 3::INTEGER,
+        UNION ALL SELECT {_P53}, {q("l_partkey")},
+               {q("l_suppkey")}, 3::INTEGER,
                'nan'::DOUBLE, 'nan'::DOUBLE, 0.0, 0.0,
-               (SELECT max(l_returnflag) FROM t),
-               (SELECT max(l_linestatus) FROM t),
+               {q("l_returnflag", "max")},
+               {q("l_linestatus", "max")},
                (SELECT max(l_shipdate) FROM t) + INTERVAL 1 MICROSECOND""",
-    "events": f"""SELECT * FROM t UNION ALL
+        "events": f"""SELECT * FROM t UNION ALL
         SELECT 9200001, (SELECT min(ts) FROM t) - INTERVAL 100 DAY, 3,
                'ext', 'inf'::DOUBLE, '{{"k": 1}}'
         UNION ALL SELECT 9200002, (SELECT max(ts) FROM t) + INTERVAL 100 DAY,
@@ -224,11 +295,11 @@ _EXTREMES = {
                'ext', 5e-324, '{{"k": 4}}'
         UNION ALL SELECT {_P53}, TIMESTAMP '2024-01-15 12:00:00', {_P53},
                'ext', 1.5, NULL""",
-    "documents": f"""SELECT * FROM t UNION ALL
+        "documents": f"""SELECT * FROM t UNION ALL
         SELECT {_P53}, 'extreme surrogate key document one', 'en', 'ext', 34
         UNION ALL SELECT {_P53 + 1},
                'extreme surrogate key document two', 'en', 'ext', 34""",
-    "embeddings": f"""SELECT * FROM t UNION ALL
+        "embeddings": f"""SELECT * FROM t UNION ALL
         SELECT {_P53}, (SELECT embedding FROM t WHERE vec_id = 0), 1::INTEGER
         UNION ALL SELECT {_P53 + 1},
                (SELECT embedding FROM t WHERE vec_id = 1), 2::INTEGER
@@ -241,7 +312,8 @@ _EXTREMES = {
         UNION ALL SELECT 9200004,
                ['nan'::FLOAT] || (SELECT embedding[2:64] FROM t WHERE vec_id = 3),
                2::INTEGER""",
-}
+    }
+
 
 _UNICODE = {
     "documents": """SELECT * FROM t UNION ALL
@@ -262,13 +334,23 @@ _UNICODE = {
                '{"k": 8}'""",
 }
 
-MUTATIONS = {
-    "ties": _TIES,
-    "nulls": _NULLS,
-    "unicode": _UNICODE,
-    "empty": _EMPTY,
-    "extremes": _EXTREMES,
-}
+
+def mutations(rng: "random.Random | None" = None) -> dict[str, dict[str, str]]:
+    """The five mutation families, with the row-selection and
+    magnitude draws taken from `rng` (None = the legacy fixed draw —
+    what `MUTATIONS` pins for the CI regression tests).  unicode and
+    empty are content-class mutations with no row-selection axis, so
+    they do not vary with the seed."""
+    return {
+        "ties": _ties(rng),
+        "nulls": _nulls(rng),
+        "unicode": _UNICODE,
+        "empty": _EMPTY,
+        "extremes": _extremes(rng),
+    }
+
+
+MUTATIONS = mutations(None)
 
 # The COMBO dataset composes four mutations in sequence (each one
 # preserves its table's schema, so they chain): duplicate-key ties,
@@ -288,12 +370,16 @@ _EXPECTED_CONTRACT = {
 }
 
 
-def build(kind: str, dst: str | None = None) -> str:
+def build(kind: str, dst: str | None = None, seed: int | None = None) -> str:
     """Materialize the mutated dataset; `dst` override lets tests
-    build into a private tmp_path instead of the shared /tmp copy."""
+    build into a private tmp_path instead of the shared /tmp copy.
+    `seed` randomizes the row-selection/magnitude draws (None = the
+    legacy fixed draw the CI pins reproduce)."""
     import duckdb
 
-    dst = dst or f"/tmp/adv_parity_{kind}"
+    muts = MUTATIONS if seed is None else mutations(random.Random(seed))
+    suffix = "" if seed is None else f"_s{seed}"
+    dst = dst or f"/tmp/adv_parity_{kind}{suffix}"
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     chain = _COMBO_CHAIN if kind == "combo" else (kind,)
@@ -303,7 +389,7 @@ def build(kind: str, dst: str | None = None) -> str:
             f"SELECT * FROM read_parquet('{SRC}/{name}.parquet')"
         )
         for sub in chain:
-            q = MUTATIONS[sub].get(name)
+            q = muts[sub].get(name)
             if q is None:
                 continue
             con.sql(f"CREATE OR REPLACE TEMP TABLE t_next AS {q}")
@@ -360,14 +446,24 @@ def sweep(spark, sf_dir: str) -> list[tuple[str, str]]:
 def main() -> None:
     from big_data_fknn_spark.session import get_spark
 
-    kinds = sys.argv[1:] or [*MUTATIONS, "combo"]
+    args = sys.argv[1:]
+    seed: int | None = None
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        del args[i : i + 2]
+    kinds = args or [*MUTATIONS, "combo"]
     spark = get_spark(app_name="adversarial_parity")
+    tag = "" if seed is None else f" [seed={seed}]"
     failed = {}
     try:
         for kind in kinds:
-            sf_dir = build(kind)
+            sf_dir = build(kind, seed=seed)
             bad = sweep(spark, sf_dir)
-            print(f"{kind}: {'CLEAN' if not bad else json.dumps(bad)}", flush=True)
+            print(
+                f"{kind}{tag}: {'CLEAN' if not bad else json.dumps(bad)}",
+                flush=True,
+            )
             if bad:
                 failed[kind] = bad
     finally:

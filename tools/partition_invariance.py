@@ -26,6 +26,18 @@ value-oracled variant that IS swept here.
     python tools/partition_invariance.py                  # sf0.001
     python tools/partition_invariance.py /root/testdata/sf0.01
 
+INPUT-SHARDING mode (``--shards N``, round-9 verdict): every testdata
+table ships as ONE parquet file, so the shuffle-partition axis above
+never varies the INPUT split count or file order — anything first-row-
+or split-order-sensitive (kernel dim inference, streaming file-source
+ordering) went untested.  The mode rewrites each table as an N-file
+directory (round-robin rows, so file order ≠ key order), runs every
+value-oracled key against BOTH layouts, and compares canonical
+results Spark-vs-Spark; rows-only keys are count-smoked on the
+sharded layout (the crash check that found the round-8 MLlib bugs).
+
+    python tools/partition_invariance.py --shards 7
+
 Exit code 0 = all value-oracled keys hash-identical at both settings.
 """
 
@@ -103,13 +115,102 @@ def sweep(spark, sf_dir: str) -> list[tuple[str, str]]:
     return bad
 
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build_shards(spark, src: str, dst: str, n_files: int) -> str:
+    """Rewrite each single-file table as an N-part directory named
+    ``{name}.parquet`` (spark.read.parquet treats the directory and
+    the single file identically, so ``t()`` needs no change).
+    ``repartition(n)`` round-robins rows, so part-file membership and
+    order both differ from the writer-sorted original — exactly the
+    layout variance a 1000-executor scan produces."""
+    import shutil
+
+    os.makedirs(dst, exist_ok=True)
+    for name in TABLES:
+        out = f"{dst}/{name}.parquet"
+        shutil.rmtree(out, ignore_errors=True)
+        (
+            spark.read.parquet(f"{src}/{name}.parquet")
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return dst
+
+
+def sweep_shards(spark, src: str, dst: str) -> list[tuple[str, str]]:
+    """Run every key against the 1-file and N-file layouts; oracled
+    keys must canonically match, rows-only keys must not crash."""
+    from adversarial_parity import _EXPECTED_CONTRACT
+    from big_data_fknn_spark.cache import release_query_caches
+    from big_data_fknn_spark.queries import load_all
+    from oracle import df_canon
+
+    reg = load_all()
+    bad: list[tuple[str, str]] = []
+    for i, key in enumerate(sorted(reg)):
+        expected = _EXPECTED_CONTRACT.get(key, "\0")
+        if reg[key].oracle is None:
+            try:  # rows-only: the sharded layout must not crash it
+                reg[key].fn(spark, dst).count()
+            except Exception as ex:  # noqa: BLE001 — report, keep going
+                if expected not in str(ex):
+                    bad.append((key, f"SHARDED_ERR {str(ex)[:150]}"))
+            continue
+        results = []
+        for sf_dir in (src, dst):
+            release_query_caches()
+            spark.catalog.clearCache()
+            try:
+                results.append(
+                    ("ok", df_canon(reg[key].fn(spark, sf_dir).toPandas()))
+                )
+            except Exception as ex:  # noqa: BLE001
+                results.append(("err", str(ex)))
+        if all(r[0] == "err" and expected in r[1] for r in results):
+            print(f"  {key}: CONTRACT (documented raise)", flush=True)
+        elif results[0] != results[1]:
+            errs = [
+                f"ERR@{tag} {r[1][:150]}"
+                for tag, r in zip(("1file", "sharded"), results)
+                if r[0] == "err"
+            ]
+            detail = " | ".join(errs) if errs else "HASH_SPLIT 1file-vs-sharded"
+            bad.append((key, detail))
+        elif results[0][0] == "err":
+            bad.append((key, f"BROKEN_BOTH_LAYOUTS {results[0][1][:150]}"))
+        if (i + 1) % 50 == 0:
+            print(f"  …{i + 1}/{len(reg)} swept", flush=True)
+    return bad
+
+
 def main() -> None:
     from big_data_fknn_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = sys.argv[1:]
+    n_shards: int | None = None
+    if "--shards" in args:
+        i = args.index("--shards")
+        n_shards = int(args[i + 1]) if len(args) > i + 1 else 7
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     spark = get_spark(app_name="partition_invariance")
     try:
-        bad = sweep(spark, sf_dir)
+        if n_shards is not None:
+            dst = build_shards(
+                spark, sf_dir, f"/tmp/sharded_{os.path.basename(sf_dir)}_n{n_shards}",
+                n_shards,
+            )
+            bad = sweep_shards(spark, sf_dir, dst)
+            label = f"input-sharding 1-vs-{n_shards} files"
+        else:
+            bad = sweep(spark, sf_dir)
+            label = f"partition-invariance {PARTS}"
     finally:
         # a contract-raise aborted stream leaves non-daemon threads
         # that hang interpreter exit (adversarial_parity's teardown)
