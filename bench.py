@@ -126,6 +126,19 @@ def main() -> None:
         "x65_refine_stages": rank.LAST_REFINE_STAGES,
     }
 
+    # CONTROL: e1_topk_window's code is untouched since round 1, so
+    # its exec drift round-over-round is pure machine state.  Each
+    # query's exec normalized by the control separates code effects
+    # from environment (rounds 4/6/8 re-derived "environmental" by
+    # hand from untouched-key deltas every time — this makes the
+    # attribution a recorded number instead of an argument).
+    control_key = "e1_topk_window"
+    control_exec = split[control_key]["exec_s"]
+    exec_vs_control = {
+        k: round(split[k]["exec_s"] / control_exec, 2) if control_exec > 0 else None
+        for k in HEADLINE
+    }
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -137,6 +150,11 @@ def main() -> None:
         # does real cluster jobs) vs final execution.
         "queries_split": split,
         "diagnostics": diagnostics,
+        # e1 is the drift control (code untouched since r1): divide a
+        # round's exec_vs_control by last round's per query — a moved
+        # ratio is a code effect, a uniform absolute shift is machine.
+        "control": {"query": control_key, "exec_s": control_exec},
+        "exec_vs_control": exec_vs_control,
         # system 1/5/15-min load sampled before the warm-up and after
         # the last query: high or rising load means the absolutes are
         # contention-inflated and only controlled A/B deltas count.

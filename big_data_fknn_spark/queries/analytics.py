@@ -10,6 +10,9 @@ layout (Z-order, compaction), audits, and dialect proofs.
 
 from __future__ import annotations
 
+import threading
+from uuid import uuid4
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -33,7 +36,7 @@ from big_data_fknn_spark.tables import EMB_ADMIT_SQL, t
 
 @register(
     "x1_tpch_q3",
-    oracle="""
+    oracle=f"""
 SELECT l.l_orderkey,
        round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue,
        o.o_orderdate, o.o_orderpriority
@@ -43,6 +46,7 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '1998-03-15'
   AND l.l_shipdate > TIMESTAMP '1998-03-15'
+  AND {fin_sql("l.l_extendedprice")}
 GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
@@ -53,14 +57,18 @@ def x1_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters on both fact paths, grouped revenue, global top-10.
     Catalyst pushes both date filters into the scans and the LIMIT
     becomes TakeOrderedAndProject — no full sort.  Revenue is an
-    exact decimal sum, so the top-10 cut is cross-engine stable."""
+    exact decimal sum, so the top-10 cut is cross-engine stable.
+    Non-finite prices gate at the scan (numeric.finite — the round-9
+    seeded-extremes audit: ungated, one ±Inf row that happens to
+    survive the joins NULLs in Spark's decimal cast but raises in
+    the oracle's)."""
     c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
     li = t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
+    ).where(finite("l_extendedprice"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
@@ -78,7 +86,7 @@ def x1_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x2_tpch_q5",
-    oracle="""
+    oracle=f"""
 SELECT n.n_name,
        round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
 FROM customer c
@@ -90,6 +98,7 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND {fin_sql("l.l_extendedprice")}
 GROUP BY n.n_name
 """,
 )
@@ -97,13 +106,14 @@ def x2_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local-supplier volume): six-table join with a
     same-nation constraint.  The nation/region dims broadcast; the
     customer⋈orders⋈lineitem⋈supplier chain shuffles on join keys
-    and AQE reorders/sizes the exchanges."""
+    and AQE reorders/sizes the exchanges.  Non-finite prices gate at
+    the scan (round-9 seeded-extremes audit)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem").where(finite("l_extendedprice"))
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
@@ -361,12 +371,13 @@ def x7_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive reading implies.  avg() here is only a FILTER bound, not an
     output, so double-avg ulp drift cannot flip a row: the nearest
     c_acctbal is ~0.01 away."""
-    # fixed names (x54's pattern): repeated invocation REPLACES the
-    # same catalog entries instead of leaking a uuid-named pair per call
-    cv, ov = "x7_customer_src", "x7_orders_src"
+    # uuid views + drop after eager analysis (x22's pattern): no leak
+    # per call, no cross-wiring under concurrent callers (round-9)
+    cv = f"x7_customer_{uuid4().hex}"
+    ov = f"x7_orders_{uuid4().hex}"
     t(spark, sf_dir, "customer").createOrReplaceTempView(cv)
     t(spark, sf_dir, "orders").createOrReplaceTempView(ov)
-    return spark.sql(f"""
+    out = spark.sql(f"""
         SELECT c.c_custkey, round(c.c_acctbal, 6) AS bal
         FROM {cv} c
         WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM {cv})
@@ -375,6 +386,9 @@ def x7_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND o.o_totalprice > 2 * (
                             SELECT avg(o_totalprice) FROM {ov}))
     """)
+    spark.catalog.dropTempView(cv)
+    spark.catalog.dropTempView(ov)
+    return out
 
 
 @register(
@@ -597,6 +611,12 @@ FROM per_nation
 """
 
 
+# guards the register→sql window of shared-SQL-text keys (x12): the
+# canonical view names are part of the shared text, so concurrent
+# callers must serialize the registration instead of renaming it away
+_X12_LOCK = threading.Lock()
+
+
 @register("x12_sql_api", oracle=_X12_SQL)
 def x12_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front end: the ORACLE STRING ITSELF runs through
@@ -606,10 +626,24 @@ def x12_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal aggregates), not a DataFrame-only dialect.  Catalyst
     gets the same plan freedom as the DataFrame API; the dimension
     join broadcasts, the window is a 25-row post-agg sort.
+
+    Concurrency: the shared-text property REQUIRES the canonical
+    table names (`customer`, `nation` — the same names the oracle's
+    DuckDB views carry), so uuid views are off the table for this key
+    alone.  The register→sql window runs under a module lock instead:
+    spark.sql analyzes eagerly, so once the lock releases the
+    returned DataFrame is bound to the resolved relations and a
+    concurrent caller's re-registration (possibly over a DIFFERENT
+    sf_dir) can no longer swap the tables under it (round-9 verdict).
+    The views are dropped inside the lock — zero catalog residue.
     """
-    for name in ("customer", "nation"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_X12_SQL)
+    with _X12_LOCK:
+        for name in ("customer", "nation"):
+            t(spark, sf_dir, name).createOrReplaceTempView(name)
+        out = spark.sql(_X12_SQL)
+        for name in ("customer", "nation"):
+            spark.catalog.dropTempView(name)
+    return out
 
 
 _PR_ITER_SQL = """
@@ -756,7 +790,7 @@ def x15_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x16_tpch_q10",
-    oracle="""
+    oracle=f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
        round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
 FROM customer c
@@ -766,6 +800,7 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE o.o_orderdate >= TIMESTAMP '1997-10-01'
   AND o.o_orderdate < TIMESTAMP '1998-01-01'
   AND l.l_returnflag = 'R'
+  AND {fin_sql("l.l_extendedprice")}
 GROUP BY c.c_custkey, c.c_name, n.n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
@@ -776,13 +811,17 @@ def x16_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders ⋈ return-flagged lineitem ⋈ customer ⋈ broadcast nation,
     grouped revenue, global top-20.  Both date predicates push into
     the scans; the final cut is TakeOrderedAndProject on an exact
-    decimal sum (cross-engine stable, same rationale as x1)."""
+    decimal sum (cross-engine stable, same rationale as x1).
+    Non-finite prices gate at the scan (round-9 seeded-extremes
+    audit)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_returnflag") == "R") & finite("l_extendedprice")
+    )
     n = t(spark, sf_dir, "nation")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -877,7 +916,7 @@ def x18_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x19_tpch_q14",
-    oracle="""
+    oracle=f"""
 SELECT round(
          100.0 * sum(CASE WHEN p_type = 'PROMO'
                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))
@@ -888,6 +927,7 @@ SELECT round(
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01'
   AND l_shipdate < TIMESTAMP '1997-04-01'
+  AND {fin_sql("l_extendedprice")}
 """,
 )
 def x19_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,10 +936,12 @@ def x19_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem at any scale where this engine matters), and a
     conditional-ratio aggregate.  Both sums accumulate in exact
     decimal; the division happens once, driver-side-free, after the
-    single shuffle-free final agg."""
+    single shuffle-free final agg.  Non-finite prices gate at the
+    scan (round-9 seeded-extremes audit)."""
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        & finite("l_extendedprice")
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
@@ -917,13 +959,14 @@ def x19_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x20_tpch_q19",
-    oracle="""
+    oracle=f"""
 SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+WHERE ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30))
+  AND {fin_sql("l_extendedprice")}
 """,
 )
 def x20_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,8 +975,10 @@ def x20_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem) columns.  Catalyst extracts the common single-side
     conjuncts from the OR (l_quantity <= 30, p_size >= 1, brand IN
     set) and pushes them below the join, so the broadcast probe sees
-    a pre-filtered fact stream — the classic CNF-extraction test."""
-    li = t(spark, sf_dir, "lineitem")
+    a pre-filtered fact stream — the classic CNF-extraction test.
+    Non-finite prices gate at the scan (round-9 seeded-extremes
+    audit)."""
+    li = t(spark, sf_dir, "lineitem").where(finite("l_extendedprice"))
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
@@ -1160,7 +1205,7 @@ def x26_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x27_tpch_q7",
-    oracle="""
+    oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        extract(year FROM l.l_shipdate)::INT AS l_year,
        round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS volume
@@ -1172,6 +1217,7 @@ JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
 WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND {fin_sql("l.l_extendedprice")}
 GROUP BY supp_nation, cust_nation, l_year
 """,
 )
@@ -1181,9 +1227,10 @@ def x27_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast dims — Catalyst keeps it above the two nation joins and
     the fact chain below stays unfiltered until then, so the dims
     must broadcast to avoid re-shuffling lineitem.  Yearly rollup on
-    extract(year)."""
+    extract(year).  Non-finite prices gate at the scan (round-9
+    seeded-extremes audit)."""
     s = t(spark, sf_dir, "supplier")
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem").where(finite("l_extendedprice"))
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n1 = t(spark, sf_dir, "nation").select(
@@ -1261,12 +1308,13 @@ def x28_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x29_tpch_q15",
-    oracle="""
+    oracle=f"""
 WITH revenue AS (
   SELECT l_suppkey,
          sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS total_d
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    AND {fin_sql("l_extendedprice")}
   GROUP BY l_suppkey
 )
 SELECT s.s_suppkey, s.s_name, round(r.total_d, 6)::DOUBLE AS total_revenue
@@ -1279,10 +1327,12 @@ def x29_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWICE — once as the join input, once inside the scalar max — the
     classic reused-CTE plan.  Exact-decimal revenue makes `= max`
     deterministic (a double sum could tie-break differently per
-    engine and drop/duplicate the winner)."""
+    engine and drop/duplicate the winner).  Non-finite prices gate
+    at the scan (round-9 seeded-extremes audit)."""
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        & finite("l_extendedprice")
     )
     revenue = li.groupBy("l_suppkey").agg(
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias(
@@ -1410,7 +1460,7 @@ def x31_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x32_tpch_q8",
-    oracle="""
+    oracle=f"""
 WITH vol AS (
   SELECT extract(year FROM o.o_orderdate)::INT AS o_year,
          CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10)) AS volume,
@@ -1424,6 +1474,7 @@ WITH vol AS (
   JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
   JOIN part p ON p.p_partkey = l.l_partkey
   WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    AND {fin_sql("l.l_extendedprice")}
 )
 SELECT o_year,
        round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)::DOUBLE
@@ -1436,8 +1487,10 @@ def x32_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the widest in the suite — feeding a conditional-ratio aggregate
     per order year.  All four dims broadcast; the fact chain
     shuffles only on its join keys; numerator and denominator
-    accumulate in exact decimal and divide once as doubles."""
-    li = t(spark, sf_dir, "lineitem")
+    accumulate in exact decimal and divide once as doubles.
+    Non-finite prices gate at the scan (round-9 seeded-extremes
+    audit)."""
+    li = t(spark, sf_dir, "lineitem").where(finite("l_extendedprice"))
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
@@ -1472,7 +1525,7 @@ def x32_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x33_tpch_q9",
-    oracle="""
+    oracle=f"""
 SELECT n.n_name AS nation, extract(year FROM o.o_orderdate)::INT AS o_year,
        round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
                       - 0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(38,10))), 6)::DOUBLE AS profit
@@ -1482,6 +1535,8 @@ JOIN part p ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 WHERE p.p_name LIKE '%a%'
+  AND {fin_sql("l.l_extendedprice")} AND {fin_sql("l.l_quantity")}
+  AND {fin_sql("l.l_discount")} AND {fin_sql("p.p_retailprice")}
 GROUP BY nation, o_year
 """,
 )
@@ -1491,10 +1546,24 @@ def x33_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_supplycost), LIKE-filtered parts, grouped by supplier nation
     and order year.  The profit expression is cast to decimal ONCE
     (after the double arithmetic, which is operand-identical in both
-    engines) so the sum stays order-independent."""
-    li = t(spark, sf_dir, "lineitem")
+    engines) so the sum stays order-independent.
+
+    ALL FOUR profit operands gate non-finite at the scan: one ±Inf
+    in any of them makes the whole term ±Inf/NaN, which the decimal
+    cast NULLs in Spark but raises on in DuckDB.  Round-9's
+    seed-randomized extremes draw (seed 1023) caught this — under
+    the fixed draw the poisoned lineitem row happened to join away
+    through the part LIKE filter, the exact luck-dependent-exposure
+    class the seeding exists to kill."""
+    li = t(spark, sf_dir, "lineitem").where(
+        finite("l_extendedprice") & finite("l_quantity") & finite("l_discount")
+    )
     o = t(spark, sf_dir, "orders")
-    p = t(spark, sf_dir, "part").where(F.col("p_name").like("%a%"))
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%a%"))
+        .where(finite("p_retailprice"))
+    )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     profit = (
@@ -1801,20 +1870,24 @@ def x39_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("p_partkey") - 1) / 4).alias("parent"),
         )
     )
-    # fixed name (x54's pattern): no uuid-view leak on repeat calls
-    kids.createOrReplaceTempView("x39_kids_src")
-    return spark.sql(
-        """
+    # uuid view + drop after eager analysis (x22's pattern): no leak
+    # per call, no cross-wiring under concurrent callers (round-9)
+    kv = f"x39_kids_{uuid4().hex}"
+    kids.createOrReplaceTempView(kv)
+    out = spark.sql(
+        f"""
 WITH RECURSIVE tree AS (
   SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
   UNION ALL
   SELECT k.node, t.depth + 1
-  FROM x39_kids_src k JOIN tree t ON k.parent = t.node
+  FROM {kv} k JOIN tree t ON k.parent = t.node
 )
 SELECT depth, count(*) AS n, min(node) AS first_node, max(node) AS last_node
 FROM tree GROUP BY depth
 """
     )
+    spark.catalog.dropTempView(kv)
+    return out
 
 
 @register(
@@ -1915,12 +1988,15 @@ def x41_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     Like x12, the SAME SQL text (modulo the ::DOUBLE result cast)
     runs on both engines; proof the surface speaks the current SQL
     dialect intersection, not just classic ANSI."""
-    # fixed name (x54's pattern): no uuid-view leak on repeat calls
-    v = "x41_lineitem_src"
+    # uuid view + drop after eager analysis (x22's pattern): no leak
+    # per call, no cross-wiring under concurrent callers (round-9)
+    v = f"x41_lineitem_{uuid4().hex}"
     t(spark, sf_dir, "lineitem").createOrReplaceTempView(v)
-    return spark.sql(_X41_SQL.format(table=v)).withColumn(
+    out = spark.sql(_X41_SQL.format(table=v)).withColumn(
         "qty", F.col("qty").cast("double")
     )
+    spark.catalog.dropTempView(v)
+    return out
 
 
 @register(

@@ -613,6 +613,108 @@ def j40_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROBE_MOD = 50  # vec_id % 50 == 0 → deterministic probe set
 _TOPK = 10
 
+# --- count-adaptive subcell quantizer (round-9 scale-soak fix) -------
+#
+# j9b and j26 coarse-quantize on `label` — a FIXED-cardinality domain,
+# so cells grow linearly with the corpus and the per-cell pair work
+# grows quadratically.  The round-9 10× soak measured exactly that
+# (j9b 35×, j26 78× on 10× data) — the docstrings' "n·c not n²" claim
+# only holds when the cell COUNT scales with n.  This is the real IVF
+# discipline: nlist ∝ n / target_cell_size.
+#
+# The refinement: each vector gets nb deterministic sign-random-
+# projection bits (j40's decimal-pinned md5-parity hyperplanes, its
+# own salt), nb = clamp(ceil(log2(n / 2048)), 0, 12) — derived from
+# COUNT(*) in BOTH engines, so the oracle stays in lockstep at any
+# scale.  Cluster key becomes (label, scode): expected cell size is
+# ~_CELL_TARGET regardless of corpus size, so j9b's probe cost per
+# query and j26's per-row pair work stay CONSTANT as data grows.  At
+# every driver/bench scale (n ≤ 2048) nb = 0 and the code collapses
+# to a constant 0 — bit-identical results and plans to the
+# pre-round-9 behavior; only beyond ~2k vectors does the quantizer
+# deepen (1 extra bit per doubling).  Recall note: a (label, scode)
+# cell boundary can split a true neighbor pair — the standard IVF
+# recall/cost trade, mirrored exactly in the oracle; j9 remains the
+# exact brute-force baseline.
+_CELL_TARGET = 2048
+_SUBCELL_MAX_BITS = 12
+_SUBCELL_SALT = "cell"
+
+# Oracle-side mirror.  Assumes a CTE `e(vec_id, v, ...)` is already
+# defined (the EMB_ADMIT-gated embeddings).  Produces `scodes(vec_id,
+# scode)` with scode = 0 when nb = 0 (the LEFT JOIN + coalesce keeps
+# every vector when the scells CTE is empty).
+_SUBCELL_CTES = f"""
+sp AS (SELECT least({_SUBCELL_MAX_BITS}, greatest(0,
+              ceil(log2(greatest(1.0, count(*)::DOUBLE / {_CELL_TARGET})))))::INT AS nb
+       FROM e),
+scells AS (
+  SELECT e.vec_id, bits.b,
+         CAST(e.v[pos.i] * CASE WHEN ('0x' || substr(md5(pos.i || '_' || bits.b || '_{_SUBCELL_SALT}'), 1, 1))::INT % 2 = 0
+                                THEN 1 ELSE -1 END AS DECIMAL(38,10)) AS term
+  FROM e
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) pos
+  CROSS JOIN (SELECT unnest(generate_series(1, {_SUBCELL_MAX_BITS})) AS b) bits
+  WHERE bits.b <= (SELECT nb FROM sp)),
+ssig AS (SELECT vec_id, b, CAST(sum(term) > 0 AS INT) AS bit
+         FROM scells GROUP BY vec_id, b),
+scodes0 AS (SELECT vec_id, CAST(sum(bit * (2 ** (b - 1))) AS INT) AS scode
+            FROM ssig GROUP BY vec_id),
+scodes AS (SELECT e.vec_id, coalesce(s.scode, 0) AS scode
+           FROM e LEFT JOIN scodes0 s USING (vec_id))
+"""
+
+
+def _subcell_codes(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """(vec_id, scode) for the count-adaptive subcell quantizer —
+    the Spark mirror of _SUBCELL_CTES (same md5-parity hyperplanes,
+    same decimal-pinned projections, same count-derived bit depth).
+    `e` must carry (vec_id, emb)."""
+    import math
+
+    n = e.count()
+    nb = min(
+        _SUBCELL_MAX_BITS,
+        max(0, math.ceil(math.log2(max(1.0, n / _CELL_TARGET)))),
+    )
+    if nb == 0:  # driver/bench scales: constant code, zero extra plan
+        return e.select("vec_id", F.lit(0).cast("int").alias("scode"))
+    pos = e.select("vec_id", F.posexplode("emb").alias("p0", "x")).select(
+        "vec_id", (F.col("p0") + 1).alias("i"), "x"
+    )
+    bits = spark.range(1, nb + 1).select(F.col("id").alias("b"))
+    dims = spark.range(1, 65).select(F.col("id").alias("i"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_", F.col("i"), F.col("b"), F.lit(_SUBCELL_SALT)
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    signs = dims.crossJoin(bits).select("i", "b", sign.alias("sgn"))
+    cells = pos.join(F.broadcast(signs), "i").select(
+        "vec_id", "b", (F.col("x") * F.col("sgn")).cast(DEC).alias("term")
+    )
+    sig = cells.groupBy("vec_id", "b").agg(
+        (F.sum("term") > 0).cast("int").alias("bit")
+    )
+    return sig.groupBy("vec_id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2), F.col("b") - 1))
+        .cast("int")
+        .alias("scode")
+    )
+
 _J9_CTES = f"""
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
       WHERE {EMB_ADMIT_SQL}),
@@ -660,6 +762,7 @@ def j9_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j9b_sim_search_ivf",
     oracle=f"""
 WITH {_J9_CTES},
+{_SUBCELL_CTES},
 cent_dim AS (
   SELECT label, j AS dim,
          sum(CAST(v[j] AS DECIMAL(38,10)))::DOUBLE / count(*) AS cv
@@ -681,8 +784,10 @@ scored AS (
          list_dot_product(p.v, c.v)
            / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
   FROM probes p
+  JOIN scodes qs ON qs.vec_id = p.vec_id
   JOIN probe_clusters pc ON pc.q_id = p.vec_id
-  JOIN e c ON c.label = pc.label AND c.vec_id <> p.vec_id),
+  JOIN e c ON c.label = pc.label AND c.vec_id <> p.vec_id
+  JOIN scodes cs ON cs.vec_id = c.vec_id AND cs.scode = qs.scode),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
   FROM scored)

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from uuid import uuid4
+
 from big_data_fknn_spark.functions.distance import euclidean, manhattan
 from big_data_fknn_spark.functions.numeric import (
     cents_sum,
@@ -1049,22 +1051,30 @@ def c11_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as e1_topk_window, so the WindowGroupLimit map-side prune still
     applies at 100 TB.  Deterministic: (c_acctbal DESC, c_custkey)
     is a unique order."""
-    # fixed names (x54's pattern): repeated invocation REPLACES the
-    # same catalog entries instead of leaking a uuid-named pair per call
-    t(spark, sf_dir, "nation").createOrReplaceTempView("c11_nation_src")
-    t(spark, sf_dir, "customer").createOrReplaceTempView("c11_customer_src")
-    return spark.sql(
-        """
+    # uuid views + drop after the eager spark.sql analysis (x22's
+    # pattern): no catalog leak per call AND no cross-wiring when two
+    # sessions' threads run this key concurrently (round-9 verdict —
+    # the old fixed names let caller B's registration replace caller
+    # A's between A's register and A's sql)
+    nv = f"c11_nation_{uuid4().hex}"
+    cv = f"c11_customer_{uuid4().hex}"
+    t(spark, sf_dir, "nation").createOrReplaceTempView(nv)
+    t(spark, sf_dir, "customer").createOrReplaceTempView(cv)
+    out = spark.sql(
+        f"""
 SELECT n.n_name, tc.c_custkey, tc.c_acctbal
-FROM c11_nation_src n,
+FROM {nv} n,
 LATERAL (
-  SELECT c_custkey, c_acctbal FROM c11_customer_src c
+  SELECT c_custkey, c_acctbal FROM {cv} c
   WHERE c.c_nationkey = n.n_nationkey
   ORDER BY c_acctbal DESC, c_custkey
   LIMIT 2
 ) tc
 """
     )
+    spark.catalog.dropTempView(nv)
+    spark.catalog.dropTempView(cv)
+    return out
 
 
 @register(

@@ -10,6 +10,8 @@ noted with its cost model.
 
 from __future__ import annotations
 
+from uuid import uuid4
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -142,15 +144,21 @@ def k4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(w) - 1):
                 yield doc_id, i + 1, f"{w[i]} {w[i + 1]}"
 
-    # fixed names (x54's pattern): spark.udtf.register and
-    # createOrReplaceTempView both REPLACE an existing entry, so
-    # repeated invocation adds zero catalog/function-registry entries
-    fn, view = "k4_bigrams_udtf", "k4_docs_src"
+    # UDTF name stays FIXED: spark.udtf.register replaces the entry
+    # and every caller registers the IDENTICAL class, so a concurrent
+    # re-registration is a no-op by value (function registries have
+    # no uuid-and-drop idiom).  The view is uuid'd + dropped after
+    # the eager spark.sql analysis (x22's pattern) so concurrent
+    # callers over different sf_dirs cannot swap each other's source.
+    fn = "k4_bigrams_udtf"
+    view = f"k4_docs_{uuid4().hex}"
     spark.udtf.register(fn, BigramEmitter)
     t(spark, sf_dir, "documents").createOrReplaceTempView(view)
-    return spark.sql(
+    out = spark.sql(
         f"SELECT b.doc_id, b.pos, b.bigram FROM {view} d, LATERAL {fn}(d.doc_id, d.text) b"
     )
+    spark.catalog.dropTempView(view)
+    return out
 
 
 @register(

