@@ -21,9 +21,9 @@ from big_data_fknn_spark.tables import t
     "d1_hashagg",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::DOUBLE AS sum_qty,
-       round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::DOUBLE AS sum_base_price,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS sum_disc_price,
+       round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS sum_base_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS sum_disc_price,
        round(sum(CAST(l_quantity AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS avg_qty,
        round(sum(CAST(l_discount AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS avg_disc,
        count(*) AS count_order
@@ -93,7 +93,7 @@ def d3_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d4_rollup_cube",
     oracle=f"""
 SELECT r.r_name, n.n_name, count(*) AS n_cust,
-       round(sum(CAST(c.c_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS bal
+       round(sum(CAST(c.c_acctbal AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS bal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -382,7 +382,7 @@ def d17_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
        count(*) AS n,
-       round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::DOUBLE AS total
+       round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS total
 FROM lineitem
 WHERE {fin_sql("l_extendedprice")}
 GROUP BY 1

@@ -38,7 +38,7 @@ from big_data_fknn_spark.tables import EMB_ADMIT_SQL, t
     "x1_tpch_q3",
     oracle=f"""
 SELECT l.l_orderkey,
-       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -88,7 +88,7 @@ def x1_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x2_tpch_q5",
     oracle=f"""
 SELECT n.n_name,
-       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -169,7 +169,7 @@ def x3_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x4_salted_agg",
     oracle=f"""
 SELECT event_type, count(*) AS n,
-       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS total_value
 FROM events
 WHERE {fin_sql("value")}
 GROUP BY event_type
@@ -792,7 +792,7 @@ def x15_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x16_tpch_q10",
     oracle=f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
-       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -843,7 +843,7 @@ def x16_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
-       round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::DOUBLE AS gross
+       round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS gross
 FROM lineitem
 WHERE l_quantity < 30 AND {fin_sql("l_extendedprice")}
 GROUP BY l_returnflag, l_linestatus
@@ -880,7 +880,7 @@ def x17_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x18_tpch_q6",
     oracle=f"""
-SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 6)::DOUBLE AS revenue,
+SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -960,7 +960,7 @@ def x19_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x20_tpch_q19",
     oracle=f"""
-SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue,
+SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -1093,7 +1093,7 @@ def x23_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT l_returnflag,
        count(*) AS n,
-       round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::DOUBLE AS qty
+       round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS qty
 FROM lineitem
 WHERE {fin_sql("l_quantity")}
 GROUP BY l_returnflag
@@ -1208,7 +1208,7 @@ def x26_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        extract(year FROM l.l_shipdate)::INT AS l_year,
-       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS volume
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS volume
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey = l.l_suppkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1270,7 +1270,7 @@ WITH pv AS (
          sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS value_d
   FROM lineitem WHERE {fin_sql("l_extendedprice")} GROUP BY l_partkey
 )
-SELECT l_partkey, round(value_d, 6)::DOUBLE AS part_value
+SELECT l_partkey, round(value_d, 6)::VARCHAR::DOUBLE AS part_value
 FROM pv
 WHERE value_d::DOUBLE > (SELECT sum(value_d)::DOUBLE * 1.5 / count(*) FROM pv)
 """,
@@ -1317,7 +1317,7 @@ WITH revenue AS (
     AND {fin_sql("l_extendedprice")}
   GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, round(r.total_d, 6)::DOUBLE AS total_revenue
+SELECT s.s_suppkey, s.s_name, round(r.total_d, 6)::VARCHAR::DOUBLE AS total_revenue
 FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
 WHERE r.total_d = (SELECT max(total_d) FROM revenue)
 """,
@@ -1528,7 +1528,7 @@ def x32_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT n.n_name AS nation, extract(year FROM o.o_orderdate)::INT AS o_year,
        round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                      - 0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(38,10))), 6)::DOUBLE AS profit
+                      - 0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS profit
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -1734,7 +1734,7 @@ positive AS (
 )
 SELECT c.c_nationkey % 10 AS cntrycode,
        count(*) AS numcust,
-       round(sum(CAST(c.c_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS totacctbal
+       round(sum(CAST(c.c_acctbal AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS totacctbal
 FROM cust c CROSS JOIN positive
 WHERE c.c_nationkey % 10 IN (1, 3, 5, 7)
   AND c.c_acctbal > positive.avg_bal
@@ -1980,7 +1980,7 @@ GROUP BY ALL
     "x41_group_by_all",
     oracle=_X41_SQL.format(table="lineitem")
     .replace("round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)",
-             "round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::DOUBLE"),
+             "round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE"),
 )
 def x41_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL — the modern dialect sugar both engines now
@@ -2237,7 +2237,7 @@ def x45_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o.o_orderpriority AS priority,
        count(*) AS n_items,
-       round(sum(CAST(l.l_extendedprice AS DECIMAL(38,10))), 6)::DOUBLE AS gross
+       round(sum(CAST(l.l_extendedprice AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS gross
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT' AND {fin_sql("l.l_extendedprice")}
 GROUP BY 1
@@ -3840,7 +3840,7 @@ classed AS (
               ELSE 'C' END AS cls
   FROM cum CROSS JOIN tot t)
 SELECT cls, count(*) AS n_parts,
-       sum(r)::DOUBLE AS revenue
+       sum(r)::DECIMAL(38,4) AS revenue
 FROM classed GROUP BY cls
 """,
 )
@@ -3890,11 +3890,15 @@ def x69_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cls")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            # NO round: revenue ~2.4e9 needs 16 significant digits at
-            # 6dp — past double precision, where the engines' round()
-            # implementations differ in the last ulp.  The exact class
-            # decimal sum converts to the identical double unrounded.
-            F.sum("r").cast("double").alias("revenue"),
+            # Rendered as DECIMAL(38,4), not double: revenue ~2.4e9
+            # needs 16 significant digits — at that magnitude the two
+            # engines' (exact, equal) decimal class sums convert to
+            # NEIGHBORING doubles (Spark's BigDecimal.doubleValue is
+            # correctly rounded; DuckDB divides by 10^scale in float),
+            # a 1-ulp split a raw-string hash sees.  The data's native
+            # money scale is 4 dp (2dp price × 2dp discount), so the
+            # decimal render is exact and identical by construction.
+            F.sum("r").cast("decimal(38,4)").alias("revenue"),
         )
     )
 

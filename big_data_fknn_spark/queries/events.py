@@ -50,7 +50,7 @@ def a6_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        count(*) AS n,
        count(DISTINCT user_id) AS n_users,
-       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS total
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
   AND {fin_sql("value")}
@@ -87,7 +87,7 @@ def e9_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT date_trunc('hour', ts) AS bucket, event_type,
        count(*) AS n,
-       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS total_value
 FROM events
 WHERE {fin_sql("value")}
 GROUP BY 1, 2
@@ -121,7 +121,7 @@ WITH base AS (
   FROM base CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
 )
 SELECT win_start, count(*) AS n,
-       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS total_value
 FROM expanded GROUP BY win_start
 """,
 )
@@ -530,7 +530,7 @@ SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
             ELSE 'month' END AS grain,
        coalesce(h, d, m) AS bucket_ts,
        count(*) AS n,
-       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS total
 FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
              date_trunc('month', ts) AS m, value
       FROM events WHERE {fin_sql("value")})
@@ -692,7 +692,7 @@ def x42_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT date_trunc('hour', ts) AS bucket, event_type,
        count(*) AS n,
-       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS total_value
 FROM events
 WHERE {fin_sql("value")}
 GROUP BY 1, 2
@@ -739,7 +739,7 @@ WITH base AS (
   FROM base CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
 )
 SELECT win_start, count(*) AS n,
-       round(sum(CAST(value AS DECIMAL(38,10))), 6)::DOUBLE AS total_value
+       round(sum(CAST(value AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS total_value
 FROM expanded GROUP BY win_start
 """,
 )

@@ -665,11 +665,19 @@ scodes AS (SELECT e.vec_id, coalesce(s.scode, 0) AS scode
 """
 
 
-def _subcell_codes(spark: SparkSession, e: DataFrame) -> DataFrame:
-    """(vec_id, scode) for the count-adaptive subcell quantizer —
-    the Spark mirror of _SUBCELL_CTES (same md5-parity hyperplanes,
-    same decimal-pinned projections, same count-derived bit depth).
-    `e` must carry (vec_id, emb)."""
+def _subcell_codes(
+    spark: SparkSession, e: DataFrame
+) -> tuple[int, DataFrame | None]:
+    """(nb, scodes) for the count-adaptive subcell quantizer — the
+    Spark mirror of _SUBCELL_CTES (same md5-parity hyperplanes, same
+    decimal-pinned projections, same count-derived bit depth).
+    `e` must carry (vec_id, emb).
+
+    nb == 0 (every driver/bench scale: n ≤ _CELL_TARGET·2) means every
+    scode is the constant 0, so callers skip the scode join entirely —
+    results are identical (the oracle's scodes are all 0 too, making
+    its scode equi-condition vacuous) and the sub-threshold plan stays
+    bit-identical to the label-only pre-round-9 one."""
     import math
 
     n = e.count()
@@ -677,8 +685,8 @@ def _subcell_codes(spark: SparkSession, e: DataFrame) -> DataFrame:
         _SUBCELL_MAX_BITS,
         max(0, math.ceil(math.log2(max(1.0, n / _CELL_TARGET)))),
     )
-    if nb == 0:  # driver/bench scales: constant code, zero extra plan
-        return e.select("vec_id", F.lit(0).cast("int").alias("scode"))
+    if nb == 0:
+        return 0, None
     pos = e.select("vec_id", F.posexplode("emb").alias("p0", "x")).select(
         "vec_id", (F.col("p0") + 1).alias("i"), "x"
     )
@@ -709,7 +717,7 @@ def _subcell_codes(spark: SparkSession, e: DataFrame) -> DataFrame:
     sig = cells.groupBy("vec_id", "b").agg(
         (F.sum("term") > 0).cast("int").alias("bit")
     )
-    return sig.groupBy("vec_id").agg(
+    return nb, sig.groupBy("vec_id").agg(
         F.sum(F.col("bit") * F.pow(F.lit(2), F.col("b") - 1))
         .cast("int")
         .alias("scode")
@@ -801,8 +809,17 @@ def j9b_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters only.  Work drops from |Q|·|C| to |Q|·(3/k_clusters)·|C|
     and the candidate join is an equi-join on the cluster id (hash-
     partitionable) instead of a cross join.  Deterministic end to
-    end → full value oracle, unlike typical randomized ANN."""
+    end → full value oracle, unlike typical randomized ANN.
+
+    Labels are a FIXED-cardinality domain, so beyond _CELL_TARGET·2
+    vectors the cluster key deepens to (label, scode) via the
+    count-adaptive subcell quantizer (see the block comment above
+    _CELL_TARGET) — expected cell size stays ~constant as the corpus
+    grows, which is the real IVF nlist ∝ n discipline.  The round-9
+    10× soak measured the label-only version at 23× exec on 10×
+    data; with subcells the probe cost per query is flat."""
     e = cached(embeddings_d(spark, sf_dir))
+    nb, scodes = _subcell_codes(spark, e)
     probes = e.where(F.col("vec_id") % _PROBE_MOD == 0)
 
     # per-label centroid: exact-decimal mean per dimension, re-assembled
@@ -837,9 +854,14 @@ def j9b_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = e.select(
         F.col("vec_id").alias("n_id"), F.col("emb").alias("nv"), "label"
     )
+    if nb:  # super-threshold: candidates must share the query's scode
+        probe_clusters = probe_clusters.join(
+            scodes.withColumnRenamed("vec_id", "q_id"), "q_id"
+        )
+        cand = cand.join(scodes.withColumnRenamed("vec_id", "n_id"), "n_id")
     wk = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
-        probe_clusters.join(cand, "label")
+        probe_clusters.join(cand, ["label", "scode"] if nb else ["label"])
         .where(F.col("n_id") != F.col("q_id"))
         .withColumn("cos", cosine_sim(F.col("qv"), F.col("nv")))
         .withColumn("rn", F.row_number().over(wk))
@@ -1764,10 +1786,13 @@ def j24_corpus_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
            WHERE {EMB_ADMIT_SQL}),
+{_SUBCELL_CTES},
 dup AS (
   SELECT DISTINCT a.vec_id
-  FROM e a JOIN e b
-    ON a.label = b.label AND b.vec_id < a.vec_id
+  FROM e a
+  JOIN scodes sa ON sa.vec_id = a.vec_id
+  JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+  JOIN scodes sb ON sb.vec_id = b.vec_id AND sb.scode = sa.scode
   WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 )
 SELECT e.vec_id, e.label,
@@ -1791,25 +1816,42 @@ def j26_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     split.  τ sits far from any data cosine (corpus max ~0.51,
     noise <0.2 — SURVEY §testdata), so the ~1-ulp expression-vs-
     oracle drift can't flip a pair.
+
+    "n·c not n²" only holds when the cell COUNT scales with n —
+    labels are fixed-cardinality, so the round-9 10× soak measured
+    the label-only pairing at 78× exec on 10× data.  Beyond
+    _CELL_TARGET·2 vectors the pair key deepens to (label, scode)
+    via the count-adaptive subcell quantizer (block comment above
+    _CELL_TARGET; scode bits are computed on the RAW vector in both
+    engines — sign projections are scale-invariant, but the decimal
+    pin must see identical inputs).  A true duplicate pair split
+    across a subcell boundary is missed — the standard SemDeDup/IVF
+    recall-for-cost trade, mirrored exactly in the oracle.
     """
     from big_data_fknn_spark.functions.distance import dot, l2_norm
+
+    raw = embeddings_d(spark, sf_dir)
+    nb, scodes = _subcell_codes(spark, raw)
 
     # Normalize ONCE per vector (n rows), so the per-pair predicate is
     # a single dot product instead of dot + two norms — the pair side
     # is the n·c term, the normalization is the n term; same float
     # story (τ=0.4 sits ≥0.1 from every data cosine, drift ~1e-15).
-    e = embeddings_d(spark, sf_dir).select(
+    e = raw.select(
         "vec_id",
         F.transform("emb", lambda x: x / l2_norm(F.col("emb"))).alias("v"),
         "label",
     )
+    if nb:  # super-threshold: pairs must also share a subcell
+        e = e.join(scodes, "vec_id")
     a, b = e.alias("a"), e.alias("b")
+    pair_on = (F.col("a.label") == F.col("b.label")) & (
+        F.col("b.vec_id") < F.col("a.vec_id")
+    )
+    if nb:
+        pair_on = pair_on & (F.col("a.scode") == F.col("b.scode"))
     dup = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
-        )
+        a.join(b, pair_on)
         .where(dot(F.col("a.v"), F.col("b.v")) >= 0.4)
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()

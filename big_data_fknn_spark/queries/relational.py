@@ -138,7 +138,7 @@ def a4_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_broadcast_side",
     oracle=f"""
 SELECT n.n_name, count(*) AS n_cust,
-       round(sum(CAST(c.c_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS bal
+       round(sum(CAST(c.c_acctbal AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS bal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE {fin_sql("c.c_acctbal")}
 GROUP BY n.n_name
@@ -332,7 +332,7 @@ def c3_hash_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c4_broadcast_hash",
     oracle=f"""
 SELECT p.p_brand, count(*) AS n_items,
-       round(sum(CAST(l.l_quantity AS DECIMAL(38,10))), 6)::DOUBLE AS qty
+       round(sum(CAST(l.l_quantity AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS qty
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_size <= 10 AND {fin_sql("l.l_quantity")}
 GROUP BY p.p_brand
@@ -360,7 +360,7 @@ def c4_broadcast_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c5_sort_merge",
     oracle=f"""
 SELECT o.o_orderstatus, count(*) AS n,
-       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::DOUBLE AS revenue
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE {fin_sql("l.l_extendedprice")}
 GROUP BY o.o_orderstatus
@@ -770,7 +770,7 @@ SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
             WHEN c_acctbal < 5000 THEN 'low'
             ELSE 'high' END AS band,
        count(*) AS n,
-       round(sum(CAST(c_acctbal AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS avg_bal
+       round(sum(CAST(c_acctbal AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(*), 6) AS avg_bal
 FROM customer
 WHERE {fin_sql("c_acctbal")}
 GROUP BY 1

@@ -165,10 +165,10 @@ def k4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k5_cogroup",
     oracle=f"""
 WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust,
-                  round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS cust_bal
+                  round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS cust_bal
            FROM customer WHERE {fin_sql("c_acctbal")} GROUP BY 1),
 s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp,
-             round(sum(CAST(s_acctbal AS DECIMAL(38,10))), 6)::DOUBLE AS supp_bal
+             round(sum(CAST(s_acctbal AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS supp_bal
       FROM supplier WHERE {fin_sql("s_acctbal")} GROUP BY 1)
 SELECT coalesce(c.nationkey, s.nationkey)::BIGINT AS nationkey,
        coalesce(n_cust, 0) AS n_cust,

@@ -314,7 +314,7 @@ def e7_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT event_id, user_id,
        count(*) OVER w AS n_1h,
-       round(sum(CAST(value AS DECIMAL(38,10))) OVER w, 6)::DOUBLE AS sum_1h
+       round(sum(CAST(value AS DECIMAL(38,10))) OVER w, 6)::VARCHAR::DOUBLE AS sum_1h
 FROM events
 WHERE {fin_sql("value")}
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)

@@ -59,9 +59,14 @@ DuckDB oracles, each a no-op on clean data):
   measure columns drop ±Inf/NaN rows at the scan edge, keeping NULLs
   (the exact-DECIMAL sum device has no non-finite representation; the
   engines also DISAGREE on NaN in quantiles);
-* renders: totals that can exceed ~1e12 are emitted as the UNROUNDED
-  double of the exact decimal sum (round(x,6) there needs ~19
-  significant digits — past double precision; c3/e4/x44/x54/x69).
+* renders: money totals are emitted as exact integer cents or exact
+  DECIMAL (c3/e4/x44/x54/x69); decimal sums rendered as double go
+  through the oracle-side ::VARCHAR::DOUBLE hop — DuckDB's direct
+  DECIMAL::DOUBLE divides int_rep/10^scale in float and lands on the
+  WRONG neighboring double for ~25% of values once int_rep > 2^53
+  (measured round 9; Spark's BigDecimal.doubleValue is correctly
+  rounded, strtod of the decimal's exact digits matches it at every
+  magnitude).
 
 Keys whose DOCUMENTED contract is to raise on out-of-domain input
 (x55/i17: a single-long day bitmap cannot hold ±100-day offsets) are

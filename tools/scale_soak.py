@@ -48,6 +48,34 @@ COPIES = 10
 RATIO_MAX = 12.0  # ≤ ~12× on 10× data = linear + constant slack
 FLOOR_S = 0.15  # both-exec floor: ratios of two ~50 ms timings are noise
 
+# Keys whose WORK or OUTPUT is quadratic by spec on this corpus get a
+# measured-scaling ceiling instead of the linear one — the assertion
+# then guards kernel regressions without pretending an O(n²) contract
+# is linear:
+#   - exact (F)kNN scores |Q|·|C| pairs and BOTH sides grow 10× here,
+#     so ideal work is 100×; the BLAS kernel's batching held the
+#     round-9 measurement to ~13× — that's the number to defend.
+#   - the soak corpus duplicates every document/vector exactly ×10,
+#     so every dup GROUP is 10× larger and the pair OUTPUT of the
+#     near-dup family grows ~100× (s² → (10s)²); emitting 100× rows
+#     in ≤12× time is not a plan property.  Round-9 measurements:
+#     j8 12.6×, j37 13.4×, j40 6.7×.
+# j9b/j26 are NOT here: their output is ~n rows and the count-adaptive
+# subcell key (queries/llm.py _CELL_TARGET) makes per-row pair work
+# constant, so they must meet the linear ceiling.
+# Ceilings sized from isolated steady-state A/Bs plus the observed
+# sf1 run-to-run swing on this shared host (j3's sf1 exec measured
+# 15/23/51 s across three quiet sessions — the Python-worker/GC noise
+# on the heavy keys is ~2×, far above the sf0.1 noise): the guard is
+# against the 78×-class blowup the soak exists to catch, not 20%.
+KEY_RATIO_MAX = {
+    "j1_knn_crisp": 30.0,
+    "j3_fknn_stage2": 40.0,
+    "j8_dedup_near": 30.0,
+    "j37_brp_lsh": 30.0,
+    "j40_srp_lsh_neardup": 30.0,
+}
+
 # 14 bench headline keys + the heaviest exec-profile keys + the two
 # historical superlinear offenders (x50 BFS, x63 gap-fill).
 KEYS = [
@@ -136,7 +164,9 @@ def profile(spark, sf_dir: str, keys: list[str]) -> dict[str, tuple[float, float
         df = reg[key].fn(spark, sf_dir)
         construct = time.perf_counter() - t0
         execs = []
-        for _ in range(2):
+        # min-of-3: the first sf1 exec of a Python-kernel key pays
+        # worker/Arrow/JIT warmup (measured 88 s vs 23 s steady on j3)
+        for _ in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             execs.append(time.perf_counter() - t0)
@@ -162,8 +192,14 @@ def main() -> None:
     for key in KEYS:
         b, x = base[key][1], tenx[key][1]
         ratio = round(x / b, 2) if b > 0 else float("inf")
-        report[key] = {"sf0.1_exec": b, "sf1_exec": x, "ratio": ratio}
-        if max(b, x) >= FLOOR_S and ratio > RATIO_MAX:
+        ceiling = KEY_RATIO_MAX.get(key, RATIO_MAX)
+        report[key] = {
+            "sf0.1_exec": b,
+            "sf1_exec": x,
+            "ratio": ratio,
+            "ceiling": ceiling,
+        }
+        if max(b, x) >= FLOOR_S and ratio > ceiling:
             bad.append((key, ratio))
     print(json.dumps({"ratio_max": RATIO_MAX, "keys": report}), flush=True)
     print(
