@@ -1826,7 +1826,15 @@ def j26_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — sign projections are scale-invariant, but the decimal
     pin must see identical inputs).  A true duplicate pair split
     across a subcell boundary is missed — the standard SemDeDup/IVF
-    recall-for-cost trade, mirrored exactly in the oracle.
+    recall-for-cost trade, mirrored exactly in the oracle.  The trade
+    is quantifiable: a pair at angle θ survives one random hyperplane
+    with prob 1-θ/π, so same-subcell recall is (1-θ/π)^nb — ~0.81 at
+    cos 0.95 / nb 2, eroding as nb deepens.  Restoring it (multi-probe
+    or Hamming-≤1 candidate cells) multiplies pair work by ~(nb+1),
+    which re-breaks the linear 10×-soak posture; a production system
+    wanting both picks data-adaptive cells (k-means over the corpus,
+    which this engine's label column stands in for) rather than
+    random hyperplanes.  Cost was chosen deliberately here.
     """
     from big_data_fknn_spark.functions.distance import dot, l2_norm
 

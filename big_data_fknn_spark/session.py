@@ -29,6 +29,12 @@ def get_spark(app_name: str = "big_data_fknn_spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 defaults ANSI on; pin it explicitly so the engine's
+        # semantics (overflow raises, bad casts raise — the admission
+        # gates exist so clean-data plans never hit either) don't
+        # silently flip on a cluster deployed with the legacy default.
+        # Every sweep/test/bench in this repo ran with ANSI on.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # local mode: the driver JVM IS the executor — give it real
