@@ -1272,7 +1272,7 @@ WITH pv AS (
 )
 SELECT l_partkey, round(value_d, 6)::VARCHAR::DOUBLE AS part_value
 FROM pv
-WHERE value_d::DOUBLE > (SELECT sum(value_d)::DOUBLE * 1.5 / count(*) FROM pv)
+WHERE value_d::VARCHAR::DOUBLE > (SELECT sum(value_d)::VARCHAR::DOUBLE * 1.5 / count(*) FROM pv)
 """,
 )
 def x28_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1477,8 +1477,8 @@ WITH vol AS (
     AND {fin_sql("l.l_extendedprice")}
 )
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)::DOUBLE
-             / sum(volume)::DOUBLE, 6) AS mkt_share
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)::VARCHAR::DOUBLE
+             / sum(volume)::VARCHAR::DOUBLE, 6) AS mkt_share
 FROM vol GROUP BY o_year
 """,
 )
@@ -2381,7 +2381,7 @@ agg AS (
          list_sum([CAST(pow(0.8, rn - lst[i].rn) AS DECIMAL(30,15))
                    for i in generate_series(1, len(lst))]) AS den
   FROM win)
-SELECT user_id, event_id, round((num::DOUBLE) / (den::DOUBLE), 6) AS ewma
+SELECT user_id, event_id, round((num::VARCHAR::DOUBLE) / (den::VARCHAR::DOUBLE), 6) AS ewma
 FROM agg
 """,
 )
@@ -2649,7 +2649,7 @@ agg AS (
   SELECT user_id, sum(vd) AS num, sum(dur_us)::BIGINT AS den
   FROM held GROUP BY user_id)
 SELECT user_id, den AS held_us,
-       round((num::DOUBLE) / den, 6) AS twa
+       round((num::VARCHAR::DOUBLE) / den, 6) AS twa
 FROM agg WHERE den > 0
 """,
 )
@@ -3031,10 +3031,10 @@ win AS (
                ROWS BETWEEN {_Z_WIN - 1} PRECEDING AND CURRENT ROW)),
 scored AS (
   SELECT user_id, event_id, value,
-         (value - s1::DOUBLE / n)
-           / sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)) AS z
+         (value - s1::VARCHAR::DOUBLE / n)
+           / sqrt(s2::VARCHAR::DOUBLE / n - (s1::VARCHAR::DOUBLE / n) * (s1::VARCHAR::DOUBLE / n)) AS z
   FROM win
-  WHERE n >= 5 AND s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) > 1e-12)
+  WHERE n >= 5 AND s2::VARCHAR::DOUBLE / n - (s1::VARCHAR::DOUBLE / n) * (s1::VARCHAR::DOUBLE / n) > 1e-12)
 SELECT user_id, event_id, round(value, 6) AS value, round(z, 6) AS z
 FROM scored WHERE abs(z) > {_Z_THRESH}
 """,
@@ -3730,7 +3730,7 @@ agg AS (
          sum(x * i) AS sxi
   FROM ranked)
 SELECT n,
-       round((2.0 * (sxi::DOUBLE) / (n * (sx::DOUBLE))) - (n + 1.0) / n, 6)
+       round((2.0 * (sxi::VARCHAR::DOUBLE) / (n * (sx::VARCHAR::DOUBLE))) - (n + 1.0) / n, 6)
          AS gini
 FROM agg
 """,
@@ -3835,8 +3835,8 @@ cum AS (
   FROM rev),
 classed AS (
   SELECT pk, r,
-         CASE WHEN c::DOUBLE / t.t::DOUBLE <= 0.8 THEN 'A'
-              WHEN c::DOUBLE / t.t::DOUBLE <= 0.95 THEN 'B'
+         CASE WHEN c::VARCHAR::DOUBLE / t.t::VARCHAR::DOUBLE <= 0.8 THEN 'A'
+              WHEN c::VARCHAR::DOUBLE / t.t::VARCHAR::DOUBLE <= 0.95 THEN 'B'
               ELSE 'C' END AS cls
   FROM cum CROSS JOIN tot t)
 SELECT cls, count(*) AS n_parts,
@@ -3922,8 +3922,8 @@ SELECT dec_ AS decile,
        n AS n_customers,
        round(sum(n) OVER (ORDER BY dec_ ROWS UNBOUNDED PRECEDING)::DOUBLE
                / tot.tn, 6) AS cum_pop_share,
-       round((sum(r) OVER (ORDER BY dec_ ROWS UNBOUNDED PRECEDING))::DOUBLE
-               / (tot.tr::DOUBLE), 6) AS cum_rev_share
+       round((sum(r) OVER (ORDER BY dec_ ROWS UNBOUNDED PRECEDING))::VARCHAR::DOUBLE
+               / (tot.tr::VARCHAR::DOUBLE), 6) AS cum_rev_share
 FROM per CROSS JOIN tot
 """,
 )

@@ -1049,10 +1049,10 @@ win AS (
                ROWS BETWEEN {_I18_WIN - 1} PRECEDING AND CURRENT ROW)),
 scored AS (
   SELECT user_id, event_id, value,
-         (value - s1::DOUBLE / n)
-           / sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)) AS z
+         (value - s1::VARCHAR::DOUBLE / n)
+           / sqrt(s2::VARCHAR::DOUBLE / n - (s1::VARCHAR::DOUBLE / n) * (s1::VARCHAR::DOUBLE / n)) AS z
   FROM win
-  WHERE n >= 5 AND s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) > 1e-12)
+  WHERE n >= 5 AND s2::VARCHAR::DOUBLE / n - (s1::VARCHAR::DOUBLE / n) * (s1::VARCHAR::DOUBLE / n) > 1e-12)
 SELECT user_id, event_id, round(value, 6) AS value, round(z, 6) AS z
 FROM scored WHERE abs(z) > {_I18_THRESH}
 """,

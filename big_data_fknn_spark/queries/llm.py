@@ -1838,7 +1838,9 @@ def j26_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from big_data_fknn_spark.functions.distance import dot, l2_norm
 
-    raw = embeddings_d(spark, sf_dir)
+    # cached: the quantizer's count() and the normalize pass would
+    # otherwise each re-scan embeddings (j9b already does this)
+    raw = cached(embeddings_d(spark, sf_dir))
     nb, scodes = _subcell_codes(spark, raw)
 
     # Normalize ONCE per vector (n rows), so the per-pair predicate is
