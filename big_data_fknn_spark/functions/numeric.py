@@ -17,8 +17,8 @@ single-pass double sum over 1e12 rows accumulates real error, while
 decimal partial aggregates stay exact and still combine map-side.
 
 Oracle-side equivalents (keep in sync with any query using these):
-    dsum  → round(sum(CAST(x AS DECIMAL(38,10))), 6)::DOUBLE
-    davg  → round(sum(CAST(x AS DECIMAL(38,10)))::DOUBLE / count(*), 6)
+    dsum  → round(sum(CAST(x AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE
+    davg  → round(sum(CAST(x AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(*), 6)
 """
 
 from __future__ import annotations

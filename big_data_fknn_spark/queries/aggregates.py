@@ -199,8 +199,8 @@ def d7_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d8_weighted_agg",
     oracle=f"""
 SELECT l_returnflag,
-       round(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,10)))::DOUBLE
-             / sum(CAST(l_quantity AS DECIMAL(38,10)))::DOUBLE, 6) AS weighted_price
+       round(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,10)))::VARCHAR::DOUBLE
+             / sum(CAST(l_quantity AS DECIMAL(38,10)))::VARCHAR::DOUBLE, 6) AS weighted_price
 FROM lineitem
 WHERE {fin_sql("l_quantity")} AND {fin_sql("l_extendedprice")}
 GROUP BY l_returnflag
@@ -325,7 +325,7 @@ per AS (
 SELECT cls, auc FROM per
 UNION ALL
 SELECT -1 AS cls,
-       round(sum(CAST(auc AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS auc
+       round(sum(CAST(auc AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(*), 6) AS auc
 FROM per
 """,
 )
@@ -679,9 +679,9 @@ m2 AS (
 SELECT cls, prec, rec, f1 FROM m2
 UNION ALL
 SELECT -1 AS cls,
-       round(sum(CAST(prec AS DECIMAL(38,10)))::DOUBLE / count(prec), 6),
-       round(sum(CAST(rec AS DECIMAL(38,10)))::DOUBLE / count(rec), 6),
-       round(sum(CAST(f1 AS DECIMAL(38,10)))::DOUBLE / count(f1), 6)
+       round(sum(CAST(prec AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(prec), 6),
+       round(sum(CAST(rec AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(rec), 6),
+       round(sum(CAST(f1 AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(f1), 6)
 FROM m2
 """,
 )

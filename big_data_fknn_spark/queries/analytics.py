@@ -282,7 +282,7 @@ def x6_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT label,
        count(*) AS n,
-       round(sum(CAST(embedding[1]::DOUBLE AS DECIMAL(38,10))), 6)::DOUBLE AS f0_sum
+       round(sum(CAST(embedding[1]::DOUBLE AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS f0_sum
 FROM embeddings WHERE {EMB_ADMIT_SQL} GROUP BY label
 """,
 )
@@ -481,7 +481,7 @@ WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS hr, value FROM events
             WHERE {fin_sql("value")}),
 agg AS (
   SELECT user_id, hr,
-         round(sum(CAST(value AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS v
+         round(sum(CAST(value AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(*), 6) AS v
   FROM ev GROUP BY 1, 2
 ),
 span AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM ev GROUP BY 1),
@@ -921,7 +921,7 @@ SELECT round(
          100.0 * sum(CASE WHEN p_type = 'PROMO'
                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))
                           ELSE 0 END)::DOUBLE
-         / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE,
+         / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::VARCHAR::DOUBLE,
          6) AS promo_pct,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1358,7 +1358,7 @@ def x29_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH li AS (SELECT * FROM lineitem
             WHERE {fin_sql("l_quantity")} AND {fin_sql("l_extendedprice")})
-SELECT round(sum(CAST(l.l_extendedprice AS DECIMAL(38,10)))::DOUBLE / 7.0, 6) AS avg_yearly,
+SELECT round(sum(CAST(l.l_extendedprice AS DECIMAL(38,10)))::VARCHAR::DOUBLE / 7.0, 6) AS avg_yearly,
        count(*) AS n_small
 FROM li l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#5'
@@ -1962,25 +1962,29 @@ def x40_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # fin_sql gate spelled inline (the string is .format()ed, so literal
-# braces are reserved for {table}); NOT isnan/abs<inf parses in both
-# engines — x12's portable-dialect rule.
+# braces are reserved for placeholders); NOT isnan/abs<inf parses in
+# both engines — x12's portable-dialect rule.  {qty_render} is an
+# EXPLICIT placeholder (round-9 ADVICE: the old str.replace on an
+# exact substring would silently no-op on any formatting drift,
+# leaving the oracle emitting DECIMAL while Spark emits double).
 _X41_SQL = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
-       round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6) AS qty,
+       {qty_render} AS qty,
        min(l_shipdate) AS first_ship
 FROM {table}
 WHERE l_quantity >= 25
   AND NOT isnan(l_quantity) AND abs(l_quantity) < cast('Infinity' AS DOUBLE)
 GROUP BY ALL
 """
+_X41_QTY = "round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)"
 
 
 @register(
     "x41_group_by_all",
-    oracle=_X41_SQL.format(table="lineitem")
-    .replace("round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)",
-             "round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE"),
+    oracle=_X41_SQL.format(
+        table="lineitem", qty_render=_X41_QTY + "::VARCHAR::DOUBLE"
+    ),
 )
 def x41_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL — the modern dialect sugar both engines now
@@ -1992,7 +1996,7 @@ def x41_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per call, no cross-wiring under concurrent callers (round-9)
     v = f"x41_lineitem_{uuid4().hex}"
     t(spark, sf_dir, "lineitem").createOrReplaceTempView(v)
-    out = spark.sql(_X41_SQL.format(table=v)).withColumn(
+    out = spark.sql(_X41_SQL.format(table=v, qty_render=_X41_QTY)).withColumn(
         "qty", F.col("qty").cast("double")
     )
     spark.catalog.dropTempView(v)
@@ -3111,7 +3115,7 @@ terms AS (
   JOIN marg_t t USING (event_type)
   JOIN marg_s s USING (seg)
   CROSS JOIN tot n)
-SELECT round(sum(CAST(term AS DECIMAL(38,12)))::DOUBLE, 6) AS chi2,
+SELECT round(sum(CAST(term AS DECIMAL(38,12)))::VARCHAR::DOUBLE, 6) AS chi2,
        ((SELECT count(*) FROM marg_t) - 1)
          * ((SELECT count(*) FROM marg_s) - 1) AS dof
 FROM terms
@@ -3263,8 +3267,8 @@ theta AS (
   FROM both_)
 SELECT seg,
        count(*) AS n_users,
-       round(sum(CAST(post AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS mean_post,
-       round(sum(CAST(post - th * (pre - pre_mean) AS DECIMAL(38,10)))::DOUBLE
+       round(sum(CAST(post AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(*), 6) AS mean_post,
+       round(sum(CAST(post - th * (pre - pre_mean) AS DECIMAL(38,10)))::VARCHAR::DOUBLE
                / count(*), 6) AS mean_cuped
 FROM both_ CROSS JOIN theta
 GROUP BY seg
@@ -3329,7 +3333,7 @@ def x62_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH obs AS (
   SELECT user_id, epoch_us(ts) // 3600000000 AS t,
-         CAST(round((sum(CAST(value AS DECIMAL(38,10)))::DOUBLE / count(*))
+         CAST(round((sum(CAST(value AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(*))
                     * 1000000, 0) AS BIGINT) AS c
   FROM events WHERE value IS NOT NULL AND {fin_sql("value")} GROUP BY 1, 2),
 span AS (

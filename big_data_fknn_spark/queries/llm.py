@@ -773,7 +773,7 @@ WITH {_J9_CTES},
 {_SUBCELL_CTES},
 cent_dim AS (
   SELECT label, j AS dim,
-         sum(CAST(v[j] AS DECIMAL(38,10)))::DOUBLE / count(*) AS cv
+         sum(CAST(v[j] AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(*) AS cv
   FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
   GROUP BY label, j),
 cent AS (SELECT label, list(cv ORDER BY dim) AS cvec FROM cent_dim GROUP BY label),
@@ -921,7 +921,7 @@ def j10_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
            WHERE {EMB_ADMIT_SQL})
 SELECT label, j AS dim,
-       round(sum(CAST(v[j] AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS centroid
+       round(sum(CAST(v[j] AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(*), 6) AS centroid
 FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
 GROUP BY label, j
 """,

@@ -356,7 +356,7 @@ c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT {_KM_K}),
 a1 AS ({_KM_ASSIGN_SQL.format(cents="c0")}),
 m1 AS (
   SELECT cid, j AS pos,
-         round(sum(CAST(v[j] AS DECIMAL(38,10)))::DOUBLE / count(*), 12) AS m
+         round(sum(CAST(v[j] AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(*), 12) AS m
   FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
   GROUP BY cid, j
 ),

@@ -10,27 +10,45 @@ engines' IDENTICAL exact-decimal class sum as NEIGHBORING doubles
 the wrong neighbor once int_rep > 2^53; Spark's conversion is
 correctly rounded) — invisible under the rounded canon, and the
 reason decimal renders now go through ::VARCHAR::DOUBLE / exact
-DECIMAL.  Run from the repo root (Python workers resolve the package
-via cwd):
+DECIMAL.  Keys with no oracle (streaming-live / engine-RNG, SURVEY §2)
+get a rows-only check with a >0-row floor, so the replica covers the
+gate's whole surface plus counts (round-9 verdict item 8).
 
-    python tools/driver_sim.py      # ~13 min at sf0.01, exit 1 on any fail
+Run from the repo root (Python workers resolve the package via cwd):
+
+    python tools/driver_sim.py                       # all keys, ~13 min
+    python tools/driver_sim.py --keys d8_weighted_agg,j11_centroid
+    python tools/driver_sim.py --json DRIVERSIM_r10.json
+    python tools/driver_sim.py --tz America/New_York # non-UTC host probe
+
+``--tz`` sets BOTH the process TZ env var and the Spark session
+default timeZone to a non-UTC zone before the engine builds its
+session — simulating a cluster whose admin never pinned UTC.  The
+engine's own session config (session.py pins
+spark.sql.session.timeZone=UTC) must override it, so the expected
+result is hash-for-hash identical to the UTC run; any drift means a
+query leaks the host default into a timestamp render.
 """
 
+import argparse
 import hashlib
+import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import __spark_entry__ as e  # noqa: E402
-
-import duckdb  # noqa: E402
-from pyspark.sql import SparkSession  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+# rows-only keys must still produce at least this many rows at sf0.01
+# (all four no_oracle batch keys return per-group or per-row output on
+# non-empty fixtures; 1 is the conservative floor that still catches
+# the "silently read zero files" class the r9 sharding sweep hit).
+ROWS_ONLY_MIN = 1
 
 
 def h(df_pandas):
@@ -43,13 +61,32 @@ def h(df_pandas):
 
 
 def main():
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", default=None, help="comma-separated key filter")
+    ap.add_argument("--json", default=None, help="write per-key artifact here")
+    ap.add_argument("--tz", default=None, help="simulate this host timezone")
+    args = ap.parse_args()
+
+    if args.tz:
+        os.environ["TZ"] = args.tz
+        import time as _time
+
+        _time.tzset()
+
+    import __spark_entry__ as e
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.master("local[8]").config(
+        "spark.sql.shuffle.partitions", "8"
+    ).config("spark.ui.enabled", "false")
+    if args.tz:
+        # hostile default: the engine's get_spark() must win over this
+        b = b.config("spark.sql.session.timeZone", args.tz)
+        b = b.config("spark.driver.extraJavaOptions", f"-Duser.timezone={args.tz}")
+    else:
+        b = b.config("spark.sql.session.timeZone", "UTC")
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = e.entry(spark).collect()
@@ -63,31 +100,54 @@ def main():
         )
 
     oracles = e.oracle_sql()
+    queries = e.queries()
+    keys = list(queries)
+    if args.keys:
+        want = [k.strip() for k in args.keys.split(",") if k.strip()]
+        missing = [k for k in want if k not in queries]
+        assert not missing, f"unknown keys: {missing}"
+        keys = want
+
     n_match = n_rowsonly = 0
     fails = []
-    for k, fn in e.queries().items():
+    report = {}
+    for k in keys:
         try:
-            pdf = fn(spark, SF).toPandas()
+            pdf = queries[k](spark, SF).toPandas()
         except Exception as ex:
             fails.append((k, f"spark-error {type(ex).__name__}: {ex}"))
+            report[k] = {"status": "spark-error", "err": str(ex)[:300]}
             print(f"DRIVERSIM {k} SPARK-ERROR {ex}", flush=True)
             continue
         if k not in oracles:
-            n_rowsonly += 1
-            print(f"DRIVERSIM {k} rows-only rows={len(pdf)}", flush=True)
+            if len(pdf) >= ROWS_ONLY_MIN:
+                n_rowsonly += 1
+                report[k] = {"status": "rows-only", "spark_rows": len(pdf)}
+                print(f"DRIVERSIM {k} rows-only rows={len(pdf)}", flush=True)
+            else:
+                fails.append((k, f"rows-only EMPTY rows={len(pdf)}"))
+                report[k] = {"status": "rows-only-empty", "spark_rows": len(pdf)}
+                print(f"DRIVERSIM {k} ROWS-ONLY-EMPTY", flush=True)
             continue
         try:
             opdf = con.sql(oracles[k]).df()
         except Exception as ex:
             fails.append((k, f"oracle-error {type(ex).__name__}: {ex}"))
+            report[k] = {"status": "oracle-error", "err": str(ex)[:300]}
             print(f"DRIVERSIM {k} ORACLE-ERROR {ex}", flush=True)
             continue
         hs, ns = h(pdf)
         ho, no = h(opdf)
         if hs == ho and ns == no:
             n_match += 1
+            report[k] = {"status": "hash-match", "rows": ns}
         else:
             fails.append((k, f"hash-mismatch spark_rows={ns} oracle_rows={no}"))
+            report[k] = {
+                "status": "hash-mismatch",
+                "spark_rows": ns,
+                "oracle_rows": no,
+            }
             print(f"DRIVERSIM {k} MISMATCH spark={ns} oracle={no}", flush=True)
     print(
         f"DRIVERSIM done match={n_match} rows_only={n_rowsonly} fails={len(fails)}",
@@ -95,6 +155,23 @@ def main():
     )
     for k, msg in fails:
         print(f"DRIVERSIM FAIL {k}: {msg}", flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "sf": SF,
+                    "tz": args.tz or "UTC",
+                    "n_keys": len(keys),
+                    "match": n_match,
+                    "rows_only": n_rowsonly,
+                    "fails": len(fails),
+                    "keys": report,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"DRIVERSIM artifact -> {args.json}", flush=True)
     sys.exit(1 if fails else 0)
 
 

@@ -57,15 +57,23 @@ def build(rebuild: bool = False) -> str:
             # ~70% of rows land on the smallest existing orderkey:
             # hash-selected (deterministic, row-content-based), so the
             # skew is in the DATA both engines read — not a Spark-side
-            # transform the oracle could miss.
+            # transform the oracle could miss.  Column list is derived
+            # from the source schema (round-9 ADVICE: a hardcoded
+            # 11-column select would silently drop any column the
+            # fixture gains, diverging the skew layout from canon).
+            cols = [
+                r[0]
+                for r in con.sql(
+                    f"DESCRIBE SELECT * FROM read_parquet('{SRC}/lineitem.parquet')"
+                ).fetchall()
+            ]
+            rest = ", ".join(c for c in cols if c != "l_orderkey")
             q = f"""
             SELECT CASE WHEN hash(l_orderkey * 31 + l_linenumber) % 10 < 7
                         THEN (SELECT min(l_orderkey)
                               FROM read_parquet('{SRC}/lineitem.parquet'))
                         ELSE l_orderkey END AS l_orderkey,
-                   l_partkey, l_suppkey, l_linenumber, l_quantity,
-                   l_extendedprice, l_discount, l_tax, l_returnflag,
-                   l_linestatus, l_shipdate
+                   {rest}
             FROM read_parquet('{SRC}/lineitem.parquet')
             """
         else:
