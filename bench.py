@@ -88,28 +88,41 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # steady-state: best of three executions per query (first run pays
-    # one-off plan compilation / codegen; production queries run hot;
-    # min-of-3 — up from min-of-2 in r02-r05 — damps the transient
-    # machine-contention spikes that inflated r04/r05 absolutes).
-    # The timer wraps plan CONSTRUCTION as well as execution: some
-    # operators do real cluster work at build time (the kNN kernel's
-    # chunk fetches, connected-components' localCheckpoint rounds),
-    # and excluding it would under-report them.
-    timings: dict[str, float] = {}
-    split: dict[str, dict[str, float]] = {}
-    for key in HEADLINE:
-        runs = []  # (total, construct, exec) per attempt
-        for _ in range(3):
+    # steady-state: best of N INTERLEAVED passes per query.  r02-r09
+    # ran each key's repeats back-to-back, so a transient contention
+    # spike (this host's per-key noise is 2-3×: d1 measured 1.86 s and
+    # 4.95 s in two identical back-to-back runs) poisoned every repeat
+    # of whichever key it landed on.  Interleaving (pass 1 runs all 14
+    # keys, then pass 2, ...) decorrelates a spike from any single key
+    # — it inflates one pass of many keys instead of every repeat of
+    # one — so min-over-passes converges on the true floor (round-9
+    # verdict item 3).  The timer wraps plan CONSTRUCTION as well as
+    # execution: some operators do real cluster work at build time
+    # (the kNN kernel's chunk fetches, connected-components'
+    # localCheckpoint rounds), and excluding it would under-report.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
+    runs: dict[str, list[tuple[float, float, float]]] = {k: [] for k in HEADLINE}
+    for _ in range(passes):
+        for key in HEADLINE:
             t0 = time.perf_counter()
             df = registry[key].fn(spark, sf_dir)
             t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
-            runs.append((t2 - t0, t1 - t0, t2 - t1))
-        best = min(runs)
+            runs[key].append((t2 - t0, t1 - t0, t2 - t1))
+    timings: dict[str, float] = {}
+    split: dict[str, dict[str, float]] = {}
+    for key in HEADLINE:
+        best = min(runs[key])
         timings[key] = round(best[0], 3)
-        split[key] = {"construct_s": round(best[1], 3), "exec_s": round(best[2], 3)}
+        split[key] = {
+            "construct_s": round(best[1], 3),
+            # min exec may come from a different pass than min total:
+            # exec_min is the regression-check statistic, exec_s stays
+            # the best-total attribution (comparable to r02-r09).
+            "exec_s": round(best[2], 3),
+            "exec_min_s": round(min(r[2] for r in runs[key]), 3),
+        }
 
     # diagnostic only (no clock change): j31's construct time is the
     # connected-components rounds, each a real cluster job — record
@@ -139,6 +152,49 @@ def main() -> None:
         for k in HEADLINE
     }
 
+    # FLOOR CHECK (round-9 verdict item 3): bench_floors.json records
+    # each key's minimum exec_s the driver ever measured.  A key whose
+    # interleaved min exec exceeds tolerance × floor is flagged — but
+    # ONLY while the control key holds within tolerance of its own
+    # floor; if the control is also above, the whole run is
+    # contention-inflated and absolutes mean nothing (recorded as
+    # control_degraded instead of blaming every key).  Exit stays 0 —
+    # the driver's contract is one JSON line, and a slow shared host
+    # must not read as a build failure; run `bench.py --strict`
+    # locally to turn regressions into exit 1.
+    regressions: dict[str, dict[str, float]] = {}
+    control_degraded = False
+    floors_path = os.path.join(REPO, "bench_floors.json")
+    floors_doc: dict = {}
+    if os.path.exists(floors_path):
+        with open(floors_path) as f:
+            floors_doc = json.load(f)
+    floors = floors_doc.get("floors", {})
+    tol = float(floors_doc.get("tolerance", 1.25))
+    ctrl_floor = floors.get(control_key, {}).get("exec_s")
+    ctrl_min = split[control_key]["exec_min_s"]
+    # floors were recorded at the driver's sf0.1 — at any other scale
+    # the comparison is meaningless (sf0.001 would never flag, sf1
+    # would always flag), so the check disarms itself.
+    if ctrl_floor and sf == 0.1:
+        control_degraded = ctrl_min > tol * ctrl_floor
+        if not control_degraded:
+            for k in HEADLINE:
+                fl = floors.get(k, {}).get("exec_s")
+                mn = split[k]["exec_min_s"]
+                if fl and mn > tol * fl:
+                    regressions[k] = {
+                        "exec_min_s": mn,
+                        "floor_s": fl,
+                        "ratio": round(mn / fl, 2),
+                    }
+                    print(
+                        f"BENCH REGRESSION {k}: exec min {mn}s > "
+                        f"{tol}x floor {fl}s (control holds)",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -159,15 +215,22 @@ def main() -> None:
         # the last query: high or rising load means the absolutes are
         # contention-inflated and only controlled A/B deltas count.
         "loadavg": {"start": load_start, "end": _loadavg()},
+        # floor check: per-key min exec vs the best the driver ever
+        # recorded (bench_floors.json); control-gated so a slow host
+        # can't fabricate regressions.
+        "regressions": regressions,
+        "control_degraded": control_degraded,
         "sf": sf,
         # round 1 timed execution only; from round 2 the timer also
         # wraps plan construction (the kNN kernel's chunk-fetch jobs
         # and connected-components' checkpoint rounds do real cluster
         # work at build time) — compare r1 numbers with that in mind.
-        "note": "timing=construct+exec min-of-3 (r02-r05 used min-of-2; r01 timed exec only); queries_split attributes construct vs exec; loadavg flags contention",
+        "note": "timing=construct+exec, min over 5 INTERLEAVED passes since r10 (r02-r09 min-of-2/3 back-to-back); queries_split adds exec_min_s (floor-check statistic); regressions = keys >1.25x recorded floor while control holds",
     }
     print(json.dumps(out))
     spark.stop()
+    if "--strict" in sys.argv and regressions:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -60,4 +60,13 @@ def test_bench_emits_contract_json():
     assert out["control"]["exec_s"] == out["queries_split"]["e1_topk_window"]["exec_s"]
     assert set(out["exec_vs_control"]) == set(HEADLINE)
     assert out["exec_vs_control"]["e1_topk_window"] == 1.0
+    # round-10: interleaved passes record exec_min_s (the floor-check
+    # statistic — min over ALL passes, so never above the best-total
+    # pass's exec), and the floor check itself must be DISARMED off
+    # sf0.1 (floors are sf0.1 numbers; at sf0.001 nothing may flag).
+    for k in HEADLINE:
+        s = out["queries_split"][k]
+        assert s["exec_min_s"] <= s["exec_s"] + 1e-9, (k, s)
+    assert out["regressions"] == {}
+    assert out["control_degraded"] is False
 
