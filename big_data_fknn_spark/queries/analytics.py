@@ -31,7 +31,7 @@ from big_data_fknn_spark.operators.rank import (
 )
 from big_data_fknn_spark.cache import cached
 from big_data_fknn_spark.queries import register
-from big_data_fknn_spark.tables import EMB_ADMIT_SQL, t
+from big_data_fknn_spark.tables import EMB_ADMIT_SQL, t, wall_micros, wall_timestamp
 
 
 @register(
@@ -3402,7 +3402,8 @@ def x63_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real reading is a GAP to interpolate, not an 'obs' bucket;
     # non-finite readings gate at the scan (numeric.finite)
     e = events_t(spark, sf_dir).where(F.col("value").isNotNull() & finite("value"))
-    hour = (F.unix_micros("ts") / 3_600_000_000).cast("long")
+    # wall_micros: bucket + NTZ label must share the wall epoch basis
+    hour = (wall_micros("ts") / 3_600_000_000).cast("long")
     obs = (
         e.select("user_id", hour.alias("t"), "value")
         .groupBy("user_id", "t")
@@ -3452,7 +3453,8 @@ def x63_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = F.when(F.col("h") == F.col("t"), "obs").otherwise("interp")
     return exploded.select(
         "user_id",
-        F.timestamp_micros(F.col("h") * 3_600_000_000).alias("h"),
+        # NTZ label (latent under fractional-offset zones like +05:30)
+        wall_timestamp(F.col("h") * 3_600_000_000).alias("h"),
         value.alias("value"),
         src.alias("src"),
     )
@@ -3697,7 +3699,9 @@ def x66_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_fknn_spark.tables import events_t
 
     e = events_t(spark, sf_dir)
-    day = (F.unix_micros("ts") / 86_400_000_000).cast("long")
+    # wall_micros, not unix_micros: day buckets are ABSOLUTE epochs —
+    # the session-zone offset does not cancel (round-10 non-UTC drive)
+    day = (wall_micros("ts") / 86_400_000_000).cast("long")
     ud = e.select("user_id", day.alias("d")).distinct()
     days = ud.select("d").distinct()
     cover = (
@@ -3710,7 +3714,7 @@ def x66_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dau.join(wau, "d")
         .select(
-            F.timestamp_micros(F.col("d") * 86_400_000_000).alias("day"),
+            wall_timestamp(F.col("d") * 86_400_000_000).alias("day"),
             "dau",
             "wau",
         )
@@ -3807,7 +3811,9 @@ def x68_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_fknn_spark.tables import events_t
 
     e = events_t(spark, sf_dir)
-    day = (F.unix_micros("ts") / 86_400_000_000).cast("long")
+    # wall_micros, not unix_micros: day buckets are ABSOLUTE epochs —
+    # the session-zone offset does not cancel (round-10 non-UTC drive)
+    day = (wall_micros("ts") / 86_400_000_000).cast("long")
     first_day = e.select("user_id", day.alias("d")).groupBy("user_id").agg(
         F.min("d").alias("d0")
     )
@@ -3816,7 +3822,7 @@ def x68_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     return new_by_day.select(
-        F.timestamp_micros(F.col("d") * 86_400_000_000).alias("day"),
+        wall_timestamp(F.col("d") * 86_400_000_000).alias("day"),
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("total_reach"),
     )
@@ -4004,13 +4010,15 @@ def x71_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_fknn_spark.tables import events_t
 
     e = events_t(spark, sf_dir)
-    day = (F.unix_micros("ts") / 86_400_000_000).cast("long")
+    # wall_micros, not unix_micros: day buckets are ABSOLUTE epochs —
+    # the session-zone offset does not cancel (round-10 non-UTC drive)
+    day = (wall_micros("ts") / 86_400_000_000).cast("long")
     ev = e.select("user_id", day.alias("d"))
     first_day = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
     return (
         ev.join(F.broadcast(first_day), "user_id")
         .groupBy(
-            F.timestamp_micros(F.col("d") * 86_400_000_000).alias("day"),
+            wall_timestamp(F.col("d") * 86_400_000_000).alias("day"),
             F.when(F.col("d") == F.col("d0"), "new")
             .otherwise("returning")
             .alias("cohort"),

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from big_data_fknn_spark.functions.numeric import dsum, fin_sql, finite
 from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.streaming import events_stream, run_to_memory
-from big_data_fknn_spark.tables import events_t, t
+from big_data_fknn_spark.tables import events_t, t, wall_micros, wall_timestamp
 
 # --------------------------------------------------------------- A6. source
 
@@ -374,7 +374,8 @@ def i8_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(gens[-1]).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
-        F.unix_micros("ts").alias("ts_us"),
+        # wall_micros: ts_us is an exported ABSOLUTE epoch (non-UTC drive)
+        wall_micros("ts").alias("ts_us"),
         "event_type",
         F.round("value", 6).alias("value"),
     )
@@ -1159,7 +1160,8 @@ def i19_stream_reach_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: replace-by-key state of 8 bytes per user; the growth
     curve over an unbounded stream never rescans history."""
     s = events_stream(spark, sf_dir)
-    day = (F.unix_micros("ts") / 86_400_000_000).cast("long")
+    # wall_micros, not unix_micros: absolute day buckets (non-UTC drive)
+    day = (wall_micros("ts") / 86_400_000_000).cast("long")
     first_day = run_to_memory(
         s.select("user_id", day.alias("d")).groupBy("user_id").agg(
             F.min("d").alias("d0")
@@ -1171,7 +1173,8 @@ def i19_stream_reach_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     return new_by_day.select(
-        F.timestamp_micros(F.col("d") * 86_400_000_000).alias("day"),
+        # NTZ label: instants render through the session zone (non-UTC drive)
+        wall_timestamp(F.col("d") * 86_400_000_000).alias("day"),
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("total_reach"),
     )

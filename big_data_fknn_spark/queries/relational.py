@@ -1277,10 +1277,17 @@ def h12_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("timestamp")
         .alias("month_end"),
+        # NTZ-native diff: the old string→TIMESTAMP→long route applied
+        # the SESSION zone to both casts, and with a DST-observing
+        # default (America/New_York) the two offsets differ by 1 h for
+        # summer order dates — the one divergence the round-10 non-UTC
+        # driver_sim probe caught.  timestampdiff over TIMESTAMP_NTZ
+        # operands is pure wall-clock arithmetic, identical under any
+        # session/host zone (matching the oracle's naive date_diff).
         F.round(
-            (
-                F.lit("2000-01-01").cast("timestamp").cast("long")
-                - F.col("o_orderdate").cast("timestamp").cast("long")
+            F.expr(
+                "timestampdiff(SECOND, CAST(o_orderdate AS TIMESTAMP_NTZ),"
+                " TIMESTAMP_NTZ '2000-01-01 00:00:00')"
             )
             / 86400.0,
             6,

@@ -28,8 +28,15 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
     return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, **source_options: str
+) -> DataFrame:
     """events.parquet as a file-source stream with a proper timestamp.
+
+    ``source_options`` pass through to the file source —
+    ``maxFilesPerTrigger`` is the standard deployment knob for batch
+    sizing (and what the kill/resume tests use to force multiple
+    micro-batches over a sharded table).
 
     The symlink dir is CANONICAL per source path (keyed by a hash of
     ``sf_dir``), not a fresh ``mkdtemp`` per invocation: the file
@@ -73,11 +80,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every live-streaming key silently read ZERO files on a sharded
     # layout).  No partition-dir inference is lost — the table is not
     # hive-partitioned.
-    raw = (
-        spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(src_dir)
+    reader = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
     )
+    for k, v in source_options.items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(src_dir)
     if isinstance(schema["ts"].dataType, LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -78,6 +78,52 @@ def events_t(
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def wall_micros(col) -> "F.Column":
+    """Epoch microseconds of a timestamp's WALL-CLOCK reading,
+    independent of the session time zone.
+
+    ``F.unix_micros`` extracts the INSTANT, which for our
+    parquet-NTZ-sourced ``ts`` embeds the session zone offset
+    (events_t relabels wall time into a session-TZ TIMESTAMP): under a
+    deployment that never pinned UTC, every absolute epoch — day
+    buckets, exported ``ts_us`` longs — shifts by the zone offset
+    while the DuckDB oracle's ``epoch_us`` stays wall-based.  The
+    round-10 non-UTC drive caught exactly that in the five
+    absolute-epoch keys (i8, i19, x66, x68, x71); difference/order
+    uses of unix_micros cancel the offset and were unaffected.
+
+    This recovers the wall clock by casting back to TIMESTAMP_NTZ
+    (inverting the session-zone relabel) and differencing against the
+    NTZ epoch — pure wall arithmetic, identical under any session
+    zone.  Caveat: a wall time inside a DST spring-forward gap of the
+    session zone has no exact instant, so the relabel round-trip can
+    shift it; the canonical fix at ingest is date-partitioned NTZ
+    storage, which this testdata (Jan 2024) never exercises."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
+
+
+def wall_timestamp(us_col) -> "F.Column":
+    """Inverse of :func:`wall_micros`: wall-epoch microseconds → a
+    TIMESTAMP_NTZ carrying that wall clock.  Rendered labels (day /
+    hour bucket starts) must come back as NTZ, not as
+    ``F.timestamp_micros`` instants: an instant renders through the
+    session zone, so a UTC-midnight label prints as 19:00 of the
+    previous day under America/New_York while the oracle's
+    ``make_timestamp`` prints wall midnight.  NTZ renders the wall
+    clock under every zone."""
+    c = F.col(us_col) if isinstance(us_col, str) else us_col
+    return F.timestamp_add(
+        "MICROSECOND",
+        c.cast("long"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+    )
+
+
 def _iso_to_ns(iso: str) -> int:
     """ISO-8601 UTC wall-clock string → epoch nanoseconds (for the
     legacy nanos-as-long raw representation)."""

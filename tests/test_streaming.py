@@ -249,3 +249,79 @@ def test_events_stream_reads_sharded_table_layout(spark, tmp_path):
     assert rows(got, "event_id", "user_id", "event_type") == rows(
         want, "event_id", "user_id", "event_type"
     )
+
+
+def test_sharded_kill_resume_with_injected_task_failure(spark, tmp_path):
+    """Round-9 added kill-and-resume (single-file source) and
+    sharded-layout reads separately; this composes them plus a real
+    in-batch task failure (round-9 verdict item 5): a checkpointed
+    file-sink stream over a 7-part `events.parquet/` DIRECTORY table,
+    one micro-batch per part file, where one batch's task RAISES
+    mid-stream (after the poison marker is seen) and — under the
+    suite's maxFailures=1 — crashes the query.  A fresh query on the
+    same checkpoint must then replay the failed batch and finish the
+    rest: final sink == batch result as a multiset (no duplicated
+    committed batch, no lost part file)."""
+    import os
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_fknn_spark.streaming import replay
+
+    ev = t(spark, SF_DIR, "events")
+    # sharded directory layout rooted in its own sf_dir
+    sf_shard = str(tmp_path / "sf")
+    ev.repartition(7).write.parquet(sf_shard + "/events.parquet")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    flag = str(tmp_path / "inject_on")
+    tripped = str(tmp_path / "tripped")
+    open(flag, "w").close()
+
+    # poison marker: an id that lives in exactly one part file, so
+    # exactly one micro-batch carries it
+    marker = ev.select("event_id").orderBy("event_id").limit(1).collect()[0][0]
+
+    def injected(batches):
+        import os as _os
+
+        import pyarrow as _pa  # noqa: F401
+
+        for b in batches:
+            ids = b.column("event_id").to_pylist()
+            if _os.path.exists(flag) and marker in ids:
+                open(tripped, "w").close()
+                raise RuntimeError("injected micro-batch task failure")
+            yield b
+
+    def start(inject: bool):
+        s = replay.events_stream(spark, sf_shard, maxFilesPerTrigger="1")
+        s = s.select("event_id", "user_id", "event_type", "value")
+        if inject:
+            s = s.mapInArrow(injected, s.schema)
+        s = s.where(F.col("value") > 5).drop("value")
+        return (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start(inject=True)
+    with pytest.raises(StreamingQueryException, match="injected micro-batch"):
+        q1.awaitTermination()
+    assert os.path.exists(tripped), "injection never fired"
+    os.unlink(flag)  # machine repaired; replayed batch must now pass
+
+    q2 = start(inject=True)  # same wrapped plan, fault now disarmed
+    q2.awaitTermination()
+    # tiny settle for the sink metadata commit of the last batch
+    time.sleep(0.2)
+
+    got = rows(spark.read.parquet(out), "event_id", "user_id", "event_type")
+    want = rows(
+        ev.where(F.col("value") > 5), "event_id", "user_id", "event_type"
+    )
+    assert got == want  # exactly-once across crash + resume
