@@ -98,9 +98,19 @@ def i1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics to the streaming plan minus the watermark).  1-hour
     windows align to epoch hours, so DuckDB's date_trunc is the exact
     oracle.  Non-finite values gate at the scan (numeric.finite)."""
-    e = t(spark, sf_dir, "events").where(finite("value"))
+    # window over the WALL clock (NTZ): F.window on a session-TZ
+    # timestamp aligns buckets to INSTANT epochs, which sit at :30
+    # wall marks under a fractional-offset zone like Asia/Kolkata
+    # (+05:30) — the round-10 Kolkata drive measured 3376 vs the
+    # oracle's 3385 wall-hour buckets.  NTZ windows align to wall
+    # hours and the labels render wall under every zone.  (The 15-min
+    # slide grid of i2/i14 divides every real zone offset, so those
+    # stay instant-aligned safely.)
+    e = t(spark, sf_dir, "events").where(finite("value")).withColumn(
+        "ts_w", F.col("ts").cast("timestamp_ntz")
+    )
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        e.groupBy(F.window("ts_w", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             dsum("value").alias("total_value"),
@@ -712,18 +722,32 @@ def i13_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     a state-store merge keyed by (window, event_type) — O(open
     windows × types), never history.  Non-finite values gate at the
     stream's scan edge (numeric.finite), same as batch-twin i1."""
+    # wall-aligned windows, streaming edition: watermarks REQUIRE
+    # TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE rejects NTZ),
+    # so unlike batch-twin i1 the wall clock is re-expressed as an
+    # INSTANT whose epoch equals the wall epoch (timestamp_micros of
+    # wall_micros) — windows then align to wall hours under any
+    # session zone, and the watermark still bounds state.  The label
+    # converts back to an NTZ wall timestamp at output (an instant
+    # label would render through the session zone).
     s = (
         events_stream(spark, sf_dir)
         .where(finite("value"))
-        .withWatermark("ts", "10 minutes")
+        .withColumn("ts_w", F.timestamp_micros(wall_micros("ts")))
+        .withWatermark("ts_w", "10 minutes")
     )
     agg = (
-        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        s.groupBy(F.window("ts_w", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             dsum("value").alias("total_value"),
         )
-        .select(F.col("w.start").alias("bucket"), "event_type", "n", "total_value")
+        .select(
+            wall_timestamp(F.unix_micros(F.col("w.start"))).alias("bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
     )
     return run_to_memory(agg, "complete")
 
