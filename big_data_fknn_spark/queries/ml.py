@@ -719,8 +719,13 @@ def j45_linreg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FP_MIN_SUPPORT = 0.01
 _FP_MIN_CONFIDENCE = 0.05
 
+# ob MATERIALIZED: DuckDB 1.0 inlines plain CTEs per reference, and
+# the inlined DISTINCT-join inside s3's 3-way self-join picks a plan
+# that ran >45 min on the 10× soak corpus; materialized, the whole
+# oracle takes ~14 s at sf1 (round-10 finding — oracle-side only,
+# identical results, the gate and Spark sides are untouched).
 _BASKET_CTES = f"""
-ob AS (
+ob AS MATERIALIZED (
   SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
 nb AS (SELECT count(DISTINCT o) AS n FROM ob),
