@@ -197,13 +197,16 @@ def profile(spark, sf_dir: str, keys: list[str]) -> dict[str, tuple[float, float
 # NOT silently capped — excluded with cause (each still value-parity
 # checked at sf0.01 by the gate and timing-soaked at sf1):
 #   j31_dedup_survivors — the DUCKDB side is the blocker: its oracle
-#     walks the near-dup pair closure with a recursive CTE, and the
-#     soak corpus (every doc duplicated exactly ×10) grows each dup
-#     group 10× → path enumeration blows up combinatorially (>100
-#     CPU-minutes before the round-10 run was cut; Spark's
+#     deliberately uses the NAIVE all-pairs Jaccard formulation as an
+#     independent check on the engine's inverted-index path, which is
+#     O(n²) list-intersects by construction — ~312M at the soak's 25k
+#     docs (>9 min with every CTE materialized; unbounded before the
+#     round-10 MATERIALIZED probe ruled out CTE re-inlining as the
+#     cause).  Fine at the 250-doc gate, intrinsic at sf1.  Spark's
 #     checkpointed min-label CC finished the same input inside the
-#     timing soak's linear ceiling).
-HASH_EXCLUDED = {"j31_dedup_survivors": "oracle-side recursive closure"}
+#     timing soak's linear ceiling — the asymmetry is the oracle's
+#     independence, not an engine gap.
+HASH_EXCLUDED = {"j31_dedup_survivors": "oracle all-pairs-quadratic by design"}
 HASH_KEYS = [k for k in KEYS if k not in HASH_EXCLUDED] + [
     "j7_dedup_exact",
     "j11_centroid",
