@@ -312,12 +312,20 @@ def a7_keel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df, ks = read_keel(spark, f"{d}/data.header", f"{d}/data.dat")
     assert ks.kinds["class"] == "nominal" and len(ks.feature_names) == 64
-    return df.groupBy(F.col("label").cast("int").alias("label")).agg(
+    out = df.groupBy(F.col("label").cast("int").alias("label")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
             F.sum(F.element_at("features", 1).cast(DEC)), 6
         ).cast("double").alias("f0_sum"),
     )
+    # per-label rollup is ≤ |labels| rows: lift to a LocalRelation so
+    # the KEEL round-trip dir can be deleted (was one leaked /tmp dir
+    # per invocation — the round-6 per-call-leak class)
+    import shutil
+
+    rows = out.collect()
+    shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register("j8e_minhash_mllib", oracle=None)
