@@ -153,15 +153,23 @@ def main() -> None:
     }
 
     # FLOOR CHECK (round-9 verdict item 3): bench_floors.json records
-    # each key's minimum exec_s the driver ever measured.  A key whose
-    # interleaved min exec exceeds tolerance × floor is flagged — but
-    # ONLY while the control key holds within tolerance of its own
-    # floor; if the control is also above, the whole run is
-    # contention-inflated and absolutes mean nothing (recorded as
-    # control_degraded instead of blaming every key).  Exit stays 0 —
-    # the driver's contract is one JSON line, and a slow shared host
-    # must not read as a build failure; run `bench.py --strict`
-    # locally to turn regressions into exit 1.
+    # each key's minimum exec_s the driver ever measured.  Floors are
+    # ALL-TIME minima, so a typical session sits uniformly 1.3-1.7×
+    # above them (measured on zero-diff code the first time this check
+    # ran raw: 10/14 keys "flagged" while the control itself was at
+    # 1.18×) — comparing raw ratios to a 1.25× bar just detects "not
+    # the quietest session ever".  Each key's floor ratio is therefore
+    # NORMALIZED by the control key's own floor ratio first: uniform
+    # machine inflation cancels, a single key that moved does not.  A
+    # genuine 2× code regression on a 1.2×-inflated session shows
+    # ~1.7 normalized, a 3x to ~2.5.  The bar lives in
+    # bench_floors.json (normalized_tolerance, 1.75): two same-code
+    # round-10 runs 20 minutes apart measured per-key normalized noise
+    # up to 1.52, so 1.5 still false-positives.  The control guard
+    # stays: a control past 2× its floor marks the whole run
+    # contention-inflated (control_degraded) and no key is blamed.
+    # Exit stays 0 — the driver's contract is one JSON line; run
+    # `bench.py --strict` locally to turn flags into exit 1.
     regressions: dict[str, dict[str, float]] = {}
     control_degraded = False
     floors_path = os.path.join(REPO, "bench_floors.json")
@@ -170,27 +178,50 @@ def main() -> None:
         with open(floors_path) as f:
             floors_doc = json.load(f)
     floors = floors_doc.get("floors", {})
-    tol = float(floors_doc.get("tolerance", 1.25))
+    tol = float(floors_doc.get("normalized_tolerance", 1.5))
     ctrl_floor = floors.get(control_key, {}).get("exec_s")
     ctrl_min = split[control_key]["exec_min_s"]
     # floors were recorded at the driver's sf0.1 — at any other scale
     # the comparison is meaningless (sf0.001 would never flag, sf1
     # would always flag), so the check disarms itself.
     if ctrl_floor and sf == 0.1:
-        control_degraded = ctrl_min > tol * ctrl_floor
+        ctrl_ratio = ctrl_min / ctrl_floor
+        control_degraded = ctrl_ratio > 2.0
         if not control_degraded:
             for k in HEADLINE:
                 fl = floors.get(k, {}).get("exec_s")
                 mn = split[k]["exec_min_s"]
-                if fl and mn > tol * fl:
+                if not fl:
+                    continue
+                normalized = (mn / fl) / ctrl_ratio
+                if normalized > tol:
+                    # CONFIRMATION pass before the flag sticks: a
+                    # heavy-tailed key (j8's exec spanned 0.60-1.06 s
+                    # across three same-code round-10 runs) can miss
+                    # its floor in 5 passes; 5 more runs of just this
+                    # key either find the floor (noise — no flag) or
+                    # don't (the flag carries 10-pass evidence).
+                    for _ in range(5):
+                        df = registry[k].fn(spark, sf_dir)
+                        t0 = time.perf_counter()
+                        df.write.format("noop").mode("overwrite").save()
+                        mn = min(mn, time.perf_counter() - t0)
+                    mn = round(mn, 3)
+                    split[k]["exec_min_s"] = mn
+                    normalized = (mn / fl) / ctrl_ratio
+                    if normalized <= tol:
+                        continue
                     regressions[k] = {
                         "exec_min_s": mn,
                         "floor_s": fl,
                         "ratio": round(mn / fl, 2),
+                        "normalized": round(normalized, 2),
                     }
                     print(
-                        f"BENCH REGRESSION {k}: exec min {mn}s > "
-                        f"{tol}x floor {fl}s (control holds)",
+                        f"BENCH REGRESSION {k}: exec min {mn}s ="
+                        f" {normalized:.2f}x floor after control"
+                        f" normalization (control at {ctrl_ratio:.2f}x),"
+                        f" confirmed over 10 passes",
                         file=sys.stderr,
                         flush=True,
                     )
