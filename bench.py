@@ -226,39 +226,75 @@ def main() -> None:
                         flush=True,
                     )
 
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        # same clock as r02 (construct+exec, min of 2); the split
-        # attributes each query's time to plan construction (which
-        # for the kNN kernel / connected components / global_rank
-        # does real cluster jobs) vs final execution.
+    # The grading driver captures only the LAST 2000 CHARACTERS of
+    # stdout and json-parses from that tail: round 10's single fat
+    # JSON line (queries_split + exec_vs_control + loadavg + prose
+    # note) grew past 2000 chars, got front-truncated, and the driver
+    # recorded `parsed: null` — a round of bench numbers the judge
+    # could not read.  Since round 11 the stdout line carries ONLY the
+    # contract fields plus the floor-check verdict, hard-capped below
+    # the window; every diagnostic (split, control ratios, loadavg,
+    # cc-round counts) moves to bench_detail.json next to this file.
+    detail = {
+        # same clock as r02 (construct+exec); the split attributes
+        # each query's time to plan construction (which for the kNN
+        # kernel / connected components / global_rank does real
+        # cluster jobs) vs final execution.  exec_min_s is the
+        # floor-check statistic (min over all interleaved passes).
         "queries_split": split,
         "diagnostics": diagnostics,
         # e1 is the drift control (code untouched since r1): divide a
         # round's exec_vs_control by last round's per query — a moved
         # ratio is a code effect, a uniform absolute shift is machine.
-        "control": {"query": control_key, "exec_s": control_exec},
         "exec_vs_control": exec_vs_control,
         # system 1/5/15-min load sampled before the warm-up and after
         # the last query: high or rising load means the absolutes are
         # contention-inflated and only controlled A/B deltas count.
         "loadavg": {"start": load_start, "end": _loadavg()},
-        # floor check: per-key min exec vs the best the driver ever
-        # recorded (bench_floors.json); control-gated so a slow host
-        # can't fabricate regressions.
         "regressions": regressions,
-        "control_degraded": control_degraded,
-        "sf": sf,
-        # round 1 timed execution only; from round 2 the timer also
-        # wraps plan construction (the kNN kernel's chunk-fetch jobs
-        # and connected-components' checkpoint rounds do real cluster
-        # work at build time) — compare r1 numbers with that in mind.
-        "note": "timing=construct+exec, min over 5 INTERLEAVED passes since r10 (r02-r09 min-of-2/3 back-to-back); queries_split adds exec_min_s (floor-check statistic); regressions = keys >1.25x recorded floor while control holds",
+        "passes": passes,
+        "note": (
+            "timing=construct+exec, min over N INTERLEAVED passes"
+            " (r10+; r02-r09 min-of-2/3 back-to-back); a regression ="
+            " exec_min_s above normalized_tolerance (bench_floors.json,"
+            " currently %.2f) x the key's recorded floor AFTER dividing"
+            " out the control key's own floor ratio, confirmed by 5"
+            " extra runs; control >2x its floor disarms the check"
+            " (control_degraded)" % tol
+        ),
     }
-    print(json.dumps(out))
+    with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "control": {"query": control_key, "exec_s": control_exec},
+        # floor check: per-key min exec vs the best the driver ever
+        # recorded (bench_floors.json), control-ratio normalized so a
+        # slow host can't fabricate regressions; per-key evidence in
+        # bench_detail.json.
+        "regressions": {
+            k: v["normalized"] for k, v in regressions.items()
+        },
+        "control_degraded": control_degraded,
+        "detail": "bench_detail.json",
+        "note": (
+            "min over %d interleaved passes; regressions ="
+            " control-normalized exec floor ratio > tolerance from"
+            " bench_floors.json; split/loadavg in bench_detail.json"
+            % passes
+        ),
+    }
+    line = json.dumps(out)
+    if len(line) > 1700:  # defensive: must fit the driver's 2000-char tail
+        out.pop("note", None)
+        out["regressions"] = {"count": len(regressions)}
+        line = json.dumps(out)
+    print(line)
     spark.stop()
     if "--strict" in sys.argv and regressions:
         sys.exit(1)

@@ -28,6 +28,13 @@ from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.streaming import events_stream, run_to_memory
 from big_data_fknn_spark.tables import events_t, t, wall_micros, wall_timestamp
 
+# i8's final state is one row per user; lift it to a LocalRelation
+# (enabling eager temp-dir cleanup) only below this row count —
+# above it the collect() itself would be the driver-memory hazard
+# (round-10 advice).  Module-level so tests can exercise the lazy
+# branch without synthesizing 100k users.
+I8_COLLECT_CAP = 100_000
+
 # --------------------------------------------------------------- A6. source
 
 
@@ -389,17 +396,27 @@ def i8_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value", 6).alias("value"),
     )
-    # Lift the final state (ONE row per user — bounded) into a
-    # LocalRelation and tear the generation dirs + checkpoint down: a
-    # lazy read over the temp root leaked one /tmp dir per invocation
-    # — the per-call-leak class the round-6 verdict caught on
-    # events_stream and round-9 on the memory-sink ckpt.  On a real
-    # lake the generations are owned table paths, not /tmp.
+    # Tear the generation dirs + checkpoint down without an unbounded
+    # driver collect: the state is one row per user, and user
+    # cardinality is NOT driver-sized at the scales this repo targets
+    # (the round-10 fix traded the /tmp leak — the per-call-leak class
+    # the round-6 verdict caught on events_stream and round-9 on the
+    # memory-sink ckpt — for an unbounded collect()).  Now: count the
+    # state (cheap — it is already deduped), and only lift it into a
+    # LocalRelation when it is provably driver-sized; above the cap,
+    # return the lazy read and register the temp root for removal at
+    # interpreter exit (bounded: one dir per live oversized call, gone
+    # when the process ends).  On a real lake the generations are
+    # owned table paths compacted by retention, not /tmp.
+    import atexit
     import shutil
 
-    rows = final.collect()
-    shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, final.schema)
+    if final.count() <= I8_COLLECT_CAP:
+        rows = final.collect()
+        shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame(rows, final.schema)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return final
 
 
 # ---------------------------- I9. transformWithState (Spark 4 API)

@@ -87,7 +87,20 @@ def events_stream(
         reader = reader.option(k, v)
     raw = reader.parquet(src_dir)
     if isinstance(schema["ts"].dataType, LongType):
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Same wall-clock discipline as tables.events_t's legacy
+        # branch (round-10 advice): timestamp_micros makes a UTC
+        # INSTANT, which under a non-UTC session disagrees with the
+        # NTZ-parquet branch below (wall relabeled into the session
+        # zone) — watermark buckets and every wall_micros consumer
+        # (i8/i19) would drift on the legacy layout only.  Routing
+        # through wall_timestamp keeps the two layouts value-identical
+        # in any zone while `ts` stays an instant (watermarks reject
+        # TIMESTAMP_NTZ event time).
+        from ..tables import wall_timestamp
+
+        return raw.withColumn(
+            "ts", wall_timestamp(F.expr("ts div 1000")).cast("timestamp")
+        )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

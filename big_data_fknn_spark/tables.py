@@ -70,7 +70,20 @@ def events_t(
             raw = raw.where(F.col("ts") >= _iso_to_ns(ts_min))
         if ts_max is not None:
             raw = raw.where(F.col("ts") < _iso_to_ns(ts_max))
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Build the column through the WALL clock (NTZ arithmetic on
+        # the UTC-epoch micros), not F.timestamp_micros: the latter
+        # makes an INSTANT whose NTZ reading is the SESSION-zone wall
+        # clock, so under a deployment that never pinned UTC the
+        # legacy-layout `ts` would disagree with the NTZ-parquet
+        # branch below (and wall_micros would re-shift it) — the one
+        # residue the round-10 non-UTC drives could not see because
+        # the driven testdata ships the NTZ layout (round-10 advice).
+        # wall_timestamp(µs) is UTC-wall NTZ under EVERY session zone;
+        # the final cast relabels it session-TZ exactly like the NTZ
+        # branch, so both layouts are value-identical in any zone.
+        return raw.withColumn(
+            "ts", wall_timestamp(F.expr("ts div 1000")).cast("timestamp")
+        )
     if ts_min is not None:
         raw = raw.where(F.col("ts") >= F.lit(ts_min).cast("timestamp_ntz"))
     if ts_max is not None:

@@ -20,6 +20,13 @@ Run from the repo root (Python workers resolve the package via cwd):
     python tools/driver_sim.py --keys d8_weighted_agg,j11_centroid
     python tools/driver_sim.py --json DRIVERSIM_r10.json
     python tools/driver_sim.py --tz America/New_York # non-UTC host probe
+    python tools/driver_sim.py --conf spark.sql.adaptive.enabled=false
+
+``--conf K=V`` (repeatable, round 11) simulates a deployment that
+flips an execution knob — AQE, whole-stage codegen, Arrow batch
+size, parquet input-split size, the vectorized reader.  None of
+these may change any result: the run must be hash-for-hash identical
+to the default drive.
 
 ``--tz`` sets BOTH the process TZ env var and the Spark session
 default timeZone to a non-UTC zone before the engine builds its
@@ -65,7 +72,19 @@ def main():
     ap.add_argument("--keys", default=None, help="comma-separated key filter")
     ap.add_argument("--json", default=None, help="write per-key artifact here")
     ap.add_argument("--tz", default=None, help="simulate this host timezone")
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra Spark conf (repeatable) — simulate a deployment"
+        " that flips an execution knob (AQE, codegen, arrow batch"
+        " size, input split size, vectorized reader...); results"
+        " must be hash-identical to the default run",
+    )
     args = ap.parse_args()
+    for kv in args.conf:
+        assert "=" in kv, f"--conf wants K=V, got {kv!r}"
 
     if args.tz:
         os.environ["TZ"] = args.tz
@@ -86,6 +105,9 @@ def main():
         b = b.config("spark.driver.extraJavaOptions", f"-Duser.timezone={args.tz}")
     else:
         b = b.config("spark.sql.session.timeZone", "UTC")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -161,6 +183,7 @@ def main():
                 {
                     "sf": SF,
                     "tz": args.tz or "UTC",
+                    "conf": args.conf,
                     "n_keys": len(keys),
                     "match": n_match,
                     "rows_only": n_rowsonly,

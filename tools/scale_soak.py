@@ -289,7 +289,20 @@ def main() -> None:
         # optional subset: --keys k1,k2 (resume after an interrupted run)
         global HASH_KEYS
         if "--keys" in sys.argv:
-            HASH_KEYS = sys.argv[sys.argv.index("--keys") + 1].split(",")
+            # validated up front like driver_sim/retry_soak: a trailing
+            # --keys or a typo'd key must fail HERE, not IndexError /
+            # KeyError twenty minutes into the soak.
+            idx = sys.argv.index("--keys") + 1
+            assert idx < len(sys.argv) and not sys.argv[idx].startswith(
+                "--"
+            ), "--keys requires a comma-separated key list"
+            want = [k.strip() for k in sys.argv[idx].split(",") if k.strip()]
+            from big_data_fknn_spark.queries import load_all as _load_all
+
+            known = _load_all()
+            missing = [k for k in want if k not in known]
+            assert not missing, f"unknown keys: {missing}"
+            HASH_KEYS = want
         spark = get_spark(app_name="scale_soak_hash")
         hash_parity(spark, dst)
         return
