@@ -194,23 +194,91 @@ def profile(spark, sf_dir: str, keys: list[str]) -> dict[str, tuple[float, float
 # --hash key set: the 14 bench headline keys + the whole dedup / ANN /
 # kNN / centroid family (the adaptive-threshold owners).  j46_fpgrowth
 # is rows-only by design (MLlib RNG) and logs a count instead.
-# NOT silently capped — excluded with cause (each still value-parity
-# checked at sf0.01 by the gate and timing-soaked at sf1):
-#   j31_dedup_survivors — the DUCKDB side is the blocker: its oracle
-#     deliberately uses the NAIVE all-pairs Jaccard formulation as an
-#     independent check on the engine's inverted-index path, which is
-#     O(n²) list-intersects by construction — ~312M at the soak's 25k
-#     docs (>9 min with every CTE materialized; unbounded before the
-#     round-10 MATERIALIZED probe ruled out CTE re-inlining as the
-#     cause).  Fine at the 250-doc gate, intrinsic at sf1.  Spark's
-#     checkpointed min-label CC finished the same input inside the
-#     timing soak's linear ceiling — the asymmetry is the oracle's
-#     independence, not an engine gap.
-HASH_EXCLUDED = {"j31_dedup_survivors": "oracle all-pairs-quadratic by design"}
+HASH_EXCLUDED: dict[str, str] = {}
 HASH_KEYS = [k for k in KEYS if k not in HASH_EXCLUDED] + [
     "j7_dedup_exact",
     "j11_centroid",
 ]
+
+
+def _j31_scalable_oracle() -> str:
+    """Hash-mode-only ALTERNATE oracle for j31_dedup_survivors.
+
+    The registered oracle deliberately uses the NAIVE all-pairs
+    Jaccard formulation as an implementation-independent check on the
+    engine's inverted-index path — O(n²) list-intersects by
+    construction, ~312M at the soak's 25k docs (>9 min materialized;
+    round 10 therefore EXCLUDED j31 from sf1 value parity).  This
+    formulation closes that gap (round-11): collapse identical
+    shingle SETS to one representative (Jaccard(a,b)=1 whenever the
+    sets are equal and non-empty, so members of a set-group are
+    always one cluster; empty-shingle docs never pair in the naive
+    oracle — they keep unique group keys), run the inverted-index
+    exact-Jaccard join over REPRESENTATIVES only (intersection sizes
+    from a per-pair GROUP BY count — no per-pair list ops), close the
+    rep graph recursively, then expand reps back to members taking
+    the cluster-wide min doc_id as the canonical.  Equals the naive
+    oracle hash-for-hash at sf0.01 (verified before wiring) and runs
+    the 10x-duplicated soak corpus in ~4 s (naive: >9 min) — the rep
+    collapse is what kills the duplication-corpus Σdf² blowup (113M
+    candidate rows over all docs → sf0.1-sized over reps).
+
+    Still independent of the Spark implementation: the engine does
+    NO rep collapse (full inverted index over all docs + distributed
+    checkpointed min-label propagation, operators/graph.py)."""
+    from big_data_fknn_spark.queries import llm
+
+    return """
+WITH RECURSIVE {doc_ctes},
+grp AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(sh) = 0 THEN 'empty:' || doc_id
+              ELSE md5(list_sort(sh)::VARCHAR) END AS gkey, sh
+  FROM sh3),
+rep AS MATERIALIZED (SELECT gkey, min(doc_id) AS rep_id FROM grp GROUP BY gkey),
+rsh AS MATERIALIZED (
+  SELECT g.doc_id, g.sh FROM grp g JOIN rep r ON g.doc_id = r.rep_id
+  WHERE len(g.sh) > 0),
+inv AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM rsh),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS nb
+  FROM inv a JOIN inv b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM rsh),
+pairs AS MATERIALIZED (
+  SELECT doc_i, doc_j
+  FROM inter
+  JOIN sz si ON si.doc_id = inter.doc_i
+  JOIN sz sj ON sj.doc_id = inter.doc_j
+  WHERE nb::DOUBLE / (si.n + sj.n - nb) >= {tau}),
+edges AS MATERIALIZED (
+  SELECT doc_i AS src, doc_j AS dst FROM pairs
+  UNION ALL
+  SELECT doc_j AS src, doc_i AS dst FROM pairs),
+reach AS (
+  SELECT DISTINCT src AS node, src AS lab FROM edges
+  UNION
+  SELECT e.dst AS node, r.lab AS lab FROM edges e JOIN reach r ON r.node = e.src),
+comp_rep AS MATERIALIZED (SELECT node AS rep_id, min(lab) AS crep
+                          FROM reach GROUP BY node),
+doc2rep AS MATERIALIZED (
+  SELECT g.doc_id, r.rep_id FROM grp g JOIN rep r USING (gkey)),
+clus AS MATERIALIZED (
+  SELECT d.doc_id, coalesce(c.crep, d.rep_id) AS crep
+  FROM doc2rep d LEFT JOIN comp_rep c USING (rep_id)),
+canon AS MATERIALIZED (SELECT crep, min(doc_id) AS cluster_id
+                       FROM clus GROUP BY crep)
+SELECT cl.doc_id, ca.cluster_id,
+       CAST(ca.cluster_id = cl.doc_id AS INT) AS kept
+FROM clus cl JOIN canon ca USING (crep)
+""".format(doc_ctes=llm._DOC_CTES, tau=llm._TAU)
+
+
+# keys whose registered oracle cannot run at soak scale get a
+# SCALABLE alternate formulation here (hash mode only — the gate
+# keeps the naive oracle for independence at driver scale)
+HASH_ALT_ORACLE = {"j31_dedup_survivors": _j31_scalable_oracle}
 
 
 def hash_parity(spark, dst: str) -> None:
@@ -258,8 +326,12 @@ def hash_parity(spark, dst: str) -> None:
                 flush=True,
             )
             continue
+        oracle = qd.oracle
+        if key in HASH_ALT_ORACLE:
+            oracle = HASH_ALT_ORACLE[key]()
+            print(f"  HASH {key:28s} using scalable alternate oracle", flush=True)
         try:
-            opdf = con.sql(qd.oracle).df()
+            opdf = con.sql(oracle).df()
         except Exception as ex:
             print(f"  HASH {key:28s} ORACLE-ERROR {type(ex).__name__}: {ex}",
                   flush=True)
