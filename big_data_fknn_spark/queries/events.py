@@ -23,7 +23,7 @@ from uuid import uuid4
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_fknn_spark.functions.numeric import dsum, fin_sql, finite
+from big_data_fknn_spark.functions.numeric import davg, dsum, fin_sql, finite
 from big_data_fknn_spark.queries import register
 from big_data_fknn_spark.streaming import events_stream, run_to_memory
 from big_data_fknn_spark.tables import events_t, t, wall_micros, wall_timestamp
@@ -652,15 +652,18 @@ def i11_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i12_stream_static_join",
-    oracle="""
+    oracle=f"""
 WITH profile AS (
-  SELECT user_id, round(avg(value), 6) AS mean_value
-  FROM events GROUP BY user_id
+  SELECT user_id,
+         round(sum(CAST(value AS DECIMAL(38,10)))::VARCHAR::DOUBLE
+               / count(*), 6) AS mean_value
+  FROM events WHERE {fin_sql("value")} GROUP BY user_id
 )
 SELECT e.event_id, e.user_id, e.event_type,
        p.mean_value,
        (e.value > p.mean_value) AS above_mean
 FROM events e JOIN profile p ON e.user_id = p.user_id
+WHERE {fin_sql("value")}
 """,
 )
 def i12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,13 +675,24 @@ def i12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile refreshes on its own batch cadence while the stream
     only ever touches the current micro-batch.  availableNow replay
     makes the result equal the pure-batch join, which is what the
-    oracle checks."""
+    oracle checks.
+
+    The profile mean uses the davg device (exact decimal sum /
+    count), NOT F.avg: a double avg is accumulation-order dependent,
+    and the round-11 hostile-layout soak caught exactly that — the
+    re-grouped parquet moved each engine's summation order
+    independently and 8 users' means crossed a 6-dp rounding
+    boundary in one engine but not the other.  Non-finite values
+    gate at both sides' scan edge (numeric.finite, mirrored in the
+    oracle), same as batch-twin i1 — also keeps the above_mean
+    comparison out of the engines' divergent NaN ordering."""
     profile = (
         t(spark, sf_dir, "events")
+        .where(finite("value"))
         .groupBy("user_id")
-        .agg(F.round(F.avg("value"), 6).alias("mean_value"))
+        .agg(davg("value").alias("mean_value"))
     )
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir).where(finite("value"))
     enriched = s.join(profile, "user_id").select(
         "event_id",
         "user_id",

@@ -82,6 +82,13 @@ def main():
         " size, input split size, vectorized reader...); results"
         " must be hash-identical to the default run",
     )
+    ap.add_argument(
+        "--sf-dir",
+        default=SF,
+        help="table directory (default sf0.01) — point at a mutated"
+        " physical layout (tools/layout_soak.py); each <t>.parquet"
+        " may be a single file or a directory of part files",
+    )
     args = ap.parse_args()
     for kv in args.conf:
         assert "=" in kv, f"--conf wants K=V, got {kv!r}"
@@ -110,6 +117,7 @@ def main():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sf = args.sf_dir
 
     rows = e.entry(spark).collect()
     assert len(rows) > 0, "entry() returned no rows"
@@ -118,7 +126,8 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet"
+            + ("/*.parquet')" if os.path.isdir(f"{sf}/{t}.parquet") else "')")
         )
 
     oracles = e.oracle_sql()
@@ -135,7 +144,7 @@ def main():
     report = {}
     for k in keys:
         try:
-            pdf = queries[k](spark, SF).toPandas()
+            pdf = queries[k](spark, sf).toPandas()
         except Exception as ex:
             fails.append((k, f"spark-error {type(ex).__name__}: {ex}"))
             report[k] = {"status": "spark-error", "err": str(ex)[:300]}
@@ -181,7 +190,7 @@ def main():
         with open(args.json, "w") as f:
             json.dump(
                 {
-                    "sf": SF,
+                    "sf": sf,
                     "tz": args.tz or "UTC",
                     "conf": args.conf,
                     "n_keys": len(keys),
