@@ -236,6 +236,11 @@ def main() -> None:
     # the window; every diagnostic (split, control ratios, loadavg,
     # cc-round counts) moves to bench_detail.json next to this file.
     detail = {
+        # which corpus produced these numbers — the suite's bench
+        # smoke runs at sf0.001 and overwrites this file, so a reader
+        # must be able to tell a test-run artifact from the sf0.1
+        # record the round commits
+        "sf": sf,
         # same clock as r02 (construct+exec); the split attributes
         # each query's time to plan construction (which for the kNN
         # kernel / connected components / global_rank does real
@@ -263,7 +268,13 @@ def main() -> None:
             " (control_degraded)" % tol
         ),
     }
-    with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
+    # SPARK_GRAFT_BENCH_DETAIL lets the suite's bench smoke write its
+    # sf0.001 detail somewhere else instead of clobbering the sf0.1
+    # record committed per round
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO, "bench_detail.json")
+    )
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     out = {

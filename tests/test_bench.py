@@ -26,9 +26,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_emits_contract_json():
+    import tempfile
+
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = env.get("SPARK_GRAFT_CPUS", "8")
+    # keep the smoke's sf0.001 detail out of the committed sf0.1 record
+    detail_path = os.path.join(tempfile.mkdtemp(prefix="bench_detail_"), "d.json")
+    env["SPARK_GRAFT_BENCH_DETAIL"] = detail_path
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -60,8 +65,9 @@ def test_bench_emits_contract_json():
     assert out["control_degraded"] is False
 
     # everything bulky moved to bench_detail.json (round 11)
-    with open(os.path.join(REPO, "bench_detail.json")) as f:
+    with open(detail_path) as f:
         detail = json.load(f)
+    assert detail["sf"] == 0.001
     assert set(detail["queries_split"]) == set(HEADLINE)
     for k, t in out["queries"].items():
         s = detail["queries_split"][k]
