@@ -36,11 +36,14 @@ def dsum(col: Column | str, scale: int = 6) -> Column:
 
 
 def davg(col: Column | str, scale: int = 6) -> Column:
-    """Exact-sum average: decimal sum → double, / count, rounded."""
+    """Exact-sum average: decimal sum → double, / non-null count,
+    rounded.  The denominator is ``count(col)`` — NULLs are excluded
+    exactly as in SQL ``AVG`` — so oracles mirroring this must divide
+    by ``count(col)``, not ``count(*)`` (round-12 fix: the previous
+    all-rows denominator silently diluted the mean when a NULL passed
+    the finite() gate)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1)), scale
-    )
+    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), scale)
 
 
 def cents(col: Column | str) -> Column:

@@ -9,6 +9,7 @@ matter).
 """
 
 from big_data_fknn_spark.plans.inspect import (
+    broadcast_hint_groupings,
     executed_plan,
     explain_summary,
     has_operator,
@@ -19,6 +20,7 @@ from big_data_fknn_spark.plans.inspect import (
 )
 
 __all__ = [
+    "broadcast_hint_groupings",
     "executed_plan",
     "explain_summary",
     "has_operator",

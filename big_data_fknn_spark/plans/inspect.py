@@ -141,6 +141,73 @@ def single_partition_consumers(plan: str) -> list[str]:
     return out
 
 
+def _agg_grouping_attrs(line: str) -> list[str]:
+    """Attribute names in the grouping list of an ``Aggregate`` line
+    from a logical-plan print.  ``Aggregate [out]`` (one top-level
+    bracket group) is a global scalar aggregate → ``[]``;
+    ``Aggregate [keys], [out]`` → the ``name#id`` attrs in keys."""
+    body = line[len("Aggregate "):]
+    groups, depth, start = [], 0, 0
+    for k, ch in enumerate(body):
+        if ch == "[":
+            if depth == 0:
+                start = k
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(body[start + 1 : k])
+    if len(groups) < 2:
+        return []
+    return re.findall(r"(\w+)#\d+", groups[0])
+
+
+def broadcast_hint_groupings(df: DataFrame) -> list:
+    """One entry per broadcast-strategy ``ResolvedHint`` in the
+    ANALYZED logical plan: the sorted union of grouping-attribute
+    names over every ``Aggregate`` inside the hinted subtree
+    (``[]`` = only scalar aggregates), or ``None`` when the subtree
+    holds no Aggregate at all — a raw relation under a forced
+    broadcast.
+
+    Why this is the 100 TB contract: a broadcast HINT bypasses
+    ``autoBroadcastJoinThreshold`` and Spark hard-fails any broadcast
+    over 8 GB, so a hinted side that grows with the corpus doesn't
+    get slow at 100× — it aborts the job.  Legitimate hints therefore
+    must aggregate their input down to a bounded cardinality first:
+    a scalar, or a grouping by an enum-bounded column (class label,
+    language, source).  tests/test_plans.py sweeps the de-hinted
+    dedup/vocab keys with this; the analyzed plan (not the physical
+    one) is inspected so the assertion is about what the query FORCES,
+    not what AQE happens to pick at test scale."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    parsed = [_depth_and_name(l) for l in plan.splitlines()]
+    out = []
+    for i, (d, name) in enumerate(parsed):
+        if not name.startswith("ResolvedHint (strategy=broadcast"):
+            continue
+        # only the TOPMOST Aggregate on each branch bounds what is
+        # broadcast — anything beneath it is already collapsed (e.g. a
+        # scalar total over a vocab-grouped count broadcasts one row,
+        # however large the inner grouping), so skip descendants of a
+        # seen Aggregate
+        groups = None
+        skip_below = None
+        for dj, nj in parsed[i + 1:]:
+            if dj <= d:
+                break
+            if skip_below is not None:
+                if dj > skip_below:
+                    continue
+                skip_below = None
+            if nj.startswith("Aggregate ["):
+                cols = _agg_grouping_attrs(nj)
+                groups = sorted(set(cols) | set(groups or []))
+                skip_below = dj
+        out.append(groups)
+    return out
+
+
 def explain_summary(df: DataFrame) -> str:
     """One line per interesting operator — the 100 TB code-review view."""
     lines = []

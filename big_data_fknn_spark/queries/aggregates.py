@@ -24,8 +24,8 @@ SELECT l_returnflag, l_linestatus,
        round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS sum_qty,
        round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS sum_base_price,
        round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 6)::VARCHAR::DOUBLE AS sum_disc_price,
-       round(sum(CAST(l_quantity AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(*), 6) AS avg_qty,
-       round(sum(CAST(l_discount AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(*), 6) AS avg_disc,
+       round(sum(CAST(l_quantity AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(l_quantity), 6) AS avg_qty,
+       round(sum(CAST(l_discount AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(l_discount), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'

@@ -656,7 +656,7 @@ def i11_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH profile AS (
   SELECT user_id,
          round(sum(CAST(value AS DECIMAL(38,10)))::VARCHAR::DOUBLE
-               / count(*), 6) AS mean_value
+               / count(value), 6) AS mean_value
   FROM events WHERE {fin_sql("value")} GROUP BY user_id
 )
 SELECT e.event_id, e.user_id, e.event_type,
@@ -678,7 +678,7 @@ def i12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks.
 
     The profile mean uses the davg device (exact decimal sum /
-    count), NOT F.avg: a double avg is accumulation-order dependent,
+    non-null count — SQL AVG semantics), NOT F.avg: a double avg is accumulation-order dependent,
     and the round-11 hostile-layout soak caught exactly that — the
     re-grouped parquet moved each engine's summation order
     independently and 8 users' means crossed a 6-dp rounding

@@ -273,8 +273,8 @@ def j8_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     sj = sizes.select(F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j"))
     jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
     return (
-        inter.join(F.broadcast(si), "doc_i")
-        .join(F.broadcast(sj), "doc_j")
+        inter.join(si, "doc_i")
+        .join(sj, "doc_j")
         .withColumn("jac", jac)
         .where(F.col("jac") >= _TAU)
         .select("doc_i", "doc_j", F.round("jac", 6).alias("jaccard"))
@@ -332,8 +332,8 @@ def j8b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sj = sizes.select(F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j"))
     jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
     return (
-        inter.join(F.broadcast(si), "doc_i")
-        .join(F.broadcast(sj), "doc_j")
+        inter.join(si, "doc_i")
+        .join(sj, "doc_j")
         .withColumn("jac", jac)
         .where(F.col("jac") >= _TAU)
         .select("doc_i", "doc_j", F.round("jac", 6).alias("jaccard"))
@@ -896,7 +896,11 @@ def j10_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize → TF → IDF → top-5 terms per doc.  All built-in SQL
     (the MLlib HashingTF+IDF pipeline gives hashed, engine-specific
     features — this variant is the oracle-able one).  Scale: tf and
-    df are partial-aggregable; df is broadcast back (vocab ≪ corpus)."""
+    df are partial-aggregable; the df re-join is a plain equi-join on
+    term — no forced hint, because vocab grows with the corpus (Heaps'
+    law: URLs/numbers alone blow the 8 GB broadcast ceiling at 100 TB).
+    AQE still broadcasts it when the runtime size is genuinely small;
+    otherwise tf and df co-partition on the term key."""
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -904,7 +908,7 @@ def j10_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.count()  # tiny scalar; at scale: a broadcast single-row agg
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n)) / F.col("df")))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
@@ -1394,8 +1398,8 @@ def j8f_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sj = sizes.select(F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j"))
     jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
     pairs = (
-        inter.join(F.broadcast(si), "doc_i")
-        .join(F.broadcast(sj), "doc_j")
+        inter.join(si, "doc_i")
+        .join(sj, "doc_j")
         .where(jac >= _TAU)
         .select("doc_i", "doc_j")
     )
@@ -1903,11 +1907,12 @@ def j27_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     likely noise; low = repetitive boilerplate.
 
     Plan: one explode → token-count aggregate (the vocabulary,
-    orders of magnitude smaller than the corpus) → broadcast back
-    onto the token stream → per-doc mean.  The vocab table is the
-    only shuffle product; the re-join is broadcast, so the token
-    stream is read exactly twice and never shuffles by token a
-    second time.  ln() differs ≤1 ulp between engines; per-doc sums
+    orders of magnitude smaller than the corpus) → re-join onto the
+    token stream → per-doc mean.  The re-join carries no forced
+    broadcast hint: vocab is Heaps-sublinear but unbounded, so at
+    100 TB it can exceed the 8 GB broadcast cap — AQE broadcasts it
+    when actually small and otherwise both sides co-partition on the
+    token key.  ln() differs ≤1 ulp between engines; per-doc sums
     of ~10² terms keep that drift ~9 orders below the 6dp round.
     """
     d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
@@ -1915,7 +1920,7 @@ def j27_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("tk").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("n"))
     nll = (
-        tok.join(F.broadcast(freq), "tk")
+        tok.join(freq, "tk")
         .crossJoin(F.broadcast(total))
         .select("doc_id", (-F.log(F.col("cnt") / F.col("n"))).alias("nll"))
     )
@@ -2094,15 +2099,17 @@ def j31_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters (j8f's min-label propagation) → left join back onto
     documents, singletons surviving as their own canonical.
 
-    The final join is by doc_id against a cluster table that is at
-    most the size of the near-dup subset — tiny at any scale — so
-    the labeling pass costs one broadcast join over the corpus scan.
+    The final join is by doc_id against the cluster table.  On real
+    web corpora the near-dup subset is 20-50% of documents — corpus
+    scale, NOT broadcastable — so the label join is a plain doc_id
+    equi-join that co-partitions with the corpus scan; AQE broadcasts
+    it only when the dup subset is genuinely small.
     """
     clusters = j8f_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     docs = t(spark, sf_dir, "documents").select("doc_id")
     lab = F.coalesce("cluster_id", "doc_id")
     return (
-        docs.join(F.broadcast(clusters), "doc_id", "left")
+        docs.join(clusters, "doc_id", "left")
         .select(
             "doc_id",
             lab.alias("cluster_id"),
@@ -2156,8 +2163,9 @@ def j32_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rank key is the *rounded* score (+ doc_id), so the top-20
     cut is engine-independent.
 
-    Scale: tf/df/doclen are partial-aggregable; df and the corpus
-    stats are tiny and broadcast back onto the tf stream; the query
+    Scale: tf/df/doclen are partial-aggregable; the df re-join is an
+    unhinted term equi-join (vocab is unbounded at corpus scale — AQE
+    broadcasts it only when actually small); the query
     filter prunes the token stream before the doc-keyed shuffle.
     The final top-20 is a TakeOrderedAndProject, never a global
     sort."""
@@ -2188,7 +2196,7 @@ def j32_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(dl, "doc_id")
         .groupBy("doc_id")
         .agg(
@@ -2711,12 +2719,15 @@ def j42_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank order in both engines (float drift ~1e-13 against gaps of
     O(0.01)).
 
-    Scale shape: the model IS two tiny aggregates (V x k likelihoods,
-    k priors) — broadcast back onto the exploded token stream, which
-    itself shuffles once on (doc, class).  Training cost is one scan
-    of the corpus regardless of k; scoring is map-side except the
-    final per-doc argmax.  The grid join is the same broadcast-dim
-    pattern as every TPC-H shape here."""
+    Scale shape: the model is two aggregates (V x k likelihoods, k
+    priors) re-joined onto the exploded token stream, which itself
+    shuffles once on (doc, class).  The k-row per-class tables
+    (priors, totals, defaults) keep their broadcast hints — bounded
+    by the label enum — but the V-sized likelihood and vocab tables
+    are joined unhinted: V grows with the corpus, so AQE decides
+    (broadcast when small, co-partitioned shuffle on the token key
+    when not).  Training cost is one scan of the corpus regardless
+    of k; scoring is map-side except the final per-doc argmax."""
     d = t(spark, sf_dir, "documents").where(F.col("text") != "")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
@@ -2760,12 +2771,12 @@ def j42_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     te_doc = d.where(F.col("doc_id") % 5 == 0).select("doc_id", "lang")
     te_tok = tok.where(F.col("doc_id") % 5 == 0).select("doc_id", "w")
     seen = (
-        te_tok.join(F.broadcast(lik), "w")
+        te_tok.join(lik, "w")
         .groupBy("doc_id", "cls")
         .agg(F.sum("l").alias("s"))
     )
     oov = (
-        te_tok.join(F.broadcast(vocab), "w", "left_anti")
+        te_tok.join(vocab, "w", "left_anti")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_oov"))
     )
@@ -2999,9 +3010,11 @@ def j48_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram itself.
 
     Scale: vocab² never materializes — only observed bigrams (≤
-    corpus token count) reach the aggregate; the unigram-count join
-    is a broadcast (vocab ≪ corpus).  100 TB: identical shape, with
-    the two global counts as scalar subquery broadcasts.
+    corpus token count) reach the aggregate; the unigram-count joins
+    are unhinted equi-joins on the word key (vocab is unbounded at
+    corpus scale; AQE broadcasts them only when actually small).
+    100 TB: identical shape, with the two global counts as scalar
+    subquery broadcasts.
     """
     d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
     uni = d.select(F.explode("w").alias("tok"))
@@ -3034,8 +3047,8 @@ def j48_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         else F.lit(None).cast("double")
     )
     return (
-        bcnt.join(F.broadcast(x), "w1")
-        .join(F.broadcast(y), "w2")
+        bcnt.join(x, "w1")
+        .join(y, "w2")
         .select(
             "w1",
             "w2",
@@ -3079,7 +3092,9 @@ def j50_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same inverted-index shape as j8b — explode (doc, shingle),
     equi-join on the shingle, count per ordered pair — so work is
-    Σ_shingle df², never |docs|²; the size table broadcasts back.
+    Σ_shingle df², never |docs|²; the per-doc size table re-joins
+    unhinted (one row per document = corpus cardinality; AQE
+    broadcasts it only when actually small).
     The ratio is int/int, one identical double per engine.
 
     Scale: at 100 TB the shingle join keys would be hashed to int64
@@ -3098,7 +3113,7 @@ def j50_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     si = sizes.select(F.col("doc_id").alias("doc_i"), F.col("n").alias("n_i"))
     return (
-        inter.join(F.broadcast(si), "doc_i")
+        inter.join(si, "doc_i")
         .withColumn("cont", F.col("i").cast("double") / F.col("n_i"))
         .where(F.col("cont") >= _CONT_TAU)
         .select("doc_i", "doc_j", F.round("cont", 6).alias("containment"))
@@ -3169,8 +3184,8 @@ def j51_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sj = sizes.select(F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j"))
     jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
     truth = (
-        inter.join(F.broadcast(si), "doc_i")
-        .join(F.broadcast(sj), "doc_j")
+        inter.join(si, "doc_i")
+        .join(sj, "doc_j")
         .where(jac >= _TAU)
         .select("doc_i", "doc_j")
     )
@@ -3333,13 +3348,13 @@ def j53_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sj = sizes.select(F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j"))
     jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
     exact = (
-        inter.join(F.broadcast(si), "doc_i")
-        .join(F.broadcast(sj), "doc_j")
+        inter.join(si, "doc_i")
+        .join(sj, "doc_j")
         .select("doc_i", "doc_j", F.round(jac, 6).alias("exact_jac"))
     )
     return (
-        cand.join(F.broadcast(sa), "doc_i")
-        .join(F.broadcast(sb), "doc_j")
+        cand.join(sa, "doc_i")
+        .join(sb, "doc_j")
         .select("doc_i", "doc_j", matches.alias("matches"))
         .join(exact, ["doc_i", "doc_j"])
         .select(
@@ -3383,12 +3398,14 @@ def j54_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     own bigram counts — the next rung above j27's unigram proxy
     (catches scrambled-word soup that unigram stats can't).  Bigrams
     build scan-locally (j48's shifted-slice zip); both count tables
-    broadcast back onto the bigram stream (vocab ≪ corpus); ln terms
+    re-join onto the bigram stream unhinted (bigram/unigram vocab is
+    unbounded at corpus scale — AQE broadcasts when actually small,
+    else the streams co-partition on the word keys); ln terms
     are identical doubles of int ratios and per-doc averages of ~30
     terms keep the ≤1-ulp libm drift ~6 orders below the 6dp round
     (the j27 precedent).
 
-    Scale: two broadcast joins + two partial-agg count tables; the
+    Scale: two unhinted equi-joins + two partial-agg count tables; the
     bigram-count table is the only vocabulary²-bounded object and is
     df-capped in practice (observed bigrams ≤ corpus tokens)."""
     d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
@@ -3406,8 +3423,8 @@ def j54_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ufreq = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cx"))
     v = ufreq.count()
     nll = (
-        bg.join(F.broadcast(bcnt), ["w1", "w2"])
-        .join(F.broadcast(ufreq.withColumnRenamed("tok", "w1")), "w1")
+        bg.join(bcnt, ["w1", "w2"])
+        .join(ufreq.withColumnRenamed("tok", "w1"), "w1")
         .select(
             "doc_id",
             (

@@ -770,7 +770,7 @@ SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
             WHEN c_acctbal < 5000 THEN 'low'
             ELSE 'high' END AS band,
        count(*) AS n,
-       round(sum(CAST(c_acctbal AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(*), 6) AS avg_bal
+       round(sum(CAST(c_acctbal AS DECIMAL(38,10)))::VARCHAR::DOUBLE / count(c_acctbal), 6) AS avg_bal
 FROM customer
 WHERE {fin_sql("c_acctbal")}
 GROUP BY 1

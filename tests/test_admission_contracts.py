@@ -108,3 +108,17 @@ def test_vector_admission_agrees_cross_engine(spark, tmp_path, vec, admit):
         == 1
     )
     assert got_spark == got_duck == admit
+
+
+def test_davg_excludes_nulls_like_sql_avg(spark):
+    """davg's denominator is the NON-NULL count (SQL AVG semantics):
+    a NULL that passes the finite() gate must not dilute the mean.
+    Round-12 fix — the previous count(*) denominator silently turned
+    'avg of values' into 'sum / row-count'."""
+    from big_data_fknn_spark.functions.numeric import davg
+
+    sdf = spark.createDataFrame(
+        [(1, 2.0), (1, 4.0), (1, None)], "g int, x double"
+    ).where(finite("x"))
+    got = sdf.groupBy("g").agg(davg("x").alias("m")).collect()[0]["m"]
+    assert got == 3.0, got  # (2+4)/2 non-null, not /3 rows

@@ -668,3 +668,81 @@ def test_single_partition_consumers_helper(spark):
     assert consumers and any(c.startswith(("Sort", "Window")) for c in consumers), (
         consumers
     )
+
+
+# ------------------------- round-12 broadcast-hint boundedness sweep
+#
+# A broadcast HINT bypasses autoBroadcastJoinThreshold, and Spark
+# hard-fails any broadcast over 8 GB — so a hinted relation whose size
+# scales with the corpus doesn't get slow at 100×, it aborts the job.
+# Round 12 removed every such hint (per-doc size tables in the
+# dedup/containment family, the j31 cluster table, the vocab tier);
+# these tests pin that they stay gone.  The ANALYZED logical plan is
+# inspected (broadcast_hint_groupings), not the physical plan, so the
+# assertion is about what the query FORCES — AQE is still free to
+# broadcast the genuinely-small sides at runtime, which is the point.
+
+# enum-bounded grouping columns: a hint over an aggregate grouped only
+# by these is bounded at any corpus size (k classes / languages /
+# sources), like a dim table
+_BOUNDED_GROUP_COLS = {"lang", "cls", "source"}
+
+# keys whose corpus-scaling hints were removed in round 12, plus the
+# two sampler keys whose per-source hints are the legitimate pattern
+# the rule must keep admitting
+_HINT_SWEPT_KEYS = [
+    "j8_dedup_near",
+    "j8b_ngram_jaccard",
+    "j8f_dedup_clusters",
+    "j10_text_tfidf",
+    "j27_unigram_logprob",
+    "j31_dedup_survivors",
+    "j32_bm25",
+    "j38_mixture_rebalance",
+    "j42_naive_bayes",
+    "j48_pmi_bigrams",
+    "j50_containment",
+    "j51_lsh_eval",
+    "j52_weighted_sample",
+    "j53_minhash_estimate",
+    "j54_bigram_lm",
+]
+
+
+@pytest.mark.parametrize("key", _HINT_SWEPT_KEYS)
+def test_no_corpus_relation_under_broadcast_hint(spark, key):
+    from big_data_fknn_spark.plans import broadcast_hint_groupings
+
+    df = q(spark, key)
+    for groups in broadcast_hint_groupings(df):
+        assert groups is not None, (
+            f"{key}: broadcast hint over a subtree with no aggregate — "
+            "an unbounded relation is being force-broadcast"
+        )
+        assert set(groups) <= _BOUNDED_GROUP_COLS, (
+            f"{key}: broadcast hint over an aggregate grouped by "
+            f"{groups} — corpus-cardinality keys must not be hinted"
+        )
+
+
+def test_broadcast_hint_groupings_helper(spark):
+    """The helper must classify all three shapes: scalar-agg hint →
+    [], enum-grouped hint → its columns, raw-relation hint → None."""
+    from big_data_fknn_spark.plans import broadcast_hint_groupings
+
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    scalar = base.agg(F.count(F.lit(1)).alias("n"))
+    assert broadcast_hint_groupings(base.crossJoin(F.broadcast(scalar))) == [[]]
+
+    byl = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    assert broadcast_hint_groupings(base.join(F.broadcast(byl), "lang")) == [
+        ["lang"]
+    ]
+
+    raw = base.select("id", F.col("lang").alias("l2"))
+    got = broadcast_hint_groupings(
+        base.join(F.broadcast(raw), "id")
+    )
+    assert got == [None], got

@@ -355,3 +355,31 @@ def test_i8_oversized_state_stays_lazy(spark, monkeypatch):
     plan = got_df._jdf.queryExecution().optimizedPlan().toString()
     assert "LocalRelation" not in plan, "oversized state was collected"
     assert rows(got_df, *key_cols) == want
+
+
+def test_run_to_memory_oversized_result_skips_localrelation_lift(
+    spark, monkeypatch
+):
+    """Above REPLAY_COLLECT_CAP rows, run_to_memory must NOT double
+    the sink's driver-side footprint through a LocalRelation lift
+    (round-11 verdict item 2 — the i8 cap contract applied to the
+    memory-sink drain): it returns the sink table itself, keeps the
+    catalog entry alive (the returned frame reads from it), and the
+    rows still equal the eager path's."""
+    from big_data_fknn_spark.streaming import replay
+
+    key = "i5_stream_dedup"
+    want = rows(DEFS[key].fn(spark, SF_DIR), "event_id")
+
+    monkeypatch.setattr(replay, "REPLAY_COLLECT_CAP", 0)
+    before = {v.name for v in spark.catalog.listTables()}
+    got_df = DEFS[key].fn(spark, SF_DIR)
+    plan = got_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" not in plan, "oversized sink was lifted"
+    # the sink catalog entry must survive — the frame reads from it
+    live = {v.name for v in spark.catalog.listTables()} - before
+    assert any(n.startswith("sink_") for n in live), live
+    assert rows(got_df, "event_id") == want
+    # cleanup so later tests see the usual empty-catalog baseline
+    for n in live:
+        spark.catalog.dropTempView(n)

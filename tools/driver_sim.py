@@ -89,6 +89,15 @@ def main():
         " physical layout (tools/layout_soak.py); each <t>.parquet"
         " may be a single file or a directory of part files",
     )
+    ap.add_argument(
+        "--master",
+        default="local[8]",
+        help="Spark master (default local[8]).  local-cluster[2,8,4096]"
+        " runs REAL separate executor JVMs on this host — torrent"
+        " broadcast serialization, socket-level shuffle, per-executor"
+        " Python workers — the one execution shape local[*] cannot"
+        " show; results must be hash-identical to the local drive",
+    )
     args = ap.parse_args()
     for kv in args.conf:
         assert "=" in kv, f"--conf wants K=V, got {kv!r}"
@@ -103,9 +112,15 @@ def main():
     import duckdb
     from pyspark.sql import SparkSession
 
-    b = SparkSession.builder.master("local[8]").config(
+    b = SparkSession.builder.master(args.master).config(
         "spark.sql.shuffle.partitions", "8"
     ).config("spark.ui.enabled", "false")
+    if args.master.startswith("local-cluster"):
+        # executor JVMs spawn their own Python workers in their own
+        # working dirs — the package must resolve via PYTHONPATH, not
+        # cwd (the driver-side sys.path.insert above does not travel)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        b = b.config("spark.executorEnv.PYTHONPATH", repo)
     if args.tz:
         # hostile default: the engine's get_spark() must win over this
         b = b.config("spark.sql.session.timeZone", args.tz)
@@ -125,9 +140,12 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
+        # recursive glob so the oracle side tolerates the same
+        # directory shapes Spark's reader does (multi-part dirs,
+        # nested/Hive-partitioned subdirs from a hostile writer)
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet"
-            + ("/*.parquet')" if os.path.isdir(f"{sf}/{t}.parquet") else "')")
+            + ("/**/*.parquet')" if os.path.isdir(f"{sf}/{t}.parquet") else "')")
         )
 
     oracles = e.oracle_sql()

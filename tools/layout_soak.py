@@ -52,13 +52,32 @@ PARTS = 3
 ROW_GROUP = 512
 
 
+def _fingerprint() -> str:
+    """Source mtimes/sizes + the build constants: if either changes,
+    the cached /tmp corpus is stale and must rebuild automatically —
+    a bare existence marker silently revalidated old data when SRC
+    was regenerated or PARTS/ROW_GROUP/decoy logic moved."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(f"parts={PARTS};rg={ROW_GROUP};decoy=__layout_decoy;".encode())
+    for name in TABLES:
+        p = f"{SRC}/{name}.parquet"
+        st = os.stat(p)
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()
+
+
 def build(rebuild: bool) -> str:
     import pyarrow.parquet as pq
 
     marker = os.path.join(DST, "_LAYOUT_OK")
+    fp = _fingerprint()
     if os.path.exists(marker) and not rebuild:
-        print(f"layout corpus present at {DST} (use --rebuild to force)")
-        return DST
+        if open(marker).read().strip() == fp:
+            print(f"layout corpus present at {DST} (use --rebuild to force)")
+            return DST
+        print("layout corpus fingerprint mismatch — rebuilding")
     shutil.rmtree(DST, ignore_errors=True)
     os.makedirs(DST)
     import pyarrow as pa
@@ -89,7 +108,8 @@ def build(rebuild: bool) -> str:
             f"  {name:10s} {n:7d} rows -> {parts} parts, cols {cols[:3]}...",
             flush=True,
         )
-    open(marker, "w").close()
+    with open(marker, "w") as f:
+        f.write(fp + "\n")
     return DST
 
 

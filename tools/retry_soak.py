@@ -40,6 +40,13 @@ resubmitted stage reuses the plan on a cluster.
     python tools/retry_soak.py                  # default key set, exit 1 on drift
     python tools/retry_soak.py --keys j1_knn_crisp,j3_fknn_stage2
     python tools/retry_soak.py --json RETRYSOAK.json
+    python tools/retry_soak.py --sf-dir /tmp/layout_sf001   # retry x layout
+
+``--sf-dir`` (round 12) composes this axis with a mutated physical
+layout (tools/layout_soak.py): task first-attempt failures and
+hostile-writer layouts CO-OCCUR on real clusters, and a retry that
+re-lists a multi-part directory or re-reads a shuffled-column file
+must still be attempt-invariant.
 """
 
 from __future__ import annotations
@@ -175,7 +182,7 @@ def _session(spec: bool):
 def _run_key(spark, qs, key: str, mode: str):
     spark.sparkContext.setLocalProperty(_MODE_KEY, mode)
     try:
-        df = qs[key](spark, SF)
+        df = qs[key](spark, SF)  # SF rebound by --sf-dir in main()
         w = _wrap(df, f"result:{key}")
         return _hash((w if w is not None else df).toPandas())
     finally:
@@ -186,7 +193,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--keys", default=None)
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--sf-dir",
+        default=SF,
+        help="table directory — point at a mutated layout corpus"
+        " (tools/layout_soak.py) to compose retry x layout",
+    )
     args = ap.parse_args()
+    global SF
+    SF = args.sf_dir
+    assert os.path.isdir(SF) or os.path.exists(f"{SF}/region.parquet"), (
+        f"--sf-dir not found: {SF}"
+    )
 
     _patch_readers()
     from big_data_fknn_spark.cache import release_query_caches

@@ -281,8 +281,14 @@ FROM clus cl JOIN canon ca USING (crep)
 HASH_ALT_ORACLE = {"j31_dedup_survivors": _j31_scalable_oracle}
 
 
-def hash_parity(spark, dst: str) -> None:
-    """Strict raw-hash Spark-vs-DuckDB parity on the synthesized sf1."""
+def hash_parity(spark, dst: str, json_path: str | None = None) -> None:
+    """Strict raw-hash Spark-vs-DuckDB parity on the synthesized sf1.
+
+    Timings are split per key into spark_s (query build + toPandas)
+    and oracle_s (DuckDB run) — round-11 verdict: a lump sum cannot
+    attribute the heavy tail, so a Spark-superlinear key could hide
+    inside an expensive oracle.  ``--json PATH`` writes the per-key
+    artifact."""
     import hashlib
 
     import duckdb
@@ -306,8 +312,10 @@ def hash_parity(spark, dst: str) -> None:
             f"SELECT * FROM read_parquet('{dst}/{name}.parquet')"
         )
     bad: list[str] = []
+    report: dict[str, dict] = {}
     for key, why in HASH_EXCLUDED.items():
         print(f"  HASH {key:28s} SKIPPED ({why}; see HASH_EXCLUDED)", flush=True)
+        report[key] = {"status": "SKIPPED", "why": why}
     for key in HASH_KEYS:
         release_query_caches()
         t0 = time.time()
@@ -318,35 +326,72 @@ def hash_parity(spark, dst: str) -> None:
             print(f"  HASH {key:28s} SPARK-ERROR {type(ex).__name__}: {ex}",
                   flush=True)
             bad.append(key)
+            report[key] = {"status": "SPARK-ERROR", "err": str(ex)[:300]}
             continue
+        spark_s = round(time.time() - t0, 1)
         if qd.oracle is None:
             print(
                 f"  HASH {key:28s} rows-only rows={len(pdf)}"
-                f" ({time.time() - t0:.1f}s)",
+                f" (spark {spark_s}s)",
                 flush=True,
             )
+            report[key] = {
+                "status": "rows-only", "spark_rows": len(pdf),
+                "spark_s": spark_s,
+            }
             continue
         oracle = qd.oracle
-        if key in HASH_ALT_ORACLE:
+        alt = key in HASH_ALT_ORACLE
+        if alt:
             oracle = HASH_ALT_ORACLE[key]()
             print(f"  HASH {key:28s} using scalable alternate oracle", flush=True)
+        t1 = time.time()
         try:
             opdf = con.sql(oracle).df()
         except Exception as ex:
             print(f"  HASH {key:28s} ORACLE-ERROR {type(ex).__name__}: {ex}",
                   flush=True)
             bad.append(key)
+            report[key] = {
+                "status": "ORACLE-ERROR", "err": str(ex)[:300],
+                "spark_s": spark_s,
+            }
             continue
+        oracle_s = round(time.time() - t1, 1)
         hs, ns = h(pdf)
         ho, no = h(opdf)
         ok = hs == ho and ns == no
         print(
             f"  HASH {key:28s} {'MATCH' if ok else 'MISMATCH'}"
-            f" spark={ns} oracle={no} ({time.time() - t0:.1f}s)",
+            f" spark={ns} oracle={no}"
+            f" (spark {spark_s}s, oracle {oracle_s}s)",
             flush=True,
         )
         if not ok:
             bad.append(key)
+        report[key] = {
+            "status": "MATCH" if ok else "MISMATCH",
+            "spark_rows": ns, "oracle_rows": no,
+            "spark_s": spark_s, "oracle_s": oracle_s,
+        }
+        if alt:
+            report[key]["oracle"] = "scalable alternate (HASH_ALT_ORACLE)"
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "clean": not bad,
+                    "corpus": "synthesized sf1 (10 key-shifted copies of"
+                              " sf0.1, /tmp/soak_sf1)",
+                    "hash": "driver_sim strict raw-string md5,"
+                            " columns+rows sorted",
+                    "timing": "spark_s = plan build + toPandas;"
+                              " oracle_s = DuckDB run on the same corpus",
+                    "keys": report,
+                },
+                f, indent=1, sort_keys=True,
+            )
+        print(f"scale-soak artifact -> {json_path}", flush=True)
     print(f"scale-soak hash: {'CLEAN' if not bad else json.dumps(bad)}",
           flush=True)
     sys.exit(1 if bad else 0)
@@ -375,8 +420,15 @@ def main() -> None:
             missing = [k for k in want if k not in known]
             assert not missing, f"unknown keys: {missing}"
             HASH_KEYS = want
+        json_path = None
+        if "--json" in sys.argv:
+            idx = sys.argv.index("--json") + 1
+            assert idx < len(sys.argv) and not sys.argv[idx].startswith(
+                "--"
+            ), "--json requires a path"
+            json_path = sys.argv[idx]
         spark = get_spark(app_name="scale_soak_hash")
-        hash_parity(spark, dst)
+        hash_parity(spark, dst, json_path)
         return
     spark = get_spark(app_name="scale_soak")
     base = profile(spark, SRC, KEYS)
