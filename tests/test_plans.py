@@ -607,7 +607,12 @@ _HEADLINE_SHUFFLE_BOUNDS = {
     "j9b_sim_search_ivf": 3,  # cluster assign + equi-join + topk
     "j10_text_tfidf": 4,
     "x32_tpch_q8": 1,         # 7 broadcast dims, ONE fact shuffle
-    "j31_dedup_survivors": 0, # CC rounds run at construct (checkpoints)
+    "j31_dedup_survivors": 2, # CC rounds run at construct (checkpoints);
+    # the final doc_id label join is UNHINTED since round 12 (the
+    # cluster table is corpus-scale on real web corpora — a forced
+    # broadcast would abort at the 8 GB cap), so the pre-AQE plan
+    # shows both equi-join sides shuffling; at runtime AQE broadcasts
+    # the genuinely small side and the exchanges collapse
     "j46_fpgrowth": 0,        # MLlib fit at construct
     "x65_rfm_segmentation": 4,  # 1 orders agg + 3 bucketed windows
 }

@@ -210,6 +210,7 @@ def main():
                 {
                     "sf": sf,
                     "tz": args.tz or "UTC",
+                    "master": args.master,
                     "conf": args.conf,
                     "n_keys": len(keys),
                     "match": n_match,

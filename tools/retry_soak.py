@@ -190,6 +190,7 @@ def _run_key(spark, qs, key: str, mode: str):
 
 
 def main() -> None:
+    global SF
     ap = argparse.ArgumentParser()
     ap.add_argument("--keys", default=None)
     ap.add_argument("--json", default=None)
@@ -200,7 +201,6 @@ def main() -> None:
         " (tools/layout_soak.py) to compose retry x layout",
     )
     args = ap.parse_args()
-    global SF
     SF = args.sf_dir
     assert os.path.isdir(SF) or os.path.exists(f"{SF}/region.parquet"), (
         f"--sf-dir not found: {SF}"
