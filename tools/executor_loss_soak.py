@@ -64,6 +64,12 @@ DEFAULT_KEYS = [
     "j8_dedup_near",
     "j1_knn_crisp",
     "x65_rfm_segmentation",
+    # streaming under executor death: the availableNow replay's state
+    # store must reload from checkpoint deltas on the replacement
+    # executor (i13), and the file sink's _spark_metadata commit log
+    # must stay exactly-once through lost write tasks (i10)
+    "i13_stream_tumbling_live",
+    "i10_stream_file_sink",
 ]
 
 
