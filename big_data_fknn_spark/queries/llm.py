@@ -905,11 +905,18 @@ def j10_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.count()  # tiny scalar; at scale: a broadcast single-row agg
+    # corpus size as a broadcast single-row aggregate (a scalar agg is
+    # exactly what the hint discipline allows) — one plan, no separate
+    # driver-side count job
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         tf.join(df, "term")
-        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n)) / F.col("df")))
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
         .select("doc_id", "term", "rn", F.round("tfidf", 6).alias("tfidf"))

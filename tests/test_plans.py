@@ -605,7 +605,12 @@ _HEADLINE_SHUFFLE_BOUNDS = {
     # (measured: sf0.1 exec 0.4-0.5 s, within noise of pre-cap)
     "j9_sim_search": 1,
     "j9b_sim_search_ivf": 3,  # cluster assign + equi-join + topk
-    "j10_text_tfidf": 4,
+    "j10_text_tfidf": 5,      # +1 in r12: the corpus count moved from
+    # a separate driver-side d.count() job (whose exchanges this test
+    # never saw) INTO the plan as a broadcast single-row aggregate —
+    # the extra exchange is the canonical one-row-per-task
+    # SinglePartition crossing of a global count, strictly cheaper
+    # than the extra scan job it replaced
     "x32_tpch_q8": 1,         # 7 broadcast dims, ONE fact shuffle
     "j31_dedup_survivors": 2, # CC rounds run at construct (checkpoints);
     # the final doc_id label join is UNHINTED since round 12 (the
