@@ -91,13 +91,21 @@ def fknn_classify(
     knn = knn.withColumn(
         "w", F.lit(1.0) / F.greatest(F.col("dist") * F.col("dist"), F.lit(EPS))
     )
-    # total weight per query — separate small agg, rejoined on q_id
-    totw = knn.groupBy("q_id").agg(F.sum("w").alias("tw"))
+    # total weight per query — an unbounded-frame window sum over the
+    # SAME q_id partitioning the top-k window just established, so it
+    # adds no exchange (round-12: previously a separate groupBy(q_id)
+    # aggregate joined back on q_id — one extra shuffle + one join,
+    # and the knn subtree's window/filter re-ran once per branch).
+    # Value-identical: the k weights are summed in the same
+    # (dist, n_id) order the partition is already sorted in.
+    wq = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("n_id").asc())
+    knn = knn.withColumn(
+        "tw", F.sum("w").over(wq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    )
     scores = (
         knn.join(memberships, knn.n_id == memberships.vec_id)
-        .groupBy("q_id", "q_label", "cls")
+        .groupBy("q_id", "q_label", "cls", "tw")
         .agg(F.sum(F.col("w") * F.col("u")).alias("s"))
-        .join(totw, "q_id")
         .withColumn("u_norm", F.col("s") / F.col("tw"))
     )
     pick = Window.partitionBy("q_id").orderBy(F.col("u_norm").desc(), F.col("cls").asc())

@@ -29,6 +29,19 @@ Round-4 construct-cost cuts (j31's bench time is ~all CC rounds):
   returning non-fixpoint labels, and the round count of the last run
   is exposed (``LAST_RUN_ROUNDS``) so the bench can attribute j31's
   construct time.
+
+Round-12 (optimization round) action fusion: every ``localCheckpoint``
+here is LAZY (``eager=False``).  A lazy local checkpoint marks the
+RDD persisted + lineage-truncated but runs no job of its own — the
+NEXT action (the convergence fingerprint, which needs every partition
+because its aggregate is global) materializes it as a side effect.
+That halves the driver actions per round (materialize+fingerprint ride
+ONE job instead of two) and drops the separate edge/init materialize
+jobs entirely: 5 actions for a 2-round run became 2.  At scale the
+same fusion removes one full pass over the label table per round (the
+fingerprint scan previously re-read what the checkpoint job had just
+written).  Measured at sf0.1 (bench j31, construct): 2.64 s → ~1.4 s
+with identical results (oracle hash unchanged).
 """
 
 from __future__ import annotations
@@ -107,14 +120,14 @@ def connected_components(
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).unionByName(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     )
-    sym = sym.localCheckpoint()
+    sym = sym.localCheckpoint(eager=False)
 
     # fused init + first propagation round: min(own id, min neighbor)
     labels = (
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("mn"))
         .select("node", F.least(F.col("node"), F.col("mn")).alias("lab"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = _label_sum(labels)
     rounds = 1
@@ -144,7 +157,7 @@ def connected_components(
             labels = labels.join(hop, "lab", "left").select(
                 "node", F.least("lab", F.coalesce("lab2", "lab")).alias("lab")
             )
-        labels = labels.localCheckpoint()
+        labels = labels.localCheckpoint(eager=False)
         rounds += 1
         s = _label_sum(labels)
         if s == prev_sum:

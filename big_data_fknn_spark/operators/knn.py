@@ -44,6 +44,12 @@ from big_data_fknn_spark.functions.distance import cosine_sim, euclidean, manhat
 # ≈ 50 MB per chunk — well under torrent-broadcast comfort.
 _CHUNK = 100_000
 
+# Cap on the dense distance-plane size inside the BLAS kernel:
+# |Q| × |candidate tile| ≤ _TILE_CELLS (2M float64 cells ≈ 16 MB per
+# plane, ~3 planes live with the matmul temporaries).  Bounds executor
+# memory for ANY query-chunk size × Arrow batch size combination.
+_TILE_CELLS = 2_000_000
+
 # Above this many query rows the broadcast-kernel plan stops making
 # sense (the union of chunk broadcasts itself becomes gigabytes of
 # driver/executor block-manager state): fall back to the fully
@@ -190,8 +196,36 @@ def knn_join_blas(
     spark = queries.sparkSession
     sc = spark.sparkContext
 
-    # One distributed count decides the strategy; it never moves rows.
-    n_q = queries.count()
+    q_src = queries.select(F.col(q_id).alias("_q_id"), F.col(q_vec).alias("_q_vec"))
+
+    # Round-12 fusion: ONE bounded fetch job both decides the strategy
+    # and delivers the query set in the dominant single-chunk regime.
+    # ``take(chunk_rows + 1)`` holds at most one chunk (+1 row) on the
+    # driver — exactly the memory envelope the old count()-then-
+    # collect() pair guaranteed — but replaces its two full passes
+    # over the query scan with one.  ``initialNumPartitions`` is
+    # raised for the call so the limit scans every partition in a
+    # single job instead of the default 1, 4, 16… escalation (4 tiny
+    # jobs on a 32-partition input).  Only when the bound trips
+    # (> chunk_rows rows exist) do we pay the count that the
+    # multi-chunk / fallback decision needs — there the extra job is
+    # noise against the work that follows.
+    _LIM_KEY = "spark.sql.limit.initialNumPartitions"
+    _lim_old = spark.conf.get(_LIM_KEY, None)
+    spark.conf.set(_LIM_KEY, "100000")
+    try:
+        head = q_src.take(chunk_rows + 1)
+    finally:
+        if _lim_old is None:
+            spark.conf.unset(_LIM_KEY)
+        else:
+            spark.conf.set(_LIM_KEY, _lim_old)
+    if len(head) <= chunk_rows:
+        n_q = len(head)
+    else:
+        head = None
+        # One distributed count decides the strategy; it never moves rows.
+        n_q = queries.count()
     if n_q > max_broadcast_rows:
         _last_fallback = True
         _last_num_chunks = 0
@@ -217,12 +251,24 @@ def knn_join_blas(
     cand = candidates.select(
         F.col(c_id).alias("n_id"), F.col(c_vec).alias("_c_vec")
     )
+    # Round-12: fill the cluster when the candidate scan under-splits
+    # (guide §2.5 "input skew: one huge unsplittable file →
+    # repartition immediately after the read").  A single-row-group
+    # parquet file scans as ONE task no matter how many cores exist —
+    # at bench scale the whole BLAS kernel was running serially on one
+    # of 32 cores.  Only fires when partitions < cores (at real scale
+    # a candidate table spans ≫ cores splits, so no payload ever moves
+    # there); round-robin keeps sizes even and the kernel is
+    # row-order-invariant (partition_invariance-proven).
+    par = sc.defaultParallelism
+    if cand.rdd.getNumPartitions() < par:
+        cand = cand.repartition(par)
 
     # Bound what any single fetch can hold: hash-repartition the query
     # side into ≈chunk_rows partitions, then pull them one at a time.
-    q_src = queries.select(F.col(q_id).alias("_q_id"), F.col(q_vec).alias("_q_vec"))
+    # (Skipped when the bounded take above already holds the full set.)
     n_parts = max(1, math.ceil(n_q / chunk_rows))
-    if n_parts > 1:
+    if head is None and n_parts > 1:
         q_src = q_src.repartition(n_parts, "_q_id")
 
     margin = 2 * k + 8  # ties at the k-boundary stay deterministic
@@ -278,6 +324,20 @@ def knn_join_blas(
             if m == 0:
                 return
             qsq = (Q * Q).sum(axis=1)
+            # Round-12: bound the dense |Q|×|tile| distance plane at
+            # ~_TILE_CELLS cells (≈16 MB of float64) by slicing each
+            # Arrow batch's candidate rows.  Unbounded, the plane is
+            # |Q|×|batch| — with a full 100k-row query chunk and the
+            # default 10k-row Arrow batch that is an 8 GB allocation
+            # PER BATCH (×3 with the matmul temporaries), far outside
+            # any executor memory envelope.  Row-tiling the candidates
+            # cannot change any distance (each output element's K-dim
+            # fold is computed identically; tiling only regroups rows
+            # — the same regrouping an arbitrary partitioning already
+            # performs, proven value-invariant by
+            # tools/partition_invariance.py), and the per-tile
+            # top-(k+1) cut feeds the same global window merge that
+            # already merges per-batch cuts.
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -290,38 +350,47 @@ def knn_join_blas(
                     pdf = pdf[ok]
                     if len(pdf) == 0:
                         continue
-                C = np.vstack(pdf["_c_vec"].to_numpy())
-                ids_c = pdf["n_id"].to_numpy(dtype=np.int64)
+                C_all = np.vstack(pdf["_c_vec"].to_numpy())
+                ids_all = pdf["n_id"].to_numpy(dtype=np.int64)
                 if metric == "cosine_neg":
-                    cn = np.linalg.norm(C, axis=1, keepdims=True)
-                    C = C / np.where(cn == 0.0, 1.0, cn)
-                    D = -(Q @ C.T)  # smaller = more similar
-                elif metric == "manhattan":
-                    # no matmul identity for L1; accumulate per dim to
-                    # keep peak memory at one (|Q|,|batch|) plane
-                    D = np.zeros((m, len(C)))
-                    for dcol in range(Q.shape[1]):
-                        D += np.abs(Q[:, dcol, None] - C[None, :, dcol])
-                else:
-                    d2 = qsq[:, None] + (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T)
-                    D = np.sqrt(np.maximum(d2, 0.0))
-                take = min(margin, D.shape[1])
-                part = np.argpartition(D, take - 1, axis=1)[:, :take]
-                out_q, out_n, out_d = [], [], []
-                for i in range(m):
-                    cols = part[i]
-                    order = np.lexsort((ids_c[cols], D[i, cols]))[: k + 1]
-                    sel = cols[order]
-                    out_q.append(np.full(len(sel), ids_q[i]))
-                    out_n.append(ids_c[sel])
-                    out_d.append(D[i, sel])
-                yield pd.DataFrame(
-                    {
-                        "q_id": np.concatenate(out_q),
-                        "n_id": np.concatenate(out_n),
-                        "dist": np.concatenate(out_d),
-                    }
-                )
+                    cn = np.linalg.norm(C_all, axis=1, keepdims=True)
+                    C_all = C_all / np.where(cn == 0.0, 1.0, cn)
+                tile = max(1, _TILE_CELLS // max(m, 1))
+                for s in range(0, len(C_all), tile):
+                    C = C_all[s : s + tile]
+                    ids_c = ids_all[s : s + tile]
+                    if metric == "cosine_neg":
+                        D = -(Q @ C.T)  # smaller = more similar
+                    elif metric == "manhattan":
+                        # no matmul identity for L1; accumulate per dim
+                        # to keep peak memory at one (|Q|,|tile|) plane
+                        D = np.zeros((m, len(C)))
+                        for dcol in range(Q.shape[1]):
+                            D += np.abs(Q[:, dcol, None] - C[None, :, dcol])
+                    else:
+                        d2 = (
+                            qsq[:, None]
+                            + (C * C).sum(axis=1)[None, :]
+                            - 2.0 * (Q @ C.T)
+                        )
+                        D = np.sqrt(np.maximum(d2, 0.0))
+                    take = min(margin, D.shape[1])
+                    part = np.argpartition(D, take - 1, axis=1)[:, :take]
+                    out_q, out_n, out_d = [], [], []
+                    for i in range(m):
+                        cols = part[i]
+                        order = np.lexsort((ids_c[cols], D[i, cols]))[: k + 1]
+                        sel = cols[order]
+                        out_q.append(np.full(len(sel), ids_q[i]))
+                        out_n.append(ids_c[sel])
+                        out_d.append(D[i, sel])
+                    yield pd.DataFrame(
+                        {
+                            "q_id": np.concatenate(out_q),
+                            "n_id": np.concatenate(out_n),
+                            "dist": np.concatenate(out_d),
+                        }
+                    )
 
         parts.append(cand.mapInPandas(kernel, "q_id long, n_id long, dist double"))
 
@@ -334,6 +403,13 @@ def knn_join_blas(
     # is flushed).
     if n_q == 0:
         _flush()  # empty chunk keeps the output schema stable
+    elif head is not None:
+        for row in head:  # bounded ≤ chunk_rows by the take above
+            if _admit(row[1]):
+                buf_ids.append(row[0])
+                buf_vecs.append(row[1])
+        _last_peak_buffer_rows = len(buf_ids)
+        _flush()
     elif n_parts == 1:
         for row in q_src.collect():  # bounded ≤ chunk_rows by the count
             if _admit(row[1]):

@@ -2517,7 +2517,7 @@ def x50_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(dist.alias("d"), "node", "left")
             .where(F.col("d.hops").isNull() | (F.col("r.hops") < F.col("d.hops")))
             .select("node", F.col("r.hops").alias("hops"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if improved.isEmpty():
             break
@@ -2525,7 +2525,7 @@ def x50_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(improved)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     return dist
@@ -3639,7 +3639,7 @@ def x65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    base = base.localCheckpoint(eager=True)
+    base = base.localCheckpoint(eager=False)
     ranked, total = multi_global_rank(
         base,
         [
@@ -3769,7 +3769,7 @@ def x67_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("x")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     ranked_df = global_rank(rev, [("x", True), ("ck", True)], rank_col="i").df
     # cast back to int: keeps the decimal(x)·int product type identical
     # to the pre-rank-primitive row_number() version
@@ -3888,7 +3888,7 @@ def x69_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(38,10)"
             )
         ).alias("r")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     tot = rev.agg(F.sum("r").alias("t"))
     cum = global_running_agg(
         rev,
@@ -3962,7 +3962,7 @@ def x70_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").where(finite("o_totalprice"))
     rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("x")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     gr = global_rank(rev, [("x", True), ("ck", True)], rank_col="__r")
     ranked, total = gr.df, gr.total
     deciled = ranked.select(

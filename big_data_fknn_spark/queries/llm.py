@@ -904,7 +904,13 @@ def j10_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df DERIVED from tf (round-12): tf holds exactly one row per
+    # (doc, term), so count(*) per term IS count(DISTINCT doc_id) —
+    # same integer, but the corpus is scanned and tokenized ONCE
+    # (ReuseExchange shares tf's shuffle between the tf and df
+    # branches) instead of the old second explode + two-phase
+    # distinct aggregate over the raw token stream.
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus size as a broadcast single-row aggregate (a scalar agg is
     # exactly what the hint discipline allows) — one plan, no separate
     # driver-side count job
@@ -2869,7 +2875,7 @@ def j44_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     gr = global_rank(
         counts,
         [(F.col("cnt"), False), ("token", True)],

@@ -22,6 +22,17 @@ def get_spark(app_name: str = "big_data_fknn_spark", cpus: int | None = None) ->
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Single-threaded BLAS inside every Python worker (round-12,
+    # guide §4.5): Spark tasks are the parallelism unit — `cpus`
+    # concurrent tasks each spawning an OpenBLAS/OMP thread pool
+    # oversubscribes the host by N× and the pools' spin-waits fight
+    # the scheduler (measured here: one 2000×6667×64 matmul 2.7 s
+    # with OpenBLAS threading vs 0.055 s pinned to one thread — the
+    # BLAS kNN kernel was paying that on every Arrow batch).  Pin via
+    # env BEFORE the JVM forks so local-mode workers inherit it; the
+    # executorEnv conf carries the same pin to real clusters.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -36,6 +47,11 @@ def get_spark(app_name: str = "big_data_fknn_spark", cpus: int | None = None) ->
         # Every sweep/test/bench in this repo ran with ANSI on.
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # cluster mirror of the BLAS pin above (local workers inherit
+        # the process env; separate-JVM executors need the conf)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         # local mode: the driver JVM IS the executor — give it real
         # memory (the box has 128 GiB; shuffles spill if exceeded)
