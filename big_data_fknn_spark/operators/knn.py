@@ -251,18 +251,19 @@ def knn_join_blas(
     cand = candidates.select(
         F.col(c_id).alias("n_id"), F.col(c_vec).alias("_c_vec")
     )
-    # Round-12: fill the cluster when the candidate scan under-splits
-    # (guide §2.5 "input skew: one huge unsplittable file →
-    # repartition immediately after the read").  A single-row-group
-    # parquet file scans as ONE task no matter how many cores exist —
-    # at bench scale the whole BLAS kernel was running serially on one
-    # of 32 cores.  Only fires when partitions < cores (at real scale
-    # a candidate table spans ≫ cores splits, so no payload ever moves
-    # there); round-robin keeps sizes even and the kernel is
-    # row-order-invariant (partition_invariance-proven).
-    par = sc.defaultParallelism
-    if cand.rdd.getNumPartitions() < par:
-        cand = cand.repartition(par)
+    # Round-12, measured and REJECTED: repartitioning an under-split
+    # candidate scan (guide §2.5 "input skew" — a single-row-group
+    # parquet file scans as one task) before the kernel.  A blanket
+    # repartition-to-cores split the bench's ~1 MB candidate tables
+    # into 32 ~60-row Python tasks whose per-task Arrow/worker
+    # overhead exceeded the compute (j9 exec 0.25 s → 0.55 s, j1
+    # 0.46 s → 0.78 s, j3 unchanged — tools/key_timer.py), and a
+    # work-estimate gate via optimizedPlan().stats() cost ~0.2 s of
+    # driver Catalyst time per kernel call at construct.  At real
+    # scale the branch would never fire anyway (a big candidate table
+    # spans many splits), so the no-op is the right plan at every
+    # scale; a genuinely huge SINGLE-row-group candidate file remains
+    # the caller's layout problem (fix at the writer, guide §2.5).
 
     # Bound what any single fetch can hold: hash-repartition the query
     # side into ≈chunk_rows partitions, then pull them one at a time.

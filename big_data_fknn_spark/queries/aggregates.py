@@ -568,13 +568,20 @@ def d16_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only here; tests/test_scale_stress.py asserts the estimates
     land within the sketch's accuracy bound of x3's exact values."""
     c = t(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.round(
-            F.percentile_approx("c_acctbal", F.lit(0.5), F.lit(10000)), 6
-        ).alias("p50_approx"),
-        F.round(
-            F.percentile_approx("c_acctbal", F.lit(0.9), F.lit(10000)), 6
-        ).alias("p90_approx"),
+    # one GK sketch queried at both percentiles (round-12, the d23
+    # device): the percentage argument only QUERIES the sketch — two
+    # scalar aggs built two identical sketches from the same rows, so
+    # the array form halves the sketch-update work with bit-identical
+    # estimates (verified values-equal at sf0.01/0.1)
+    qs = c.groupBy("c_mktsegment").agg(
+        F.percentile_approx(
+            "c_acctbal", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        ).alias("qa")
+    )
+    return qs.select(
+        "c_mktsegment",
+        F.round(F.col("qa")[0], 6).alias("p50_approx"),
+        F.round(F.col("qa")[1], 6).alias("p90_approx"),
     )
 
 
@@ -952,9 +959,25 @@ def d23_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont ignores it — pinned on the round-7 extremes sweep),
     and interpolation against ±Inf is meaningless anyway."""
     li = t(spark, sf_dir, "lineitem").where(finite("l_extendedprice"))
-    return li.groupBy("l_returnflag").agg(
+    # ONE percentile aggregate over an array of percentages (round-12,
+    # guide §5): four scalar `percentile(col, p)` aggs each buffered
+    # EVERY group value independently — 4× the ObjectHashAggregate
+    # buffer, spill and merge traffic for one sorted-group pass worth
+    # of information.  The array form sorts the shared buffer once and
+    # interpolates all four h's from it — same PERCENTILE_CONT
+    # arithmetic on the same sorted values, bit-identical doubles
+    # (values-equal verified + oracle hash-MATCH).  Interleaved A/B
+    # (6 reps, one session): exec min 8.67 → 1.76 s, med 25.1 → 5.0 s.
+    qs = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            "l_extendedprice",
+            F.array(F.lit(0.25), F.lit(0.50), F.lit(0.95), F.lit(0.99)),
+        ).alias("qa")
+    )
+    return qs.select(
+        "l_returnflag",
         *[
-            F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(name)
-            for p, name in ((0.25, "q25"), (0.50, "q50"), (0.95, "q95"), (0.99, "q99"))
-        ]
+            F.round(F.col("qa")[i], 6).alias(name)
+            for i, name in ((0, "q25"), (1, "q50"), (2, "q95"), (3, "q99"))
+        ],
     )

@@ -158,10 +158,22 @@ def x3_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree on NaN in quantiles — and DuckDB's quantile buffer is
     not even run-deterministic with NaN present (round-8 sweep)."""
     c = t(spark, sf_dir, "customer").where(finite("c_acctbal"))
-    return c.groupBy("c_mktsegment").agg(
-        F.round(F.percentile("c_acctbal", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("c_acctbal", F.lit(0.75)), 6).alias("p75"),
+    # one array-percentile aggregate instead of three scalar ones
+    # (round-12, the d23 device): a single shared sort buffer per
+    # group, same interpolation arithmetic, bit-identical doubles
+    # (oracle hash-MATCH; d23's interleaved A/B measured the class
+    # at ~5x on the 600 k-row table)
+    qs = c.groupBy("c_mktsegment").agg(
+        F.percentile(
+            "c_acctbal", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("qa")
+    )
+    return qs.select(
+        "c_mktsegment",
+        *[
+            F.round(F.col("qa")[i], 6).alias(name)
+            for i, name in ((0, "p25"), (1, "p50"), (2, "p75"))
+        ],
     )
 
 
@@ -3158,11 +3170,22 @@ def x60_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select(term.cast("decimal(38,12)").alias("term"))
     )
-    n_types = rt.count()
-    n_segs = ct.count()
-    return terms.agg(
-        F.round(F.sum("term").cast("double"), 6).alias("chi2"),
-        F.lit((n_types - 1) * (n_segs - 1)).cast("bigint").alias("dof"),
+    # dof from IN-PLAN single-row counts over the two marginal tables
+    # (round-12, the j10 device): the old rt.count()/ct.count() pair
+    # each ran a full events scan + aggregation as a separate driver
+    # job at construct; these ride the marginals' existing exchanges
+    # via ReuseExchange and broadcast one row each.  count() is long,
+    # so (nt−1)·(ns−1) is the same bigint product.
+    ntd = rt.agg(F.count(F.lit(1)).alias("nt"))
+    nsd = ct.agg(F.count(F.lit(1)).alias("ns"))
+    return (
+        terms.agg(F.round(F.sum("term").cast("double"), 6).alias("chi2"))
+        .crossJoin(F.broadcast(ntd))
+        .crossJoin(F.broadcast(nsd))
+        .select(
+            "chi2",
+            ((F.col("nt") - 1) * (F.col("ns") - 1)).cast("bigint").alias("dof"),
+        )
     )
 
 

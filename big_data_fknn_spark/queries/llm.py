@@ -1094,6 +1094,35 @@ def j12b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # Round-12 (guide §8.4 "decide with small rows, move big rows
+    # once", §2.5 input skew): the heaviest Python kernel in the
+    # registry — each doc expands to ~350 KB of BMP frames, encoded
+    # AND decoded in Python (~1.7 GB through the Arrow boundary at
+    # sf0.1) — ran as ONE task because a single-row-group parquet
+    # scan yields one split, serializing the whole pipeline on one
+    # of 32 cores (measured 9.0 s exec isolated).  Repartitioning
+    # the ~500-byte text rows BEFORE the payload exists costs a
+    # ~2.5 MB round-robin shuffle and parallelizes both chained
+    # kernels (they pipeline in one stage — no exchange between
+    # them, so the 1.7 GB intermediate still never hits a shuffle).
+    # Gated: only fires when the scan under-splits relative to the
+    # cluster (at 100 TB the doc scan spans ≫ cores splits and this
+    # is a no-op).  Contrast the kNN candidate-side repartition
+    # rejected this round: there the payload itself was shuffled to
+    # feed a cheap BLAS kernel; here cheap rows move to feed an
+    # expensive kernel.  Measured (interleaved A/B, 5 reps): median
+    # 11.8 → 8.0 s, min 5.8 → 4.9 s — a ~25-30% win, not Nx, because
+    # the kernel is MEMORY-BANDWIDTH-bound, not CPU-bound: the
+    # encode/decode is ~20 GB of memcpy-class traffic (payload built,
+    # repeated ×n frames, Arrow-serialized twice, padding stripped),
+    # and 32 concurrent copying processes saturate DRAM long before
+    # they saturate cores.  On a multi-node cluster the same
+    # repartition scales linearly (each node brings its own memory
+    # bus) — which is why the gate stays despite the modest local
+    # ceiling.
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
 
     def _encode_bmp_frames(text: str) -> bytes | None:
         if text is None:
@@ -2185,32 +2214,44 @@ def j32_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    total_tokens, n_docs = dl.agg(
-        F.sum("dl"), F.count(F.lit(1))
-    ).first()  # two exact ints; at scale: still one tiny agg row
-    # empty corpus → no documents to score; avgdl's value is then
-    # irrelevant (every downstream row set is empty), it just must
-    # not be a float(None) crash
-    avgdl = float(total_tokens) / float(n_docs) if n_docs else 1.0
+    # (N, avgdl) as an IN-PLAN broadcast single-row aggregate
+    # (round-12, the j10 device): the old ``dl.agg(...).first()`` ran
+    # a full tokenize + doc-length aggregation over the corpus as a
+    # separate driver job at construct, only to re-run the identical
+    # subtree inside the query; the scalar agg now rides dl's own
+    # doc_id exchange via ReuseExchange and broadcasts one row.
+    # Arithmetic is unchanged: sum/count are exact longs either way,
+    # and avgdl = tot/N is the same IEEE double division the Python
+    # float() pair performed.  Empty corpus → N = 0 → the WHEN guard
+    # keeps avgdl at the old 1.0 placeholder (downstream is empty
+    # anyway, it just must not divide by zero).
+    stats = dl.agg(
+        F.sum("dl").alias("__tot"), F.count(F.lit(1)).alias("__nd")
+    )
+    ndd = F.col("__nd").cast("double")
+    avgdl = F.when(
+        F.col("__nd") > 0, F.col("__tot").cast("double") / ndd
+    ).otherwise(F.lit(1.0))
     tf = (
         tok.where(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    idf = F.log((ndd - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     part = (
         idf
         * F.col("tf")
         * (_BM25_K1 + 1)
         / (
             F.col("tf")
-            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
         )
     )
     scored = (
         tf.join(df, "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
             F.round(F.sum(part), 6).alias("score"),
@@ -3032,7 +3073,17 @@ def j48_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
     uni = d.select(F.explode("w").alias("tok"))
     ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_u = uni.count()
+    # corpus totals as IN-PLAN broadcast single-row aggregates
+    # (round-12, the j10 device): Σc over the unigram-count and
+    # pre-filter bigram-count tables equals the token / bigram counts
+    # exactly (each token lands in exactly one group), so the scalars
+    # ride ReuseExchange on shuffles the query already pays instead of
+    # two separate driver count() jobs, each a full tokenize pass over
+    # the corpus at construct.  Same long arithmetic (sum of longs),
+    # identical values, and nothing constant-folds (the old
+    # empty-corpus literal-0 guard is moot: n_b is now a column, and
+    # when it is 0 no bigram row exists for the expression to score).
+    nu_df = ucnt.agg(F.sum("c").alias("n_u"))
     bg = d.select(
         F.explode(
             F.arrays_zip(
@@ -3041,27 +3092,19 @@ def j48_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
-    n_b = bg.count()
-    bcnt = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= _PMI_MIN_COUNT)
-    )
+    bcnt_all = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    nb_df = bcnt_all.agg(F.sum("c").alias("n_b"))
+    bcnt = bcnt_all.where(F.col("c") >= _PMI_MIN_COUNT)
     x = ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("cx"))
     y = ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("cy"))
-    num = F.col("c") * F.lit(n_u) * F.lit(n_u)
-    den = F.lit(n_b) * F.col("cx") * F.col("cy")
-    # empty corpus: n_b = 0 would constant-fold into the division and
-    # trip ANSI DIVIDE_BY_ZERO at plan time even though no row exists
-    # to score — the result is simply the empty frame
-    pmi = (
-        F.round(F.log(num.cast("double") / den.cast("double")), 6)
-        if n_b
-        else F.lit(None).cast("double")
-    )
+    num = F.col("c") * F.col("n_u") * F.col("n_u")
+    den = F.col("n_b") * F.col("cx") * F.col("cy")
+    pmi = F.round(F.log(num.cast("double") / den.cast("double")), 6)
     return (
         bcnt.join(x, "w1")
         .join(y, "w2")
+        .crossJoin(F.broadcast(nu_df))
+        .crossJoin(F.broadcast(nb_df))
         .select(
             "w1",
             "w2",
@@ -3434,15 +3477,21 @@ def j54_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
     uni = d.select(F.explode("w").alias("tok"))
     ufreq = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cx"))
-    v = ufreq.count()
+    # |V| as an in-plan broadcast single-row aggregate (round-12, the
+    # j10 device): count over ufreq's own shuffle output via
+    # ReuseExchange replaces a driver count() job whose pass
+    # re-tokenized the whole corpus at construct.  Long count either
+    # way — identical smoothing denominator.
+    vdf = ufreq.agg(F.count(F.lit(1)).alias("v"))
     nll = (
         bg.join(bcnt, ["w1", "w2"])
         .join(ufreq.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vdf))
         .select(
             "doc_id",
             (
                 -F.log(
-                    (F.col("cxy") + 1).cast("double") / (F.col("cx") + F.lit(v))
+                    (F.col("cxy") + 1).cast("double") / (F.col("cx") + F.col("v"))
                 )
             ).alias("t"),
         )

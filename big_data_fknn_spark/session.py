@@ -22,17 +22,19 @@ def get_spark(app_name: str = "big_data_fknn_spark", cpus: int | None = None) ->
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    # Single-threaded BLAS inside every Python worker (round-12,
-    # guide §4.5): Spark tasks are the parallelism unit — `cpus`
-    # concurrent tasks each spawning an OpenBLAS/OMP thread pool
-    # oversubscribes the host by N× and the pools' spin-waits fight
-    # the scheduler (measured here: one 2000×6667×64 matmul 2.7 s
-    # with OpenBLAS threading vs 0.055 s pinned to one thread — the
-    # BLAS kNN kernel was paying that on every Arrow batch).  Pin via
-    # env BEFORE the JVM forks so local-mode workers inherit it; the
-    # executorEnv conf carries the same pin to real clusters.
-    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
-        os.environ.setdefault(var, "1")
+    # BLAS threading in Python workers — measured BOTH ways this
+    # round (tools/key_timer.py + a direct matmul probe): with the
+    # kernel running as ONE task (the bench's single-row-group scans
+    # produce single-task kernels), OpenBLAS's own threading IS the
+    # intra-host parallelism — the 2000×64×6667 distance matmul runs
+    # ~0.013 s unpinned vs 0.050 s pinned, and pinning regressed j9's
+    # exec 0.25 s → 0.41 s.  Oversubscription (guide §4.5) only bites
+    # when MANY tasks each spin a pool; that is a deployment where
+    # executors run `spark.executor.cores` concurrent tasks, and the
+    # right production setting is spark.executorEnv.OPENBLAS_NUM_THREADS
+    # ≈ host_cores / executor_cores in spark-submit conf — a cluster
+    # knob, deliberately NOT forced here where it un-parallelizes the
+    # local single-task kernels the bench actually runs.
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -47,11 +49,6 @@ def get_spark(app_name: str = "big_data_fknn_spark", cpus: int | None = None) ->
         # Every sweep/test/bench in this repo ran with ANSI on.
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # cluster mirror of the BLAS pin above (local workers inherit
-        # the process env; separate-JVM executors need the conf)
-        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
-        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
-        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         # local mode: the driver JVM IS the executor — give it real
         # memory (the box has 128 GiB; shuffles spill if exceeded)
