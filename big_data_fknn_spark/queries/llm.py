@@ -569,6 +569,19 @@ def j40_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (row, dim, bit) cell (|corpus|·64·32 hashes; measured ~2× the
     # whole query at sf0.1).  This is also the honest scale shape:
     # the model (hyperplanes) ships to the data, tiny and constant.
+    #
+    # r12-opt measured rejection (do not re-try): folding the whole
+    # cells→sig→codes pipeline into per-row array expressions
+    # (transform/aggregate/zip_with over a literal sign matrix,
+    # decimal(37,10) fold — value-identical, oracle hash-MATCH)
+    # removed all the aggregation exchanges but ran 40% SLOWER
+    # (interleaved A/B, 5 reps, sf0.1: exec min 4.41 → 6.21 s, med
+    # 4.62 → 6.66): higher-order functions evaluate interpreted, so
+    # 2048 per-row BigDecimal ops lose to this codegen'd hash
+    # aggregate, whose partial aggregation already shrinks the
+    # exchanges to 32+4 narrow rows per vector.  A cast-once variant
+    # (sgn·dec(x) ≡ dec(x·sgn), 64 casts/row) measured neutral
+    # (4.46/4.90) — the adds dominate, not the casts.
     signs = dims.crossJoin(bits).select("i", "b", sign.alias("sgn"))
     cells = pos.join(F.broadcast(signs), "i").select(
         "vec_id", "b", (F.col("x") * F.col("sgn")).cast(DEC).alias("term")
@@ -3380,9 +3393,32 @@ def j53_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     at fleet scale this runs on a sample shard to pick _NH/_BAND_R
     before committing the full corpus pass."""
     tok, cand = _lsh_candidates(spark, sf_dir)
-    mh = tok.groupBy("doc_id").agg(*_minhash_exprs_spark())
-    sig = mh.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(_NH)]).alias("sig")
+    # FULL-set signatures per row: the old
+    # tok.groupBy(doc_id).agg(24 × min(md5-string)) planned as
+    # SortAggregate (string min has no mutable hash-agg buffer) —
+    # two full sorts of the token stream per pair side.  array_min
+    # over the cached shingle ARRAYS computes the identical 24
+    # minima inside the scan stage (guide §2.3/§2.4: same md5 count,
+    # zero aggregation passes); min-over-array equals min-over-rows
+    # because min is duplicate- and order-insensitive and every
+    # candidate doc has ≥ 1 shingle.  cached(): both pair sides
+    # (sig_a / sig_b) read one materialization, the same device tok
+    # and bands already use.
+    def _mh_elem(i: int):
+        # one-arg closure: a two-arg lambda would make transform()
+        # pass the array INDEX as the second argument
+        return lambda s: F.md5(F.concat(F.lit(f"{i}#"), s))
+
+    sig = cached(
+        _docs_with_shingles(spark, sf_dir).select(
+            "doc_id",
+            F.array(
+                *[
+                    F.array_min(F.transform("sh", _mh_elem(i)))
+                    for i in range(_NH)
+                ]
+            ).alias("sig"),
+        )
     )
     sa = sig.select(F.col("doc_id").alias("doc_i"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_j"), F.col("sig").alias("sig_b"))

@@ -180,7 +180,18 @@ def test_text_keys_parity_on_empty_and_duplicated_docs(spark, tmp_path):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
     )
-    for key in ("j42_naive_bayes", "j44_vocab_build", "x47_training_export"):
+    # j53 added r12-opt: its minhash signatures moved from a
+    # groupBy(doc_id).agg(24 × min(string)) to per-row array_min over
+    # the shingle arrays — empty-text and duplicated docs are the
+    # edges where min-over-array vs min-over-exploded-rows could
+    # diverge (absent row vs NULL array), so pin full oracle parity
+    # on exactly that corpus.
+    for key in (
+        "j42_naive_bayes",
+        "j44_vocab_build",
+        "x47_training_export",
+        "j53_minhash_estimate",
+    ):
         pdf = reg[key].fn(spark, sf_dir).toPandas()
         opdf = con.sql(reg[key].oracle).df()
         scols, srows = df_canon(pdf)
@@ -234,3 +245,4 @@ def test_parse_bmp_frames_corrupt_is_dead_letter_not_crash(payload):
     from big_data_fknn_spark.queries.llm import _parse_bmp_frames
 
     assert _parse_bmp_frames(payload) is None
+
