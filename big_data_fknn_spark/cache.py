@@ -46,4 +46,10 @@ def release_query_caches() -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     _LIVE.clear()
+    # Corpus boundary: also forget memoized parquet footer schemas so
+    # a table regenerated under the SAME path (layout soak, scale
+    # sweeps) is re-inferred on next read (tables._SCHEMA_MEMO doc).
+    from big_data_fknn_spark import tables
+
+    tables._SCHEMA_MEMO.clear()
     return n

@@ -28,12 +28,43 @@ TABLES = (
     "embeddings",
 )
 
+#: Session-scoped parquet FOOTER-SCHEMA memo, keyed by
+#: (applicationId, path).  A bare ``spark.read.parquet`` runs a
+#: schema-inference job against the file footers on EVERY call —
+#: measured ~100 ms/read on this host vs ~16 ms with an explicit
+#: schema — and query constructors re-read the same star-schema
+#: tables constantly (x32 alone pays 8 reads ≈ 0.7 s of its 0.9 s
+#: construct).  Memoizing the SCHEMA (never the DataFrame, never
+#: data) keeps every semantic property of a fresh read: file listing
+#: still happens per call (new/-rewritten part files are seen), every
+#: action still scans parquet; only the footer re-inference of a
+#: schema this session has already seen is skipped.  This is the
+#: guide-§6 repeated-listing discipline applied to footers — at
+#: 100 TB, re-inferring a partitioned dataset's schema per query is
+#: a driver-side stall (guide §7.3).  The memo is cleared by
+#: cache.release_query_caches() (the suite/tools' corpus boundary),
+#: so a regenerated table under the same path is re-inferred there.
+_SCHEMA_MEMO: dict[tuple[str, str], "StructType"] = {}
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` with the footer schema memoized
+    per (session, path) — identical relation, one inference job per
+    session instead of one per call."""
+    key = (spark.sparkContext.applicationId, path)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame."""
     if name == "events":
         return events_t(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 def events_t(
@@ -64,7 +95,10 @@ def events_t(
     date-partitioned at rest so whole files prune first.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # read_table is conf-safe here: events is only ever read through
+    # this function, so the memoized schema was always inferred with
+    # nanosAsLong set (long for the legacy layout, NTZ otherwise).
+    raw = read_table(spark, f"{sf_dir}/events.parquet")
     if isinstance(raw.schema["ts"].dataType, LongType):
         if ts_min is not None:
             raw = raw.where(F.col("ts") >= _iso_to_ns(ts_min))
