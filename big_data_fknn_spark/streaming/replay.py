@@ -22,10 +22,15 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
 
     A file stream needs an explicit schema; derive it from a one-off
     batch read so ts comes out as long-nanos or TIMESTAMP_NTZ exactly
-    as the batch path (tables.events_t) would see it.
+    as the batch path (tables.events_t) would see it.  Shares
+    tables.read_table's footer-schema memo (same conf context: both
+    set nanosAsLong before the first read of this path), so repeat
+    streaming constructs skip the per-call inference job too.
     """
+    from big_data_fknn_spark.tables import read_table
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return read_table(spark, f"{sf_dir}/events.parquet").schema
 
 
 def events_stream(
