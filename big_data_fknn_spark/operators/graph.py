@@ -40,8 +40,13 @@ ONE job instead of two) and drops the separate edge/init materialize
 jobs entirely: 5 actions for a 2-round run became 2.  At scale the
 same fusion removes one full pass over the label table per round (the
 fingerprint scan previously re-read what the checkpoint job had just
-written).  Measured at sf0.1 (bench j31, construct): 2.64 s → ~1.4 s
-with identical results (oracle hash unchanged).
+written).  Measured at sf0.1 (interleaved A/B, OPTIMIZATION_r12.md
+batch 3): NEUTRAL locally — j31 construct min 1.73 s eager vs 1.82 s
+lazy, inside session noise; j31's construct is the pairs
+inverted-index join + 2 CC rounds and sits near its structural floor.
+Kept for the at-scale one-pass-per-round saving, not a local win.
+(An earlier interim "2.64 s → ~1.4 s" reading did not reproduce and
+is retracted.)  Results identical either way (oracle hash unchanged).
 """
 
 from __future__ import annotations
