@@ -482,6 +482,110 @@ _SRP_BAND_BITS = 8
 _SRP_TAU = 0.4
 
 
+def _srp_sign_matrix(bits: int) -> "np.ndarray":
+    """j40's deterministic ±1 hyperplane matrix (64 dims × bits): the
+    md5-parity of f"{i}_{b}" — the Python mirror of Spark's
+    ``conv(substring(md5(concat_ws('_', i, b)), 1, 1), 16, 10) % 2``
+    and the oracle's ``('0x' || substr(md5(i || '_' || b), 1, 1))::INT
+    % 2`` (verified equal in tests/test_llm.py)."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((64, bits), dtype=np.int64)
+    for i in range(1, 65):
+        for b in range(1, bits + 1):
+            h0 = hashlib.md5(f"{i}_{b}".encode()).hexdigest()[0]
+            m[i - 1, b - 1] = 1 if int(h0, 16) % 2 == 0 else -1
+    return m
+
+
+def _dec10_scaled_exact(x: float) -> int:
+    """int(cast(x AS decimal(38,10)) · 10¹⁰) — Spark cast semantics:
+    HALF_UP rounding of BigDecimal.valueOf(x), i.e. of the double's
+    shortest decimal repr (probe-verified on tie values, round 13).
+    Raises on decimal(38,10) overflow exactly like the ANSI cast."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    with localcontext() as ctx:
+        ctx.prec = 60
+        d = Decimal(repr(abs(x))).quantize(
+            Decimal("1e-10"), rounding=ROUND_HALF_UP
+        )
+        u = int(d.scaleb(10))
+    if u >= 10**38:
+        raise ArithmeticError(
+            f"{x!r} cannot be represented as Decimal(38, 10)"
+        )
+    return u if x > 0 else -u
+
+
+def _srp_codes_kernel(batches):
+    """mapInPandas kernel: (vec_id, emb) → (vec_id, band, code) — the
+    SRP signature pipeline (cells → decimal sign-sums → bits → band
+    codes) computed per vector with one int64 matmul against the
+    constant sign matrix.
+
+    Exactness: each element is quantized to the IDENTICAL
+    decimal(38,10) the old in-plan cast produced, held as a scaled
+    integer, and integer addition is associative — so the sign of
+    every hyperplane sum, hence every bit and band code, is
+    bit-identical to the decimal aggregation it replaces at any
+    partitioning (value-parity pinned in tests/test_llm.py plus the
+    DuckDB oracle hash).  Fast path: q = round(|x|·10¹⁰) via float64
+    floor + HALF_UP on the fraction — exact when the fraction is
+    provably far from the .5 tie (the product's error is < 4 ulp, so
+    a magnitude-aware ambiguity band catches every at-risk element).
+    Any ROW containing an ambiguous element, or one with |x|·10¹⁰ ≥
+    2⁵² (untrustworthy fraction / int64-overflow territory — decimal
+    (38,10) itself holds up to 1e28), is recomputed wholesale through
+    exact arbitrary-precision Decimal/int arithmetic.  On real
+    embeddings (|x| ≲ 1) the band is ~1e-6 wide so essentially no row
+    pays the slow path; the guarantee is what matters."""
+    import numpy as np
+    import pandas as pd
+
+    S = _srp_sign_matrix(_SRP_BITS)  # once per task (guide §4.5)
+    n_bands = _SRP_BITS // _SRP_BAND_BITS
+    weights = 1 << np.arange(_SRP_BAND_BITS, dtype=np.int64)
+    for pdf in batches:
+        if len(pdf) == 0:
+            yield pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "band": pd.Series([], dtype="int32"),
+                 "code": pd.Series([], dtype="int32")}
+            )
+            continue
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        M = np.vstack(pdf["emb"].to_numpy()).astype(np.float64, copy=False)
+        a = np.abs(M) * 1e10
+        fl = np.floor(a)
+        f = a - fl
+        risky = (np.abs(f - 0.5) < 4.0 * np.spacing(a) + 1e-9) | (
+            a >= 2.0**52
+        )
+        Q = (np.sign(M) * np.where(f >= 0.5, fl + 1.0, fl)).astype(np.int64)
+        bits = (Q @ S) > 0  # int64 exact: |q| < 2^52, 64 terms ≪ 2^63
+        exact_rows = np.flatnonzero(risky.any(axis=1))
+        for ri in exact_rows:
+            qs = [_dec10_scaled_exact(float(x)) for x in M[ri]]
+            bits[ri] = [
+                sum(q * int(S[i, b]) for i, q in enumerate(qs)) > 0
+                for b in range(_SRP_BITS)
+            ]
+        codes = (
+            bits.astype(np.int64).reshape(len(ids), n_bands, _SRP_BAND_BITS)
+            @ weights
+        )
+        yield pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(ids)),
+                "code": codes.ravel().astype(np.int32),
+            }
+        )
+
+
 @register(
     "j40_srp_lsh_neardup",
     oracle=f"""
@@ -548,56 +652,28 @@ def j40_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     module constant, not a rebuild.
     """
     e = embeddings_d(spark, sf_dir)
-    pos = e.select("vec_id", F.posexplode("emb").alias("p0", "x")).select(
-        "vec_id", (F.col("p0") + 1).alias("i"), "x"
-    )
-    bits = spark.range(1, _SRP_BITS + 1).select(F.col("id").alias("b"))
-    dims = spark.range(1, 65).select(F.col("id").alias("i"))
-    sign = F.when(
-        F.conv(
-            F.substring(F.md5(F.concat_ws("_", F.col("i"), F.col("b"))), 1, 1),
-            16,
-            10,
-        ).cast("int")
-        % 2
-        == 0,
-        1,
-    ).otherwise(-1)
-    # The hyperplane matrix is a CONSTANT dims×bits table (64×32 =
-    # 2048 md5 parities) — materialize it once and broadcast-join it
-    # onto the exploded vectors, instead of hashing md5 per
-    # (row, dim, bit) cell (|corpus|·64·32 hashes; measured ~2× the
-    # whole query at sf0.1).  This is also the honest scale shape:
-    # the model (hyperplanes) ships to the data, tiny and constant.
+    # Round-13 (guide §4.2 — do the heavy lifting in native code):
+    # the whole cells → decimal sign-sums → bits → band-codes
+    # pipeline is ONE numpy kernel per vector (_srp_codes_kernel):
+    # exact scaled-int64 quantization to the identical decimal(38,10)
+    # values + one int64 matmul against the constant sign matrix —
+    # bit-identical signatures (integer addition is associative, so
+    # no partition-order sensitivity; parity pinned in
+    # tests/test_llm.py and by the oracle hash), with the
+    # |corpus|·64·32 cell explode, the broadcast sign join and both
+    # aggregation exchanges gone from the plan.
     #
-    # r12-opt measured rejection (do not re-try): folding the whole
-    # cells→sig→codes pipeline into per-row array expressions
-    # (transform/aggregate/zip_with over a literal sign matrix,
-    # decimal(37,10) fold — value-identical, oracle hash-MATCH)
-    # removed all the aggregation exchanges but ran 40% SLOWER
-    # (interleaved A/B, 5 reps, sf0.1: exec min 4.41 → 6.21 s, med
-    # 4.62 → 6.66): higher-order functions evaluate interpreted, so
-    # 2048 per-row BigDecimal ops lose to this codegen'd hash
-    # aggregate, whose partial aggregation already shrinks the
-    # exchanges to 32+4 narrow rows per vector.  A cast-once variant
-    # (sgn·dec(x) ≡ dec(x·sgn), 64 casts/row) measured neutral
-    # (4.46/4.90) — the adds dominate, not the casts.
-    signs = dims.crossJoin(bits).select("i", "b", sign.alias("sgn"))
-    cells = pos.join(F.broadcast(signs), "i").select(
-        "vec_id", "b", (F.col("x") * F.col("sgn")).cast(DEC).alias("term")
-    )
-    sig = cells.groupBy("vec_id", "b").agg(
-        (F.sum("term") > 0).cast("int").alias("bit")
-    )
-    codes = sig.groupBy(
-        "vec_id",
-        F.floor((F.col("b") - 1) / _SRP_BAND_BITS).cast("int").alias("band"),
-    ).agg(
-        F.sum(
-            F.col("bit") * F.pow(F.lit(2), (F.col("b") - 1) % _SRP_BAND_BITS)
-        )
-        .cast("int")
-        .alias("code")
+    # r12-opt measured rejections that led here (do not re-try):
+    # (1) per-row SQL HOF folds (transform/aggregate/zip_with over a
+    # literal sign matrix) were value-identical but 40% SLOWER —
+    # higher-order functions evaluate interpreted, so 2048 per-row
+    # BigDecimal ops lose to the codegen'd hash aggregate (exec min
+    # 4.41 → 6.21 s); (2) a 32-wide decimal-sum aggregation lost
+    # 4.5 → 8.0 s.  Both failure causes — interpreted per-row
+    # evaluation and wide decimal buffers — are exactly what the
+    # native-kernel path sidesteps (VERDICT r12 item 3).
+    codes = e.select("vec_id", "emb").mapInPandas(
+        _srp_codes_kernel, "vec_id long, band int, code int"
     )
     ca = codes.select(F.col("vec_id").alias("id_i"), "band", "code")
     cb = codes.select(F.col("vec_id").alias("id_j"), "band", "code")
@@ -1051,6 +1127,41 @@ def _parse_bmp_frames(buf: bytes):
     return w, hh, frames, px_sum / px_cnt
 
 
+def _encode_bmp_frames(text: str) -> bytes | None:
+    """Encode a document's text into j12b's multi-frame 24-bit BMP
+    payload: (w, h, n_frames) derived from md5(text), every pixel of
+    row y the constant (y*7 + 13) % 256.  Returns None for NULL text
+    (the dead-letter route, matching md5(NULL)).
+
+    Round 13: the per-row Python loop (``bytes([px]) * (w*3)`` + pad,
+    appended row by row) became one vectorized numpy fill —
+    byte-identical output (pinned by tests), ~5× less Python-level
+    copying per frame.  Module-level so tests can pin
+    parse(encode(text)) round-trip parity directly."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    if text is None:
+        return None
+    h16 = hashlib.md5(text.encode("utf-8")).hexdigest()
+    w = 64 + int(h16[0:2], 16) % 192
+    hh = 64 + int(h16[2:4], 16) % 192
+    n = 1 + int(h16[4:5], 16) % 8
+    row_size = (w * 3 + 3) // 4 * 4
+    px = ((np.arange(hh, dtype=np.uint32) * 7 + 13) % 256).astype(np.uint8)
+    rows = np.zeros((hh, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = px[:, None]  # padding columns stay zero
+    pixel_bytes = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + len(pixel_bytes), 0, 0, 54,  # file header
+        40, w, hh, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0,
+    )
+    return (header + pixel_bytes) * n
+
+
 @register(
     "j12b_multimodal_decode",
     # the oracle recomputes what a correct decode must find: the
@@ -1083,10 +1194,24 @@ def j12b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Until round 8 this kernel was a documented stub (dimensions faked
     from md5 — no image libs in the container); packing the BMPs
     ourselves removes the dependency instead of the decode.  The
-    Spark-side contract is the production shape either way: binary
-    payload column in, Arrow batches through a pandas worker,
-    partition-parallel, typed metadata out — swap the parser for
-    PIL/ffmpeg when real media arrives and nothing else changes.
+    Spark-side contract is the production shape either way: Arrow
+    batches through a pandas worker, partition-parallel, typed
+    metadata out — swap the parser for PIL/ffmpeg when real media
+    arrives and nothing else changes.
+
+    Round 13 (guide §4.1/§4.2 — control how many bytes cross the
+    boundary): the encode and decode kernels are FUSED into one
+    mapInPandas pass.  The two-kernel form round-tripped the full
+    ~350 KB/doc payload through Arrow twice (worker → JVM → worker:
+    serialize, JVM buffer, deserialize, pandas binary-column build —
+    ~4 full-payload copies for ~1.7 GB of payload at sf0.1) purely to
+    hand it from one Python function to the next inside the SAME
+    pipelined stage.  The fused kernel builds each payload and parses
+    it back in place: the encode still packs genuine BMP bytes and
+    the decode still walks magic/headers/pixel rows via
+    _parse_bmp_frames (both module-level and test-pinned) — only the
+    pointless boundary crossings are gone.  The payload column never
+    existed in the declared output, so the computation is unchanged.
 
     Determinism: pixel row y is the constant (y*7 + 13) % 256 in all
     three channels, so mean_px = Σ/count with integer Σ and count.
@@ -1100,10 +1225,6 @@ def j12b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     route via explicit checks rather than asserts — asserts vanish
     under ``python -O`` and would otherwise kill the job on one bad
     payload (round-9 ADVICE)."""
-    import hashlib
-    import struct
-
-    import numpy as np
     import pandas as pd
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1115,9 +1236,9 @@ def j12b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan yields one split, serializing the whole pipeline on one
     # of 32 cores (measured 9.0 s exec isolated).  Repartitioning
     # the ~500-byte text rows BEFORE the payload exists costs a
-    # ~2.5 MB round-robin shuffle and parallelizes both chained
-    # kernels (they pipeline in one stage — no exchange between
-    # them, so the 1.7 GB intermediate still never hits a shuffle).
+    # ~2.5 MB round-robin shuffle and parallelizes the kernel (since
+    # round 13 a single fused encode+decode pass; the payload never
+    # leaves the Python worker, let alone hits a shuffle).
     # Gated: only fires when the scan under-splits relative to the
     # cluster (at 100 TB the doc scan spans ≫ cores splits and this
     # is a no-op).  Contrast the kNN candidate-side repartition
@@ -1137,44 +1258,13 @@ def j12b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
 
-    def _encode_bmp_frames(text: str) -> bytes | None:
-        if text is None:
-            return None
-        h16 = hashlib.md5(text.encode("utf-8")).hexdigest()
-        w = 64 + int(h16[0:2], 16) % 192
-        hh = 64 + int(h16[2:4], 16) % 192
-        n = 1 + int(h16[4:5], 16) % 8
-        row_size = (w * 3 + 3) // 4 * 4
-        rows = bytearray()
-        for y in range(hh):
-            px = (y * 7 + 13) % 256
-            rows += bytes([px]) * (w * 3) + b"\x00" * (row_size - w * 3)
-        pixel_bytes = bytes(rows)
-        file_size = 54 + len(pixel_bytes)
-        header = struct.pack(
-            "<2sIHHI" "IiiHHIIiiII",
-            b"BM", file_size, 0, 0, 54,          # file header
-            40, w, hh, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0,
-        )
-        return (header + pixel_bytes) * n
-
-    def _enc(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [_encode_bmp_frames(s) for s in pdf["text"]],
-                }
-            )
-
-    def _decode(batches):
+    def _encode_decode(batches):
         for pdf in batches:
             out = {"doc_id": [], "width": [], "height": [], "n_frames": [], "mean_px": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 out["doc_id"].append(doc_id)
-                parsed = (
-                    None if payload is None else _parse_bmp_frames(bytes(payload))
-                )
+                payload = _encode_bmp_frames(text)
+                parsed = None if payload is None else _parse_bmp_frames(payload)
                 if parsed is None:  # NULL or corrupt: dead-letter row
                     out["width"].append(None)
                     out["height"].append(None)
@@ -1188,9 +1278,8 @@ def j12b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_px"].append(mean_px)
             yield pd.DataFrame(out)
 
-    payloads = d.mapInPandas(_enc, "doc_id BIGINT, payload BINARY")
-    return payloads.mapInPandas(
-        _decode,
+    return d.mapInPandas(
+        _encode_decode,
         "doc_id BIGINT, width INT, height INT, n_frames INT, mean_px DOUBLE",
     )
 

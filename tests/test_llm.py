@@ -246,3 +246,205 @@ def test_parse_bmp_frames_corrupt_is_dead_letter_not_crash(payload):
 
     assert _parse_bmp_frames(payload) is None
 
+
+# --------------------- j12b fused encode+decode kernel (round 13)
+
+
+def _encode_bmp_frames_loop_reference(text):
+    """The pre-round-13 per-row-loop encoder, kept verbatim as the
+    byte-identity reference for the vectorized numpy encoder."""
+    import hashlib
+    import struct
+
+    if text is None:
+        return None
+    h16 = hashlib.md5(text.encode("utf-8")).hexdigest()
+    w = 64 + int(h16[0:2], 16) % 192
+    hh = 64 + int(h16[2:4], 16) % 192
+    n = 1 + int(h16[4:5], 16) % 8
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    for y in range(hh):
+        px = (y * 7 + 13) % 256
+        rows += bytes([px]) * (w * 3) + b"\x00" * (row_size - w * 3)
+    pixel_bytes = bytes(rows)
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + len(pixel_bytes), 0, 0, 54,
+        40, w, hh, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0,
+    )
+    return (header + pixel_bytes) * n
+
+
+@pytest.mark.parametrize(
+    "text",
+    [None, "", "a", "hello world", "x" * 300, "päyload-üß", "的是"],
+)
+def test_encode_bmp_frames_numpy_matches_loop_reference(text):
+    """Round 13 vectorized the encoder; the payload bytes must be
+    IDENTICAL to the old per-row loop — header, pixel rows, padding,
+    frame repetition, NULL route."""
+    from big_data_fknn_spark.queries.llm import _encode_bmp_frames
+
+    assert _encode_bmp_frames(text) == _encode_bmp_frames_loop_reference(text)
+
+
+@pytest.mark.parametrize("text", ["", "doc one", "z" * 97])
+def test_encode_decode_roundtrip_matches_md5_closed_form(text):
+    """parse(encode(text)) must recover exactly the md5-derived
+    (w, h, n) and the closed-form mean pixel — the same contract the
+    DuckDB oracle recomputes for j12b."""
+    import hashlib
+
+    from big_data_fknn_spark.queries.llm import (
+        _encode_bmp_frames,
+        _parse_bmp_frames,
+    )
+
+    h16 = hashlib.md5(text.encode("utf-8")).hexdigest()
+    w = 64 + int(h16[0:2], 16) % 192
+    hh = 64 + int(h16[2:4], 16) % 192
+    n = 1 + int(h16[4:5], 16) % 8
+    mean = sum((y * 7 + 13) % 256 for y in range(hh)) / hh
+    assert _parse_bmp_frames(_encode_bmp_frames(text)) == (w, hh, n, mean)
+
+
+# --------------------- j40 SRP numpy-kernel signatures (round 13)
+
+
+def _srp_codes_decimal_reference(spark, e):
+    """The pre-round-13 in-plan SRP signature pipeline, kept verbatim
+    as the value reference: posexplode → broadcast md5-parity sign
+    join → decimal(38,10) sign-sums → bits → band codes."""
+    from big_data_fknn_spark.functions.numeric import DEC
+    from big_data_fknn_spark.queries.llm import _SRP_BAND_BITS, _SRP_BITS
+
+    pos = e.select("vec_id", F.posexplode("emb").alias("p0", "x")).select(
+        "vec_id", (F.col("p0") + 1).alias("i"), "x"
+    )
+    bits = spark.range(1, _SRP_BITS + 1).select(F.col("id").alias("b"))
+    dims = spark.range(1, 65).select(F.col("id").alias("i"))
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.col("i"), F.col("b"))), 1, 1),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    signs = dims.crossJoin(bits).select("i", "b", sign.alias("sgn"))
+    cells = pos.join(F.broadcast(signs), "i").select(
+        "vec_id", "b", (F.col("x") * F.col("sgn")).cast(DEC).alias("term")
+    )
+    sig = cells.groupBy("vec_id", "b").agg(
+        (F.sum("term") > 0).cast("int").alias("bit")
+    )
+    return sig.groupBy(
+        "vec_id",
+        F.floor((F.col("b") - 1) / _SRP_BAND_BITS).cast("int").alias("band"),
+    ).agg(
+        F.sum(
+            F.col("bit") * F.pow(F.lit(2), (F.col("b") - 1) % _SRP_BAND_BITS)
+        )
+        .cast("int")
+        .alias("code")
+    )
+
+
+def test_srp_sign_matrix_matches_spark_md5_parity(spark):
+    """The kernel's Python md5-parity sign matrix must equal the old
+    Spark-side conv(substring(md5(...))) expression cell by cell."""
+    import numpy as np
+
+    from big_data_fknn_spark.queries.llm import _SRP_BITS, _srp_sign_matrix
+
+    S = _srp_sign_matrix(_SRP_BITS)
+    bits = spark.range(1, _SRP_BITS + 1).select(F.col("id").alias("b"))
+    dims = spark.range(1, 65).select(F.col("id").alias("i"))
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.col("i"), F.col("b"))), 1, 1),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    rows = dims.crossJoin(bits).select("i", "b", sign.alias("sgn")).collect()
+    ref = np.empty_like(S)
+    for r in rows:
+        ref[r["i"] - 1, r["b"] - 1] = r["sgn"]
+    assert (S == ref).all()
+
+
+def test_srp_codes_kernel_bit_identical_to_decimal_pipeline(spark):
+    """Round-13 gate (VERDICT r12 item 3): the numpy kernel's band
+    codes must be BIT-IDENTICAL to the decimal(38,10) aggregation it
+    replaced — on the real corpus AND on adversarial vectors that sit
+    on the cast's rounding ties, near-zero hyperplane sums, huge
+    magnitudes (int64-overflow territory for the scaled fast path)
+    and denormals."""
+    from big_data_fknn_spark.queries.llm import _srp_codes_kernel
+
+    adversarial = [
+        # rounding ties of the decimal(38,10) cast at every sign
+        (900001, [5e-11, -5e-11, 1.5e-10, -1.5e-10, 2.5e-11, -2.5e-11] + [0.0] * 58),
+        # alternating near-tie values so several sums sit near zero
+        (900002, [1e-10 if i % 2 == 0 else -1e-10 for i in range(64)]),
+        # exactly one sub-half-ulp value: every bit decided by a
+        # quantity the cast rounds to zero
+        (900003, [4.9e-11] + [0.0] * 63),
+        # huge magnitudes: fast path would overflow int64 → exact row
+        (900004, [1e9, -1e9, 2.5e15, -2.5e15, 1e20, -1e20] + [0.25] * 58),
+        # denormal-ish doubles and float32 roundings
+        (900005, [5e-324, -5e-324, 1.1754944e-38, -1.1754944e-38] + [1e-9] * 60),
+        # values straddling the 2^52-scaled boundary
+        (900006, [4.5e5, -4.5e5, 4.503599627370496e5, 9e5] + [-0.125] * 60),
+    ]
+    real = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .limit(50)
+        .collect()
+    )
+    rows = [(r["vec_id"], list(r["emb"])) for r in real] + adversarial
+    e = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+    got = sorted(
+        map(
+            tuple,
+            e.mapInPandas(
+                _srp_codes_kernel, "vec_id long, band int, code int"
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, _srp_codes_decimal_reference(spark, e).collect()))
+    assert got == want
+
+
+def test_dec10_scaled_exact_matches_spark_cast(spark):
+    """_dec10_scaled_exact must reproduce Spark's
+    cast(double AS decimal(38,10)) — HALF_UP on the shortest decimal
+    repr — including exact ties."""
+    from decimal import Decimal
+
+    from big_data_fknn_spark.queries.llm import _dec10_scaled_exact
+
+    vals = [
+        0.019056066870689392, -0.1842859387397766, 0.1, -0.1,
+        2.5e-11, 1.5e-10, -2.5e-11, -1.5e-10, 5e-11, -5e-11,
+        0.00000000005, 0.00000000015, 0.12345678905, -0.12345678905,
+        1.00000000005, 123456.00000000005, 4.5e5, 1e7,
+        1.00000000004999, 0.0, -0.0, 9.9999999e27, 1e-15, -1e-15,
+        7.450580596923828e-09, 2.3283064365386963e-10,
+        0.30000000000000004, 1e10, 123456789.00000000035,
+        3.5e-10, 4.5e-10, -3.5e-10, 6.123233995736766e-17,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = df.select("x", F.col("x").cast("decimal(38,10)").alias("d")).collect()
+    for r in rows:
+        spark_scaled = int(Decimal(str(r["d"])).scaleb(10))
+        assert _dec10_scaled_exact(r["x"]) == spark_scaled, r["x"]

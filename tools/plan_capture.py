@@ -82,10 +82,15 @@ def main() -> None:
     phase = sys.argv[1]
     assert phase in ("before", "after"), "phase must be before|after"
     keys = sys.argv[2:]
+    rnd = "r13"
+    if "--round" in keys:
+        i = keys.index("--round")
+        rnd = keys[i + 1]
+        keys = keys[:i] + keys[i + 2 :]
     if "--headline" in keys:
         keys = [k for k in keys if k != "--headline"] + list(HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(REPO, "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name=f"plan_capture_{phase}")
