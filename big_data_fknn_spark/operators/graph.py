@@ -60,6 +60,25 @@ from pyspark.sql import functions as F
 LAST_RUN_ROUNDS: int = 0
 
 
+_FPRINT_EXPRS = (
+    lambda: F.sum(F.col("lab").cast("decimal(38,0)")).alias("s"),
+    lambda: F.sum(
+        (F.col("lab").isNull() | F.col("node").isNull()).cast("long")
+    ).alias("nn"),
+)
+
+
+def _check_fingerprint(row):
+    """Shared NULL guard for the fingerprint, whether it came from a
+    driver agg or an Observation."""
+    if int(row["nn"] or 0):
+        raise ValueError(
+            "connected_components: NULL node ids / labels in the "
+            "propagation — edge endpoints must be non-null integers"
+        )
+    return row["s"]
+
+
 def _label_sum(labels: DataFrame):
     """Exact decimal sum of labels — the convergence fingerprint.
     decimal(38,0) cannot overflow (10⁹ nodes × 10⁹ max id ≪ 10³⁸)
@@ -69,18 +88,8 @@ def _label_sum(labels: DataFrame):
     NULL rows churn, and an all-NULL sum would compare None == None
     and fake convergence after one propagation — so NULL labels
     raise; the check rides the same O(|V|) scan."""
-    row = labels.agg(
-        F.sum(F.col("lab").cast("decimal(38,0)")).alias("s"),
-        F.sum(
-            (F.col("lab").isNull() | F.col("node").isNull()).cast("long")
-        ).alias("nn"),
-    ).first()
-    if int(row["nn"] or 0):
-        raise ValueError(
-            "connected_components: NULL node ids / labels in the "
-            "propagation — edge endpoints must be non-null integers"
-        )
-    return row["s"]
+    row = labels.agg(*(e() for e in _FPRINT_EXPRS)).first()
+    return _check_fingerprint(row)
 
 
 def connected_components(
@@ -134,7 +143,21 @@ def connected_components(
         .select("node", F.least(F.col("node"), F.col("mn")).alias("lab"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = _label_sum(labels)
+    # Round-13 (guide §2.4 remove passes outright): the INIT
+    # fingerprint no longer runs as its own driver job.  Round 1's
+    # union branch scans the full init-label table anyway, so the
+    # init sum rides that scan as an Observation (CollectMetrics) —
+    # the same _FPRINT_EXPRS aggregates, collected as a side effect
+    # of the round-1 job.  One driver job and one full pass over the
+    # label table are gone from EVERY connected_components call (a
+    # 2-round run does 2 jobs instead of 3); at 100 TB that is a full
+    # O(|V|) scan saved per call.  Convergence semantics unchanged:
+    # prev_sum is the identical decimal fingerprint, the NULL guard
+    # still raises (now after the fused job, same error), and an
+    # empty edge set still converges on the None == None compare.
+    from pyspark.sql import Observation
+
+    prev_sum = None
     rounds = 1
     converged = False
     # near-dup clusters converge in 2-3 plain rounds; a component
@@ -143,15 +166,20 @@ def connected_components(
     # convergence is O(log diameter) instead of O(diameter) and
     # max_iter=16 covers any realistic component
     _JUMP_AFTER = 3
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = sym.join(labels.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"), "lab"
         )
+        own = labels
+        init_obs = None
+        if it == 0:
+            init_obs = Observation()
+            own = labels.observe(init_obs, *(e() for e in _FPRINT_EXPRS))
         # one node-keyed shuffle per round: neighbors' labels merged
         # with own via min.  (msgs only mention nodes already labeled,
         # so the union covers every node exactly once plus messages.)
         labels = (
-            labels.unionByName(msgs)
+            own.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
         )
@@ -165,6 +193,8 @@ def connected_components(
         labels = labels.localCheckpoint(eager=False)
         rounds += 1
         s = _label_sum(labels)
+        if init_obs is not None:
+            prev_sum = _check_fingerprint(init_obs.get)
         if s == prev_sum:
             converged = True
             break
